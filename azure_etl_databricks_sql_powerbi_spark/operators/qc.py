@@ -1,0 +1,129 @@
+"""Data-quality checks as Spark aggregates (reference ``checks.py:9-35``).
+
+The reference evaluates checks on a driver-side pandas frame
+(``checks.py:16-28``) — impossible at 100 TB. Here every check is an
+aggregate expression and ``run_checks`` evaluates ALL checks in a single
+pass over the data (one job, one partial-aggregate shuffle of a handful of
+numbers), then gates writes on the result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    """Mirrors reference ``checks.py:9-14``."""
+
+    check_name: str
+    passed: bool
+    detail: str = ""
+
+
+@dataclass(frozen=True)
+class _AggCheck:
+    name: str
+    agg: Column  # produces the measured value
+    # (measured_value) -> (passed, detail)
+    kind: str
+    threshold: float
+
+
+def check_min_rows(min_rows: int) -> _AggCheck:
+    """Reference ``checks.py:16-19``: row count >= min_rows."""
+    return _AggCheck(f"min_rows>={min_rows}", F.count(F.lit(1)), "min_rows", float(min_rows))
+
+
+def check_non_null(col: str, max_null_rate: float = 0.0) -> _AggCheck:
+    """Reference ``checks.py:22-28``: null fraction of ``col`` <= rate.
+
+    A missing column is a failed check (reference ``checks.py:23-24``);
+    that is resolved at plan-build time in ``run_checks``.
+    """
+    return _AggCheck(
+        f"non_null:{col}",
+        F.avg(F.col(col).isNull().cast("int")),
+        "max_null_rate",
+        max_null_rate,
+    )
+
+
+def check_unique_key(*cols: str) -> _AggCheck:
+    """Extension: key uniqueness (duplicate count == 0)."""
+    return _AggCheck(
+        f"unique_key:{','.join(cols)}",
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])).cast("double"),
+        "max_value",
+        0.0,
+    )
+
+
+def check_freshness(ts_col: str, max_age_days: int) -> _AggCheck:
+    """Extension: newest ``ts_col`` within ``max_age_days`` of now."""
+    return _AggCheck(
+        f"freshness:{ts_col}<={max_age_days}d",
+        F.datediff(F.current_date(), F.max(ts_col).cast("date")).cast("double"),
+        "max_value",
+        float(max_age_days),
+    )
+
+
+def _evaluate(check: _AggCheck, value: float | None) -> CheckResult:
+    if check.kind == "min_rows":
+        v = float(value or 0)
+        return CheckResult(check.check_name, v >= check.threshold, f"rows={int(v)}")
+    v = float(value) if value is not None else 0.0
+    passed = v <= check.threshold
+    return CheckResult(check.check_name, passed, f"value={v:.6f}")
+
+
+def run_checks(df: DataFrame, checks: list[_AggCheck]) -> list[CheckResult]:
+    """Evaluate all checks in ONE aggregate job over ``df``.
+
+    Missing-column checks fail without touching the data (the reference's
+    ``col not in df.columns`` branch, ``checks.py:23-24``).
+    """
+    results: dict[int, CheckResult] = {}
+    live: list[tuple[int, _AggCheck]] = []
+    for i, chk in enumerate(checks):
+        ref_cols = {c for c in df.columns}
+        needed = _referenced_column(chk)
+        if needed is not None and needed not in ref_cols:
+            results[i] = CheckResult(chk.check_name, False, f"column '{needed}' missing")
+        else:
+            live.append((i, chk))
+    if live:
+        row = df.agg(*[chk.agg.alias(f"c{i}") for i, chk in live]).collect()[0]
+        for i, chk in live:
+            results[i] = _evaluate(chk, row[f"c{i}"])
+    return [results[i] for i in range(len(checks))]
+
+
+def _referenced_column(check: _AggCheck) -> str | None:
+    if check.check_name.startswith("non_null:"):
+        return check.check_name.split(":", 1)[1]
+    if check.check_name.startswith("freshness:"):
+        return check.check_name.split(":", 1)[1].split("<=")[0]
+    return None
+
+
+def run_checks_df(
+    spark: SparkSession, df: DataFrame, checks: list[_AggCheck]
+) -> DataFrame:
+    """Checks as a small result DataFrame (QC-gate-friendly, joinable)."""
+    rows = [(r.check_name, r.passed, r.detail) for r in run_checks(df, checks)]
+    return spark.createDataFrame(rows, "check_name string, passed boolean, detail string")
+
+
+def qc_gate(df: DataFrame, checks: list[_AggCheck]) -> DataFrame:
+    """Raise if any check fails; otherwise pass ``df`` through (reference
+    gates writes on QC + Slack alert, ``run_all_local.py`` + ``alerts.py``)."""
+    failed = [r for r in run_checks(df, checks) if not r.passed]
+    if failed:
+        summary = "; ".join(f"{r.check_name} ({r.detail})" for r in failed)
+        raise ValueError(f"QC gate failed: {summary}")
+    return df

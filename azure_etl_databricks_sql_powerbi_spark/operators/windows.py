@@ -1,0 +1,55 @@
+"""Window-function operators for gold/BI KPIs (SURVEY.md §2.5 W1-W3).
+
+All built-in window expressions — one shuffle on the partition key, then
+in-partition sort; no UDFs. ``top_k_per_group`` uses ``row_number`` (ties
+broken deterministically by the tiebreak columns) so results are
+oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[str],
+    k: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group (W3) with a deterministic rank column."""
+    ordering: list[Column] = [
+        F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_last()
+        for c in order_by
+    ]
+    ordering += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*group_by).orderBy(*ordering)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg_col: str,
+    out_col: str = "running_sum",
+    func: str = "sum",
+) -> DataFrame:
+    """Running aggregate per partition (W2): rowsBetween(unbounded, current).
+
+    Uses rowsBetween (not the rangeBetween default) so duplicate order keys
+    accumulate row-at-a-time — deterministic given a total order.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = getattr(F, func)
+    return df.withColumn(out_col, fn(F.col(agg_col)).over(w))
