@@ -132,6 +132,57 @@ def _q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(new, allowMissingColumns=True)
 
 
+def _q_qbo_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested QBO-shaped payload normalization (F9/S4): build
+    {QueryResponse: {Invoice: [...]}} docs from orders (one per customer),
+    then explode + flatten back to relational rows. The round-trip must
+    reproduce the original projection — which is exactly the oracle."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.nested import (
+        explode_path,
+        flatten_struct,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").cast("string").alias("Id"),
+                    F.col("o_totalprice").alias("TotalAmt"),
+                    F.col("o_orderstatus").alias("Status"),
+                )
+            ).alias("Invoice")
+        )
+        .select(F.struct(F.col("Invoice")).alias("QueryResponse"))
+    )
+    return flatten_struct(explode_path(nested, "QueryResponse.Invoice"), "item")
+
+
+def _q_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC check metrics (A2/A3 + uniqueness) as ONE aggregate pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(F.col("o_custkey").isNull().cast("int")), 6).alias(
+            "custkey_null_rate"
+        ),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (A6) — HLL sketches differ between engines, so
+    this is a rows-only check; the unit test asserts the ±5% rel-error bound
+    against the exact count instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.approx_count_distinct("o_orderkey").alias("approx_orders"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -145,6 +196,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_watermark_7d": _q_events_watermark,
     "events_json_kpis": _q_events_json_kpis,
     "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
 }
 
 
@@ -283,6 +337,19 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 2 = 1
+    """,
+    "qbo_invoices_flatten": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS Id,
+               o_totalprice                AS TotalAmt,
+               o_orderstatus               AS Status
+        FROM orders
+    """,
+    "qc_metrics_orders": """
+        SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_rows,
+               ROUND(AVG(CAST(o_custkey IS NULL AS INT)), 6)              AS custkey_null_rate,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                 AS n_keys,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS dup_keys
+        FROM orders
     """,
 }
 

@@ -75,10 +75,10 @@ def check_freshness(ts_col: str, max_age_days: int) -> _AggCheck:
 def _evaluate(check: _AggCheck, value: float | None) -> CheckResult:
     if check.kind == "min_rows":
         v = float(value or 0)
-        return CheckResult(check.check_name, v >= check.threshold, f"rows={int(v)}")
+        return CheckResult(check.name, v >= check.threshold, f"rows={int(v)}")
     v = float(value) if value is not None else 0.0
     passed = v <= check.threshold
-    return CheckResult(check.check_name, passed, f"value={v:.6f}")
+    return CheckResult(check.name, passed, f"value={v:.6f}")
 
 
 def run_checks(df: DataFrame, checks: list[_AggCheck]) -> list[CheckResult]:
@@ -93,7 +93,7 @@ def run_checks(df: DataFrame, checks: list[_AggCheck]) -> list[CheckResult]:
         ref_cols = {c for c in df.columns}
         needed = _referenced_column(chk)
         if needed is not None and needed not in ref_cols:
-            results[i] = CheckResult(chk.check_name, False, f"column '{needed}' missing")
+            results[i] = CheckResult(chk.name, False, f"column '{needed}' missing")
         else:
             live.append((i, chk))
     if live:
@@ -104,10 +104,10 @@ def run_checks(df: DataFrame, checks: list[_AggCheck]) -> list[CheckResult]:
 
 
 def _referenced_column(check: _AggCheck) -> str | None:
-    if check.check_name.startswith("non_null:"):
-        return check.check_name.split(":", 1)[1]
-    if check.check_name.startswith("freshness:"):
-        return check.check_name.split(":", 1)[1].split("<=")[0]
+    if check.name.startswith("non_null:"):
+        return check.name.split(":", 1)[1]
+    if check.name.startswith("freshness:"):
+        return check.name.split(":", 1)[1].split("<=")[0]
     return None
 
 

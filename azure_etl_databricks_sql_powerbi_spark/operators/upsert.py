@@ -46,9 +46,10 @@ def merge_upsert(
     missing = [c for c in target.columns if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
-    src = source.select(*target.columns)
+    src = source
     if dedupe_source_by:
         src = latest_per_key(src, keys, dedupe_source_by)
+    src = src.select(*target.columns)
     probe = F.broadcast(src.select(*keys)) if broadcast_source else src.select(*keys)
     kept_target = target.join(probe, on=keys, how="left_anti")
     return src.unionByName(kept_target)

@@ -1,0 +1,202 @@
+"""Connector-layer tests: pagination, response shapes, OAuth retry,
+YAML registry, distributed fetch — all offline via injected transports."""
+
+from __future__ import annotations
+
+import json
+from datetime import date
+
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.sources.oauth import AuthError, OAuth2QueryClient
+from azure_etl_databricks_sql_powerbi_spark.sources.registry import extract_bronze, parse_spec
+from azure_etl_databricks_sql_powerbi_spark.sources.rest import (
+    IncrementalConfig,
+    PagePagination,
+    RestSource,
+    fetch_distributed,
+    iter_paginated,
+    parse_items,
+    records_to_df,
+    to_jsonl,
+)
+
+
+def make_fake_transport(total: int, page_size_served: int = 500, envelope: str | None = "data"):
+    """Serves `total` records as pages; records are {"id": i, "v": i*2}."""
+    calls: list[dict] = []
+
+    def transport(path, params, headers):
+        calls.append({"path": path, "params": dict(params), "headers": dict(headers)})
+        page = int(params.get("page", 1))
+        size = min(int(params.get("per_page", 500)), page_size_served)
+        start = (page - 1) * size
+        items = [{"id": i, "v": i * 2} for i in range(start, min(start + size, total))]
+        return items if envelope is None else {envelope: items}
+
+    transport.calls = calls
+    return transport
+
+
+def test_parse_items_shapes():
+    assert parse_items([{"a": 1}]) == [{"a": 1}]
+    assert parse_items({"data": [{"a": 1}]}) == [{"a": 1}]
+    assert parse_items({"items": []}) == []
+    assert parse_items({"results": [{"b": 2}]}) == [{"b": 2}]
+    assert parse_items(None) == []
+    with pytest.raises(ValueError):
+        parse_items({"unexpected": 1})
+
+
+def test_iter_paginated_stops_on_short_page():
+    t = make_fake_transport(total=120)
+    src = RestSource(transport=t)
+    got = list(iter_paginated(src, "/v1/things", PagePagination(page_size=50)))
+    assert len(got) == 120
+    assert [c["params"]["page"] for c in t.calls] == [1, 2, 3]
+
+
+def test_iter_paginated_stops_on_empty_page():
+    t = make_fake_transport(total=100)  # exactly 2 full pages of 50
+    src = RestSource(transport=t)
+    got = list(iter_paginated(src, "/v1/things", PagePagination(page_size=50)))
+    assert len(got) == 100
+    assert [c["params"]["page"] for c in t.calls] == [1, 2, 3]  # 3rd page empty
+
+
+def test_iter_paginated_max_pages_cap():
+    t = make_fake_transport(total=10_000)
+    src = RestSource(transport=t)
+    got = list(iter_paginated(src, "/x", PagePagination(page_size=10, max_pages=3)))
+    assert len(got) == 30
+
+
+def test_incremental_param_sent():
+    t = make_fake_transport(total=5)
+    src = RestSource(transport=t, headers={"X-Api-Key": "k"})
+    list(
+        iter_paginated(
+            src,
+            "/x",
+            PagePagination(page_size=10),
+            IncrementalConfig(from_days_ago=7),
+            as_of=date(2026, 1, 8),
+        )
+    )
+    assert t.calls[0]["params"]["updated_since"] == "2026-01-01"
+    assert t.calls[0]["headers"]["X-Api-Key"] == "k"
+
+
+def test_to_jsonl_roundtrip():
+    recs = [{"a": 1}, {"b": "x"}]
+    lines = to_jsonl(recs).splitlines()
+    assert [json.loads(line) for line in lines] == recs
+
+
+def test_records_to_df(spark):
+    df = records_to_df(spark, [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    assert df.count() == 2
+    assert set(df.columns) == {"id", "v"}
+
+
+def test_oauth_lazy_refresh_and_401_retry():
+    tokens = iter(["tok1", "tok2"])
+    refreshes = []
+
+    def token_transport(url, refresh, cid, secret):
+        refreshes.append(url)
+        return {"access_token": next(tokens)}
+
+    attempts = []
+
+    def query_transport(path, params, headers):
+        attempts.append(headers["Authorization"])
+        if headers["Authorization"] == "Bearer tok1":
+            raise AuthError("401")
+        return {"QueryResponse": {"Invoice": [{"Id": "1"}]}}
+
+    client = OAuth2QueryClient(
+        token_url="https://token",
+        refresh_token="r",
+        client_id="c",
+        client_secret="s",
+        token_transport=token_transport,
+        query_transport=query_transport,
+    )
+    out = client.query("select * from Invoice maxresults 1000")
+    assert out["QueryResponse"]["Invoice"] == [{"Id": "1"}]
+    assert refreshes == ["https://token"] * 2  # lazy + after-401
+    assert attempts == ["Bearer tok1", "Bearer tok2"]
+
+
+SPEC_YAML = """
+sources:
+  superoperator:
+    kind: rest
+    endpoints:
+      - name: customers
+        path: /v1/customers
+        page_size: 50
+        incremental: {param: updated_since, from_days_ago: 7}
+      - name: payments
+        path: /v1/payments
+        page_size: 50
+  quickbooks:
+    kind: oauth_query
+    endpoints:
+      - name: invoices
+        query: "select * from Invoice maxresults 1000"
+"""
+
+
+def test_registry_extracts_all_endpoints(spark):
+    specs = parse_spec(SPEC_YAML)
+    assert [s.name for s in specs] == ["customers", "payments", "invoices"]
+    assert specs[0].incremental.from_days_ago == 7
+
+    def token_transport(url, refresh, cid, secret):
+        return {"access_token": "t"}
+
+    def query_transport(path, params, headers):
+        return {"QueryResponse": {"Invoice": [{"Id": "1", "Total": 10.0}]}}
+
+    bronze = extract_bronze(
+        spark,
+        specs,
+        rest_sources={"superoperator": RestSource(transport=make_fake_transport(75))},
+        oauth_clients={
+            "quickbooks": OAuth2QueryClient(
+                "https://token", "r", "c", "s", token_transport, query_transport
+            )
+        },
+        as_of=date(2026, 1, 8),
+    )
+    assert bronze["superoperator.customers"].count() == 75
+    assert bronze["superoperator.payments"].count() == 75
+    qbo = bronze["quickbooks.invoices"]
+    assert qbo.select("QueryResponse.Invoice").count() == 1
+
+
+def test_fetch_distributed(spark):
+    total = 200
+
+    # Defined locally (not via the module-level factory) so cloudpickle
+    # serializes it by value — executors can't import the test module.
+    def make_source():
+        def transport(path, params, headers):
+            page = int(params.get("page", 1))
+            size = int(params.get("per_page", 500))
+            start = (page - 1) * size
+            return {"data": [{"id": i, "v": i * 2} for i in range(start, min(start + size, 200))]}
+
+        return RestSource(transport=transport)
+
+    df = fetch_distributed(
+        spark, make_source, "/x", n_pages=4, pagination=PagePagination(page_size=50)
+    )
+    rows = df.count()
+    assert rows == total
+    from pyspark.sql import functions as F
+
+    parsed = df.select(F.get_json_object("raw", "$.id").cast("long").alias("id"))
+    assert parsed.agg(F.count_distinct("id")).collect()[0][0] == total
