@@ -183,6 +183,123 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ EXT: text analysis
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality metrics (F10): token counts, punctuation, stopword
+    ratio, composite quality score — all JVM-side expressions."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text", T.LANG_PROFILES["en"]), 6).alias("stop_ratio_en"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic per doc + agreement flag."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (rolling-hash family): md5 of normalized text
+    (oracle-replicable; xxhash64 variant is the scale path, tested in unit
+    tests since DuckDB lacks xxhash64)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5("text").alias("fp_md5"))
+
+
+def _q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy (md5 flavor for the oracle)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.exact import dedup_exact_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_stats(docs, use_md5=True)
+
+
+def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-set) Jaccard near-dup pairs on a bounded slice —
+    the oracle-checked ground truth the MinHash path approximates."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ws"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: no xxhash64 in DuckDB); the
+    Jaccard-verification step is oracle-checked via token_jaccard_pairs."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.5)
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs (rows-only check)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.simhash import near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, max_hamming=3)
+
+
+# ------------------------------------------------- EXT: similarity search
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id<10 (exact baseline)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.bruteforce import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.4 (bounded slice)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.bruteforce import (
+        cosine_near_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_near_pairs(emb, threshold=0.4)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (rows-only; recall vs brute force is
+    asserted in unit tests)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -199,6 +316,16 @@ QUERIES: dict[str, QueryFn] = {
     "qbo_invoices_flatten": _q_qbo_flatten,
     "qc_metrics_orders": _q_qc_metrics,
     "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "minhash_near_dup": _q_minhash_near_dup,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "ann_lsh_topk": _q_ann_lsh,
 }
 
 
@@ -350,6 +477,113 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                 AS n_keys,
                CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS dup_keys
         FROM orders
+    """,
+    "text_stats": r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+                   END AS n_tokens,
+                   LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / GREATEST(LENGTH(text), 1) AS praw,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('the','and','of','to','in','is','you','that','it','for')))
+                   END AS hits
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INT)  AS n_chars,
+               n_tokens,
+               ROUND(LENGTH(regexp_replace(text, '\s', '', 'g'))
+                     / GREATEST(n_tokens, 1), 4)                 AS avg_token_len,
+               ROUND(praw, 6)                                    AS punct_ratio,
+               ROUND(hits / GREATEST(n_tokens, 1), 6)            AS stop_ratio_en,
+               ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
+                     + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                     + 0.4 * LEAST((hits / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+        FROM t
+    """,
+    "lang_id_docs": r"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   string_split_regex(TRIM(text), '\s+') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','you','that','it','for'))) AS en,
+                   len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','en','un','los','se','no')))      AS es,
+                   len(list_filter(toks, x -> lower(x) IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS de,
+                   len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','les','des','en','un','du','une')))     AS fr
+            FROM s
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                    WHEN es >= de AND es >= fr THEN 'es'
+                    WHEN de >= fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM h
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+        FROM documents
+    """,
+    "dedup_exact_docs": """
+        SELECT md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT)    AS n_dups
+        FROM documents
+        GROUP BY 1
+    """,
+    "token_jaccard_pairs": r"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split_regex(TRIM(text), '\s+')) AS ws
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.ws, b.ws))
+                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.ws, b.ws))
+                    / len(list_distinct(list_concat(a.ws, b.ws))), 6) >= 0.9
+    """,
+    "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   END AS cos
+            FROM e c, q WHERE c.vec_id <> q.vec_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+               ROUND(cos, 4) AS cosine_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank FROM pairs
+        ) WHERE rank <= 5
+    """,
+    "embedding_near_pairs": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     END, 4) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                   THEN 0.0
+                   ELSE list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              END >= 0.4
     """,
 }
 

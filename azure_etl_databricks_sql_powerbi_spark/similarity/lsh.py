@@ -1,0 +1,144 @@
+"""Scalable approximate similarity search: random-hyperplane LSH buckets.
+
+The scale path for similarity over 100 TB of embeddings: sign-random-
+projection (SRP / "SimHash for vectors", Charikar '02) assigns every
+vector a small bucket code; candidates are pairs sharing a code in at
+least one of ``n_tables`` independent tables. Join cost is linear in data
+× tables instead of quadratic, and the bucket join is an equi-join
+Catalyst executes as a hash join.
+
+Hyperplanes are generated from a seeded RNG on the driver (a few KB) and
+embedded in the plan as literals — executors never see Python. The bucket
+probe + exact re-rank gives the classic recall/cost trade: more tables or
+fewer bits => higher recall, bigger buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.vectors import as_double, cosine
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    """[table][bit][dim] gaussian hyperplanes, deterministic in seed."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def srp_code(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket code (one long) for one table."""
+    v = as_double(vec)
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, p: x * p), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def add_bucket_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``bucket_0..bucket_{t-1}`` long columns (one per table)."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    out = df
+    for t in range(n_tables):
+        out = out.withColumn(f"bucket_{t}", srp_code(vec_col, planes[t]))
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe matching buckets in any table, exact
+    cosine re-rank inside the candidate set.
+
+    Output schema matches ``bruteforce.cosine_topk`` so recall can be
+    measured by a plain join of the two results.
+    """
+    c = add_bucket_codes(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+        dim,
+        n_bits,
+        n_tables,
+        seed,
+    )
+    q = add_bucket_codes(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        dim,
+        n_bits,
+        n_tables,
+        seed,
+    )
+    # long format: (id, table, code) for corpus and queries; candidates are
+    # equi-join matches on (table, code) in ANY table -> distinct pair
+    def melt(df: DataFrame, id_name: str, vec_name: str) -> DataFrame:
+        return df.select(
+            id_name,
+            vec_name,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"bucket_{t}").alias("code"))
+                    for t in range(n_tables)
+                ])
+            ).alias("b"),
+        ).select(id_name, vec_name, "b.tbl", "b.code")
+
+    cm = melt(c, "neighbor_id", "c_vec")
+    qm = melt(q, "query_id", "q_vec")
+    cands = (
+        cm.join(F.broadcast(qm), on=["tbl", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("__cos", 4).alias("cosine_sim"))
+    )
+
+
+def expected_collision_prob(cos_sim: float, n_bits: int, n_tables: int) -> float:
+    """Analytic SRP recall estimate: P(collide in >=1 table) for a pair at
+    the given cosine — used by tests to sanity-check recall."""
+    theta = math.acos(max(-1.0, min(1.0, cos_sim)))
+    p_bit = 1 - theta / math.pi
+    p_table = p_bit**n_bits
+    return 1 - (1 - p_table) ** n_tables

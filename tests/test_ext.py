@@ -1,0 +1,141 @@
+"""EXT-surface tests: text functions, exact/minhash/simhash dedup with
+planted duplicates, vector kernels, LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.dedup.exact import (
+    dedup_exact_keep_first,
+    dedup_exact_stats,
+)
+from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import near_dup_pairs as minhash_pairs
+from azure_etl_databricks_sql_powerbi_spark.dedup.simhash import near_dup_pairs as simhash_pairs
+from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+from azure_etl_databricks_sql_powerbi_spark.functions.vectors import (
+    cosine,
+    dot,
+    l2_distance,
+    unit_normalize,
+)
+from azure_etl_databricks_sql_powerbi_spark.similarity.bruteforce import cosine_topk
+from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
+    expected_collision_prob,
+    lsh_cosine_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("quick", "swift")),  # near-duplicate of 0
+        (3, "completely different content about database engines and query plans"),
+        (4, "el gato duerme en la casa y no quiere salir de la cama hoy"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_empty(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+    assert out[5] == 0
+    assert out[0] == len(BASE.split())
+
+
+def test_quality_and_lang(spark, docs):
+    rows = {
+        r.doc_id: (r.q, r.lang)
+        for r in docs.select(
+            "doc_id", T.quality_score("text").alias("q"), T.lang_id("text").alias("lang")
+        ).collect()
+    }
+    assert rows[0][1] == "en"
+    assert rows[4][1] == "es"
+    assert 0 <= rows[5][0] <= 1 and rows[0][0] > rows[5][0]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(T.word_ngrams("text", 3).alias("g")).collect()
+    assert out[0].g == ["a b c", "b c d"]
+    assert out[1].g == ["a b"]  # shorter than n -> whole text
+
+
+def test_exact_dedup_planted(spark, docs):
+    stats = dedup_exact_stats(docs).filter(F.col("n_dups") > 1).collect()
+    assert len(stats) == 1 and stats[0].canonical_id == 0 and stats[0].n_dups == 2
+    kept = dedup_exact_keep_first(docs)
+    assert kept.count() == 5  # one of the two exact dups dropped
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_simhash_finds_planted_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0  # identical fingerprints
+    assert (0, 2) in pairs  # one-word change stays within the ball
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters of 5 near-identical vectors + self-ids, dim 8
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(3):
+        center = [rng.gauss(0, 1) for _ in range(8)]
+        for i in range(5):
+            vec = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((c * 5 + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_vector_kernels(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>")
+    r = df.select(
+        dot("a", "b").alias("d"),
+        cosine("a", "a").alias("self"),
+        l2_distance("a", "b").alias("l2"),
+        F.round(F.sqrt(F.aggregate(F.transform(unit_normalize("a"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 9).alias("unitnorm"),
+    ).collect()[0]
+    assert r.d == 24.0
+    assert abs(r.self - 1.0) < 1e-12
+    assert abs(r.l2 - math.sqrt(2)) < 1e-12
+    assert r.unitnorm == 1.0
+
+
+def test_bruteforce_topk_finds_cluster(spark, vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4)
+    neighbors = {r.neighbor_id for r in out.collect()}
+    assert neighbors == {1, 2, 3, 4}  # same-cluster vectors
+
+
+def test_lsh_recall_on_clusters(spark, vectors):
+    exact = cosine_topk(vectors, vectors.filter(F.col("vec_id") < 5), k=4)
+    approx = lsh_cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=4, dim=8, n_bits=4, n_tables=8
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # near-identical vectors collide with prob ~1 per table; analytic bound
+    assert expected_collision_prob(0.999, 4, 8) > 0.99
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
