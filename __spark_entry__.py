@@ -22,6 +22,7 @@ from azure_etl_databricks_sql_powerbi_spark.operators.incremental import relativ
 from azure_etl_databricks_sql_powerbi_spark.operators.upsert import merge_upsert
 from azure_etl_databricks_sql_powerbi_spark.plans import gold, medallion
 from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -191,7 +192,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, composite quality score — all JVM-side expressions."""
     from azure_etl_databricks_sql_powerbi_spark.functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.char_count("text").alias("n_chars"),
@@ -207,7 +208,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID heuristic per doc + agreement flag."""
     from azure_etl_databricks_sql_powerbi_spark.functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -221,7 +222,7 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests since DuckDB lacks xxhash64)."""
     from azure_etl_databricks_sql_powerbi_spark.functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp_md5"))
 
 

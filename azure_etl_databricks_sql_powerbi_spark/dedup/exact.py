@@ -16,6 +16,7 @@ from azure_etl_databricks_sql_powerbi_spark.functions.text import (
     fingerprint_md5,
     fingerprint_xxhash,
 )
+from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
 def dedup_exact_stats(
@@ -26,7 +27,7 @@ def dedup_exact_stats(
     verdict and the survivorship decision."""
     fp = fingerprint_md5(text_col) if use_md5 else fingerprint_xxhash(text_col)
     return (
-        df.select(fp.alias("fingerprint"), F.col(id_col))
+        spread(df).select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -42,7 +43,7 @@ def dedup_exact_keep_first(
     deterministic latest/first-per-fingerprint (window-free: min-id join
     back, broadcast-friendly when the dup set is small)."""
     fp = fingerprint_xxhash(text_col)
-    with_fp = df.withColumn("__fp", fp)
+    with_fp = spread(df).withColumn("__fp", fp)
     canon = with_fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
     return (
         with_fp.join(canon, on="__fp")

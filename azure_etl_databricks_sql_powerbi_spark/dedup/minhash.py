@@ -4,54 +4,90 @@ model fitting, deterministic given the seed.
 
 Pipeline (the standard construction, e.g. Broder '97 / MMDS ch.3):
 
-1. shingle: word n-grams per doc (``functions.text.word_ngrams``)
-2. signature: k minhashes; minhash_i = min over shingles of
-   ``xxhash64(shingle, seed_i)`` — computed as ``array_min(transform(...))``
-   per row, JVM-side
-3. bands: split the k-vector into b bands of r values; hash each band
-4. bucket-join: docs sharing any (band_idx, band_hash) are candidates —
-   a groupBy/self-join on the band key, the ONLY shuffle in the pipeline,
-   and it shuffles (doc_id, band_hash) pairs, never text
-5. verify: exact Jaccard on distinct shingle sets for candidate pairs
+1. shingle: word n-grams per doc (``functions.text.word_ngrams``), exploded
+   to one (doc, shingle-hash) row each — the string is hashed ONCE with
+   ``xxhash64`` and never carried further.
+2. signature: k minhashes via ONE hash-aggregate:
+   ``groupBy(id).agg(min(xxhash64(h, seed_i)) for i in range(k))``.
+   Re-hashing the 8-byte shingle hash per signature slot stays inside
+   whole-stage codegen with map-side partial aggregation — unlike a
+   higher-order ``transform``/``aggregate`` formulation, which Spark
+   evaluates interpreted per row. (Duplicates need no pre-dedup: ``min``
+   over a multiset equals ``min`` over its set.)
+3. bands: split the k signature columns into b bands of r, hash each band.
+4. bucket-join: ``groupBy(band_idx, band_hash).agg(collect_list(id))`` then
+   in-bucket pair expansion — ONE shuffle carrying (id, band_hash) pairs,
+   never text. Oversized buckets (boilerplate shingles) are dropped by
+   ``max_bucket``, the standard web-dedup guard bounding the quadratic
+   in-bucket blowup.
+5. verify: exact Jaccard on the docs' distinct shingle-hash sets
+   (``collect_set`` from the same aggregate — the shuffled-exchange subtree
+   is shared with step 2, so Spark's ReuseExchange computes it once).
 
-At 100 TB: the candidate step is linear in corpus size (b rows per doc);
-skewed buckets (boilerplate shingles) are capped by ``max_bucket`` to bound
-the quadratic blowup inside a bucket — the standard guard in web-dedup.
+At 100 TB: everything before the band groupBy is scan + map-side combine;
+the two shuffles carry ~(k·8 + b·16) bytes/doc. Skewed buckets are capped;
+AQE handles residual skew in the verify join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.text import word_ngrams
+from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """k-wide MinHash signature of an array<string> column."""
-    return F.array(
+def _signature_with_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    num_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """One shuffle: (id, mh0..mh{k-1}, sh=set of shingle hashes)."""
+    hashed = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, ngram)).alias("s"),
+    ).select("id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h"))
+    return hashed.groupBy("id").agg(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+            F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i))).alias(f"mh{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.collect_set("h").alias("sh"),
     )
 
 
-def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Hash each band of the signature -> array<long> of length ``bands``."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
+def band_cols(num_hashes: int, bands: int) -> list[Column]:
+    """Hash each band of r = k/b signature columns -> b long columns."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def _pairs_in_bucket(ids: Column) -> Column:
+    """All (id_a < id_b) pairs within one bucket's id list."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 
@@ -67,31 +103,27 @@ def candidate_pairs(
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >= 1 LSH band bucket."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        band_hashes(
-            minhash_signature(
-                F.array_distinct(word_ngrams(text_col, ngram)), num_hashes, seed
+    sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed)
+    return _candidates_from_sig(sig, num_hashes, bands, max_bucket)
+
+
+def _candidates_from_sig(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    buckets = (
+        sig.select(
+            "id",
+            F.posexplode(F.array(*band_cols(num_hashes, bands))).alias(
+                "band_idx", "band_hash"
             ),
-            bands,
-            rows_per_band,
-        ).alias("bands"),
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    buckets = sig.select(
-        "id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
-    # cap pathological buckets (boilerplate) to bound the self-join blowup
-    sized = buckets.withColumn(
-        "__bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash")),
-    ).filter(F.col("__bucket_n") <= max_bucket)
-    left = sized.select("band_idx", "band_hash", F.col("id").alias("id_a"))
-    right = sized.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     return (
-        left.join(right, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -105,21 +137,25 @@ def near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard over distinct shingle
-    sets; returns (id_a, id_b, jaccard >= threshold)."""
-    cands = candidate_pairs(df, text_col, id_col, ngram, num_hashes, bands, seed)
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
-    )
-    a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    """LSH candidates verified with exact Jaccard over distinct shingle-hash
+    sets; returns (id_a, id_b, jaccard >= threshold).
+
+    Jaccard is computed on the 64-bit shingle hashes rather than the shingle
+    strings — identical up to xxhash64 collisions (~n²/2⁶⁴), and the verify
+    join then shuffles 8-byte longs instead of raw text.
+    """
+    assert num_hashes % bands == 0
+    sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed)
+    cands = _candidates_from_sig(sig, num_hashes, bands, max_bucket)
+    sets_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.join(a, on="id_a")
-        .join(b, on="id_b")
+        cands.join(sets_a, on="id_a")
+        .join(sets_b, on="id_b")
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
+from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
 def cosine_topk(
@@ -33,7 +34,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     pairs = c.crossJoin(F.broadcast(q))
@@ -68,7 +69,7 @@ def cosine_near_pairs(
     """All (id_a, id_b, cosine_sim) pairs above ``threshold`` — embedding
     near-duplicate detection. Quadratic: use only on a corpus that fits a
     broadcast, or go through the LSH bucketing in ``lsh.py``."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

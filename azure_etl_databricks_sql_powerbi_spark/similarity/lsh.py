@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.vectors import as_double, cosine
+from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
@@ -63,7 +64,7 @@ def add_bucket_codes(
 ) -> DataFrame:
     """Append ``bucket_0..bucket_{t-1}`` long columns (one per table)."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
-    out = df
+    out = spread(df)
     for t in range(n_tables):
         out = out.withColumn(f"bucket_{t}", srp_code(vec_col, planes[t]))
     return out
