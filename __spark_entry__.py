@@ -301,6 +301,33 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+
+# ----------------------------------------------------- EXT: time windows
+
+
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows x event_type (ST3; F.window — identical plan
+    serves batch and Structured Streaming, see streaming/windows.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.streaming.windows import tumbling_kpis
+
+    return tumbling_kpis(load_table(spark, sf_dir, "events"), "1 day")
+
+
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day windows every 6 hours (each event in 4 windows)."""
+    from azure_etl_databricks_sql_powerbi_spark.streaming.windows import sliding_kpis
+
+    return sliding_kpis(load_table(spark, sf_dir, "events"), "1 day", "6 hours")
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 2-hour gap (F.session_window; oracle is
+    the classic gaps-and-islands SQL with identical end = last + gap)."""
+    from azure_etl_databricks_sql_powerbi_spark.streaming.windows import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"), "2 hours")
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -327,6 +354,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": _q_ann_bruteforce,
     "embedding_near_pairs": _q_embedding_near_pairs,
     "ann_lsh_topk": _q_ann_lsh,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
 }
 
 
@@ -585,6 +615,51 @@ ORACLES: dict[str, str] = {
                    ELSE list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
               END >= 0.4
+    """,
+    "events_tumbling_daily": """
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+               make_timestamp((epoch_us(ts) // 86400000000) * 86400000000
+                              + 86400000000)                               AS window_end,
+               event_type,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM e
+        GROUP BY 1, 2, 3
+    """,
+    "events_sliding_6h": """
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        w AS (
+            SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+                                  - k * 21600000000) AS window_start,
+                   value
+            FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 DAY AS window_end,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM w
+        GROUP BY 1, 2
+    """,
+    "events_sessions_2h": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN ts - LAG(CAST(ts AS TIMESTAMP))
+                            OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 2 HOUR
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ), g AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+            ) AS sid FROM e
+        )
+        SELECT user_id,
+               MIN(ts)                     AS session_start,
+               MAX(ts) + INTERVAL 2 HOUR   AS session_end,
+               COUNT(*)                    AS n_events,
+               ROUND(SUM(value), 2)        AS total_value
+        FROM g GROUP BY user_id, sid
     """,
 }
 

@@ -1,0 +1,157 @@
+"""Structured Streaming surface: batch/stream window parity, bounded-state
+dedup, foreachBatch upsert, custom stateful totals.
+
+Strategy: every streaming plan is drained with trigger(availableNow=True)
+and compared against the equivalent BATCH computation on the same input —
+streaming correctness reduces to batch correctness plus state semantics.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+from azure_etl_databricks_sql_powerbi_spark.streaming import structured, windows
+from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import running_totals
+
+SF = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-landed as a parquet dir of four CONTIGUOUS time slices,
+    written oldest-first (the file source processes files in modification-
+    time order) — the realistic arrival shape, and required for append-mode
+    tests: out-of-order files would put data behind the watermark, and
+    Spark would correctly drop it."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    events = load_table(spark, SF, "events")
+    day = F.dayofmonth("ts")
+    for lo, hi in ((0, 8), (8, 16), (16, 23), (23, 32)):
+        events.filter((day >= lo) & (day < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _stream(spark, events_dir, **kw):
+    return structured.stream_files(spark, events_dir, EVENTS_SCHEMA, **kw)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir, tmp_path):
+    batch = load_table(spark, SF, "events")
+    expected = {
+        tuple(r)
+        for r in windows.tumbling_kpis(batch, "1 day").collect()
+    }
+    stream = windows.tumbling_kpis(_stream(spark, events_dir), "1 day")
+    structured.run_to_memory(stream, "tumbling_complete", output_mode="complete")
+    got = {tuple(r) for r in spark.table("tumbling_complete").collect()}
+    assert got == expected
+
+
+def test_streaming_append_emits_only_closed_windows(spark, events_dir):
+    """Append mode + watermark: only windows the watermark has passed are
+    emitted; with maxFilesPerTrigger=1 the watermark advances between
+    micro-batches, so all but the newest window(s) finalize."""
+    src = _stream(spark, events_dir, max_files_per_trigger=1)
+    agg = windows.tumbling_kpis(structured.with_watermark(src, delay="1 hour"), "1 day")
+    structured.run_to_memory(agg, "tumbling_append", output_mode="append")
+    emitted = spark.table("tumbling_append")
+    batch = windows.tumbling_kpis(load_table(spark, SF, "events"), "1 day")
+    n_batch = batch.count()
+    # emitted is a subset of the batch answer, with matching rows
+    joined = emitted.join(
+        batch, on=["window_start", "window_end", "event_type", "n_events", "total_value"]
+    )
+    n_emitted = emitted.count()
+    assert 0 < n_emitted <= n_batch
+    assert joined.count() == n_emitted
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    """Duplicated input stream -> unique event_ids out (ST2 semantics)."""
+    src = _stream(spark, events_dir)
+    doubled = src.union(src)
+    dd = structured.dedup_within_watermark(doubled, ["event_id"], delay="30 days")
+    structured.run_to_memory(
+        dd, "dedup_stream", output_mode="append", checkpoint=str(tmp_path / "ck")
+    )
+    out = spark.table("dedup_stream")
+    n = load_table(spark, SF, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
+def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
+    """Stream -> keyed upsert target == batch dedup-by-key; re-running the
+    same data (fresh checkpoint) leaves the target unchanged (J1/ST2)."""
+    target = str(tmp_path / "target")
+    for run in range(2):
+        src = _stream(spark, events_dir).select("event_id", "user_id", "value")
+        structured.run_foreach_batch_upsert(
+            src, target, keys=["event_id"], checkpoint=str(tmp_path / f"ck{run}")
+        )
+    got = spark.read.parquet(target)
+    n = load_table(spark, SF, "events").count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    """applyInPandasWithState totals after draining == batch groupBy."""
+    src = _stream(spark, events_dir, max_files_per_trigger=2)
+    out = running_totals(src)
+    structured.run_to_memory(
+        out, "run_totals", output_mode="update", checkpoint=str(tmp_path / "ck")
+    )
+    # update mode re-emits a key per trigger; the LAST emit per key is the
+    # final state. Memory sink appends, so dedup keeping max n_events.
+    final = (
+        spark.table("run_totals")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    expected = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_session_windows_batch(spark):
+    """session_window sanity: sessions are per-user, non-overlapping, and
+    every event is inside [start, end)."""
+    events = load_table(spark, SF, "events")
+    sess = windows.session_stats(events, gap="2 hours")
+    # session count <= event count; all sessions have >= 1 event
+    total_events = events.count()
+    agg = sess.agg(
+        F.sum("n_events").alias("s"), F.min("n_events").alias("m")
+    ).collect()[0]
+    assert agg["s"] == total_events
+    assert agg["m"] >= 1
+    # non-overlap per user: no session starts before the previous one ends
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (
+        sess.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("session_start") < F.col("prev_end")))
+        .count()
+    )
+    assert overlaps == 0
