@@ -328,6 +328,40 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"), "2 hours")
 
 
+
+# ------------------------------------------------------- EXT: multimodal
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns (deterministic fake payloads derived
+    from documents.text) + JVM-side metadata extraction: type sniff, byte
+    length, sha256. Oracle rebuilds the same blobs in DuckDB."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = ops.media_metadata(ops.attach_fake_media(docs))
+    # this DuckDB build hashes VARCHAR only (no blob sha256), so the
+    # oracle-checked fingerprint is over the text payload; the full-content
+    # sha256 path is verified in tests/test_multimodal.py
+    payload = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lower(F.sha2(F.encode(F.col("text"), "utf-8"), 256)).alias("payload_sha256"),
+    )
+    return meta.drop("sha256").join(payload, on="media_id")
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via mapInPandas (cardinality-changing Arrow path);
+    rows-only check — frame hashes have no SQL oracle, determinism and
+    reassembly are unit-tested (tests/test_multimodal.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ops.sample_frames(ops.attach_fake_media(docs), n_frames=4).select(
+        "media_id", "frame_idx", "frame_sha256"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -357,6 +391,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling_daily": _q_events_tumbling,
     "events_sliding_6h": _q_events_sliding,
     "events_sessions_2h": _q_events_sessions,
+    "media_metadata": _q_media_metadata,
+    "media_frames": _q_media_frames,
 }
 
 
@@ -660,6 +696,18 @@ ORACLES: dict[str, str] = {
                COUNT(*)                    AS n_events,
                ROUND(SUM(value), 2)        AS total_value
         FROM g GROUP BY user_id, sid
+    """,
+    "media_metadata": """
+        WITH m AS (
+            SELECT doc_id AS media_id, text,
+                   unhex('89504e470d0a1a0a') || encode(text) AS content
+            FROM documents
+        )
+        SELECT media_id,
+               'image/png'                  AS media_type,
+               CAST(octet_length(content) AS BIGINT) AS n_bytes,
+               lower(sha256(text))          AS payload_sha256
+        FROM m
     """,
 }
 
