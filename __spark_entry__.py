@@ -362,6 +362,125 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------- EXT: as-of / range joins, BI ops
+
+
+def _q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (J4-EXT): each event picks the customer's latest
+    order with o_orderdate <= ts — union + sorted-window carry-forward (one
+    shuffle, merge-join shape; operators/asof.py). Right side is first
+    reduced to one row per (custkey, orderdate) so the as-of choice is
+    deterministic on both engines."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import asof_join_backward
+    from azure_etl_databricks_sql_powerbi_spark.operators.dedup import latest_per_key
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = latest_per_key(
+        load_table(spark, sf_dir, "orders"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        tiebreak=[],
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    return asof_join_backward(
+        events.withColumn("o_custkey", F.col("user_id")),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+
+
+def _q_range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucket expansion (J4-EXT): events against per-day
+    [06:00, 18:00) windows, executed as an equi-join on day buckets + exact
+    range filter (operators/asof.py range_join_buckets)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import range_join_buckets
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    days = (
+        events.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+            (F.col("d") + F.expr("INTERVAL 18 HOURS")).alias("win_end"),
+        )
+    )
+    joined = range_join_buckets(
+        events, days, point_ts="ts", start_ts="win_start", end_ts="win_end", bucket="1 day"
+    )
+    return (
+        joined.groupBy("win_start", "win_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (BI surface): order counts + revenue per priority x status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
+    )
+
+
+def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — same definition
+    as DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", q), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ]
+    )
+
+
+def _q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (A5): all grouping-set combinations of status x
+    priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text surface): whitespace tokens
+    and a BPE-ish regex segmentation (letter runs / digit runs / single
+    punctuation), both pure JVM regex ops."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bpe_pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(bpe_pattern)).alias("n_bpe_tokens"),
+    )
+
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 (rows-only; recall vs brute force is
+    asserted in unit tests). Centroids trained driver-side, assignment via
+    Arrow-batched pandas_udf, probe = equi-join on cell id."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -388,11 +507,18 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": _q_ann_bruteforce,
     "embedding_near_pairs": _q_embedding_near_pairs,
     "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
     "events_tumbling_daily": _q_events_tumbling,
     "events_sliding_6h": _q_events_sliding,
     "events_sessions_2h": _q_events_sessions,
     "media_metadata": _q_media_metadata,
     "media_frames": _q_media_frames,
+    "asof_events_orders": _q_asof_events_orders,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
 }
 
 
@@ -708,6 +834,67 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(content) AS BIGINT) AS n_bytes,
                lower(sha256(text))          AS payload_sha256
         FROM m
+    """,
+    "asof_events_orders": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) = 1
+        )
+        SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+               o.o_orderkey, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+    """,
+    "range_join_business_hours": """
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR  AS win_start,
+                            date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 18 HOUR AS win_end
+            FROM events
+        )
+        SELECT d.win_start, d.win_end,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(e.value), 2) AS total_value
+        FROM events e JOIN days d
+          ON CAST(e.ts AS TIMESTAMP) >= d.win_start
+         AND CAST(e.ts AS TIMESTAMP) <  d.win_end
+        GROUP BY d.win_start, d.win_end
+    """,
+    "status_pivot_by_priority": """
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "price_percentiles_by_status": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "sales_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "token_counts_docs": """
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+               END AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+                   AS n_bpe_tokens
+        FROM documents
     """,
 }
 

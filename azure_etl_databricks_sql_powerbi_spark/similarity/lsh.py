@@ -18,6 +18,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,7 +38,9 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[l
 
 
 def srp_code(vec: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket code (one long) for one table."""
+    """Sign-random-projection bucket code (one long) for one table —
+    pure-expression variant (kept for environments without Arrow; the
+    batch path below is the hot one)."""
     v = as_double(vec)
     bits = []
     for j, plane in enumerate(planes):
@@ -62,12 +67,31 @@ def add_bucket_codes(
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Append ``bucket_0..bucket_{t-1}`` long columns (one per table)."""
+    """Append ``bucket_0..bucket_{t-1}`` long columns (one per table).
+
+    All tables' projections happen in ONE Arrow-batched ``pandas_udf``:
+    a single (batch × dim) @ (dim × n_bits·n_tables) numpy matmul, then
+    sign-bit packing — instead of n_bits·n_tables interpreted higher-order
+    folds per row. The plane matrix is a closure constant shipped once per
+    executor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
-    out = spread(df)
+    mat = np.array(planes, dtype=np.float64).reshape(n_tables * n_bits, dim).T
+    weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
+
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(e, dtype=np.float64) for e in v])
+        bits = (x @ mat) > 0  # (batch, n_tables*n_bits)
+        packed = (bits * weights).reshape(len(x), n_tables, n_bits).sum(axis=2)
+        return pd.Series([row.tolist() for row in packed])
+
+    out = spread(df).withColumn("__codes", codes(F.col(vec_col)))
     for t in range(n_tables):
-        out = out.withColumn(f"bucket_{t}", srp_code(vec_col, planes[t]))
-    return out
+        out = out.withColumn(f"bucket_{t}", F.element_at("__codes", t + 1))
+    return out.drop("__codes")
 
 
 def lsh_cosine_topk(

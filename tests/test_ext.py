@@ -139,3 +139,32 @@ def test_lsh_recall_on_clusters(spark, vectors):
     # near-identical vectors collide with prob ~1 per table; analytic bound
     assert expected_collision_prob(0.999, 4, 8) > 0.99
     assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_on_clusters(spark, vectors):
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+        assign_cells,
+        ivf_cosine_topk,
+        train_centroids,
+    )
+
+    exact = cosine_topk(vectors, vectors.filter(F.col("vec_id") < 5), k=4)
+    approx = ivf_cosine_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") < 5),
+        k=4,
+        nlist=3,
+        nprobe=2,
+        sample_size=15,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 3 tight clusters, 3 centroids, 2 probes -> same-cluster neighbors
+    # are found essentially always
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
+    # assignment is deterministic given the seed
+    cents = train_centroids(vectors, nlist=3, sample_size=15)
+    a1 = {(r.vec_id, r.cell) for r in assign_cells(vectors, cents).collect()}
+    a2 = {(r.vec_id, r.cell) for r in assign_cells(vectors, cents).collect()}
+    assert a1 == a2
