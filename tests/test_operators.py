@@ -187,3 +187,35 @@ def test_approx_count_distinct_bound(spark):
     exact = orders.select(F.count_distinct("o_custkey")).collect()[0][0]
     approx = orders.select(F.approx_count_distinct("o_custkey")).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_salted_join_matches_plain(spark):
+    """Skewed fact (one hot key) joined salted == plain join, inner+left."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.skew import (
+        salted_join,
+        two_phase_distinct,
+    )
+
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    small = spark.createDataFrame(
+        [(int(i), f"dim{i}") for i in range(40)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in big.join(small, on=["k"], how=how).collect()}
+        salted = {
+            tuple(r)
+            for r in salted_join(big, small, keys=["k"], n_salts=8, how=how,
+                                 salt_on="rowid").collect()
+        }
+        assert salted == plain, how
+    # two-phase distinct == direct count_distinct
+    direct = {
+        (r["k"], r["n"]) for r in big.groupBy("k").agg(F.count_distinct("rowid").alias("n")).collect()
+    }
+    twop = {
+        (r["k"], r["n_distinct"]) for r in two_phase_distinct(big, ["k"], "rowid").collect()
+    }
+    assert twop == direct
