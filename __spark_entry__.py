@@ -481,6 +481,43 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)
 
 
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS via spark.sql (A5 completes rollup/cube):
+    per-(status,priority), per-status, and grand total in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped star query: top-10 unshipped-revenue orders for one
+    segment — broadcast dim filter + fact join + TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -519,6 +556,8 @@ QUERIES: dict[str, QueryFn] = {
     "price_percentiles_by_status": _q_price_percentiles,
     "sales_cube": _q_sales_cube,
     "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
 }
 
 
@@ -895,6 +934,26 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
                    AS n_bpe_tokens
         FROM documents
+    """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "shipping_priority_top10": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate  > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
     """,
 }
 
