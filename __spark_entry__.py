@@ -518,6 +518,28 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped star query over the two previously-uncovered dims:
+    revenue/quantity by part brand x supplier nation (part + supplier are
+    broadcast — the lineitem fact never shuffles before the aggregate)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -558,6 +580,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts_docs": _q_token_counts,
     "grouping_sets_orders": _q_grouping_sets,
     "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
 }
 
 
@@ -954,6 +977,17 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "brand_nation_volume": """
+        SELECT p_brand, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+               COUNT(*)                                          AS n_lines
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY p_brand, n_name
     """,
 }
 

@@ -37,28 +37,27 @@ def simhash_fingerprints(
     tok = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(text_col)).alias("t"),
-    ).select("id", F.xxhash64("t", F.lit(seed)).alias("h"), F.col("t").isNull().alias("empty"))
+    ).select("id", F.xxhash64("t", F.lit(seed)).alias("h"))
+    # sign of the ±1 fold == majority vote: bit j of the fingerprint is set
+    # iff 2 * (#tokens with bit j set) > #tokens — so each aggregate is a
+    # plain sum of an extracted bit, no conditional per row. Empty docs:
+    # their single null row makes every c_j NULL -> no bit set -> fp = 0.
     sums = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.col("empty"), F.lit(0)).otherwise(
-                    F.when(
-                        F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                )
-            ).alias(f"s{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
             for j in range(64)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
-    # pack signs into a long: bit j set iff sums[j] > 0 (j=63 is the sign
-    # bit: 1<<63 doesn't fit a signed long, use its two's-complement value)
+    # pack majority bits into a long (j=63 is the sign bit: 1<<63 doesn't
+    # fit a signed long, use its two's-complement value)
     packed = F.lit(0).cast("long")
     for j in range(64):
         bit_literal = (1 << j) if j < 63 else -(1 << 63)
         packed = packed.bitwiseOR(
-            F.when(F.col(f"s{j}") > 0, F.lit(bit_literal).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"c{j}") * 2 > F.col("n"), F.lit(bit_literal).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select("id", packed.alias("fp"))
 
@@ -89,14 +88,30 @@ def near_dup_pairs(
             F.array(*[_band(F.col("fp"), b, band_bits) for b in range(n_bands)])
         ).alias("band_idx", "band_val"),
     )
-    left = banded.select("band_idx", "band_val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    right = banded.select("band_idx", "band_val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        left.join(right, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
+    # one groupBy on the band key + in-bucket pair expansion (instead of a
+    # self-join, which would compute the fingerprint aggregate twice and
+    # shuffle both sides); bucket contents are (id, fp) structs — 16 bytes
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
+    sorted_ms = F.array_sort("ms")  # struct sort: by id first
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    sorted_ms,
+                    lambda x, i: F.transform(
+                        F.slice(sorted_ms, i + 2, F.size(sorted_ms)),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
