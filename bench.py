@@ -34,6 +34,19 @@ def main() -> None:
     # Warm the JVM/codegen once with the flagship so per-query numbers
     # measure the plan, not first-run JIT.
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    # Warm the Python/Arrow workers too: the first pandas_udf query would
+    # otherwise absorb one worker spawn per core (~3-5 s at local[32]) —
+    # daemon workers are a per-executor fixed cost, not a per-query one.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)).select(
+        _noop(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
