@@ -147,7 +147,16 @@ def near_dup_pairs(
     join then shuffles 8-byte longs instead of raw text.
     """
     assert num_hashes % bands == 0
-    sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed)
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature table feeds three consumers (band buckets + both sides
+    # of the verify join); Catalyst plans it as three independent subtrees
+    # (no ReusedExchange across the join), so persist it once — it is the
+    # small derivative (k longs + hashed shingle set per doc), orders of
+    # magnitude under the corpus, and MEMORY_AND_DISK spills safely at scale
+    sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = _candidates_from_sig(sig, num_hashes, bands, max_bucket)
     sets_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sets_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
