@@ -540,6 +540,41 @@ def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (scale path; rows-only — every
+    emitted pair is exact-verified so precision is 1.0 by construction,
+    recall vs brute force is unit-tested)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_pairs(emb, threshold=0.4, n_bits=6, n_tables=8)
+
+
+def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: lang filter -> quality gate -> exact
+    content dedup -> per-doc stats, as ONE declarative plan."""
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import curate_documents
+
+    return curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+
+def _q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history built from order-status snapshots: one
+    validity interval per run of equal status per customer (window
+    run-length compression + lead(); operators/scd2.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.scd2 import scd2_from_snapshots
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = latest_per_key(
+        orders, keys=["o_custkey", "o_orderdate"], order_by=["o_orderkey"], tiebreak=[]
+    ).select("o_custkey", "o_orderdate", "o_orderstatus")
+    return scd2_from_snapshots(
+        versions, keys=["o_custkey"], tracked=["o_orderstatus"], ts_col="o_orderdate"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -581,6 +616,9 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets_orders": _q_grouping_sets,
     "shipping_priority_top10": _q_shipping_priority,
     "brand_nation_volume": _q_brand_nation_volume,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
 }
 
 
@@ -988,6 +1026,83 @@ ORACLES: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY p_brand, n_name
+    """,
+    "curate_documents": """
+        WITH feat AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+                   END AS n_tokens,
+                   CAST(LENGTH(text) AS INT) AS n_chars,
+                   LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / GREATEST(LENGTH(text), 1) AS praw,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('the','and','of','to','in','is','you','that','it','for')))
+                   END AS en,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('el','la','de','que','y','en','un','los','se','no')))
+                   END AS es,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('der','die','und','in','den','von','zu','das','mit','sich')))
+                   END AS de,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('le','la','de','et','les','des','en','un','du','une')))
+                   END AS fr,
+                   md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, n_tokens, n_chars, fp,
+                   CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                        WHEN es >= de AND es >= fr THEN 'es'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang,
+                   ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
+                         + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                         + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+            FROM feat
+        )
+        SELECT doc_id, quality, n_tokens, n_chars, fp
+        FROM scored
+        WHERE pred_lang = 'en' AND quality >= 0.5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+    """,
+    "scd2_customer_status": """
+        WITH versions AS (
+            SELECT o_custkey, o_orderdate, o_orderstatus
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) = 1
+        ), lagged AS (
+            SELECT *,
+                   LAG(o_orderdate)   OVER w AS prev_ts,
+                   LAG(o_orderstatus) OVER w AS prev_status
+            FROM versions
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        ), runs AS (
+            SELECT *,
+                   SUM(CASE WHEN prev_ts IS NULL
+                             OR o_orderstatus IS DISTINCT FROM prev_status
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS run
+            FROM lagged
+        ), per_run AS (
+            SELECT o_custkey, run,
+                   MIN(o_orderstatus) AS o_orderstatus,
+                   MIN(o_orderdate)   AS valid_from
+            FROM runs GROUP BY o_custkey, run
+        )
+        SELECT o_custkey, o_orderstatus, valid_from,
+               LEAD(valid_from) OVER wv            AS valid_to,
+               LEAD(valid_from) OVER wv IS NULL    AS is_current
+        FROM per_run
+        WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
     """,
 }
 

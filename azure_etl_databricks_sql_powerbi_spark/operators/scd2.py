@@ -1,0 +1,118 @@
+"""SCD Type-2 (slowly changing dimension) history — the dimensional-
+modeling extension of the reference's full-overwrite MERGE
+(``run_load.py:57-96`` replaces every non-key column, keeping no history;
+an SCD2 dimension keeps every version with validity intervals — the gold
+dim shape BI actually wants for point-in-time joins, and the natural
+companion of the as-of join in ``operators/asof.py``).
+
+Two constructions:
+
+- ``scd2_from_snapshots``: rebuild the full history from versioned rows in
+  ONE window pass: collapse consecutive same-value runs, then
+  ``valid_from = ts, valid_to = lead(ts), is_current = lead IS NULL``.
+  One shuffle on the key; fully oracle-checkable SQL.
+- ``scd2_apply``: incremental merge of one new batch into an existing
+  history — close changed current rows, insert new versions, leave the
+  rest. Join-based (broadcast when the batch is small), idempotent for a
+  re-applied batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """History table from versioned rows (one row per key per change ts).
+
+    Consecutive rows with unchanged ``tracked`` values are collapsed into
+    one interval (run-length compression via a lag-comparison flag summed
+    into a run id — the gaps-and-islands shape again).
+    """
+    w_ts = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    change_flag = F.coalesce(
+        sum(
+            [
+                (~F.col(c).eqNullSafe(F.lag(c).over(w_ts))).cast("int")
+                for c in tracked
+            ],
+            F.lit(0),
+        )
+        > 0,
+        F.lit(True),  # first row of a key starts a run
+    ).cast("int")
+    runs = snapshots.withColumn(
+        "__run",
+        F.sum(
+            F.when(F.lag(ts_col).over(w_ts).isNull(), 1).otherwise(change_flag)
+        ).over(w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_run = runs.groupBy(*keys, "__run").agg(
+        *[F.first(c).alias(c) for c in tracked],
+        F.min(ts_col).alias("valid_from"),
+    )
+    w_run = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    return (
+        per_run.withColumn("valid_to", F.lead("valid_from").over(w_run))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Merge one batch of new versions (one row per key, effective at its
+    ``ts_col``) into an SCD2 ``history`` (schema as produced by
+    ``scd2_from_snapshots``).
+
+    - changed or new key -> close the old current row (valid_to = batch ts)
+      and append the new current version
+    - unchanged tracked values -> history untouched (idempotent re-apply)
+    """
+    cur = history.filter(F.col("is_current"))
+    past = history.filter(~F.col("is_current"))
+
+    b = batch.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in tracked], F.col(ts_col).alias("__eff")
+    )
+    joined = cur.join(b, on=keys, how="full_outer")
+    changed = F.coalesce(
+        sum(
+            [(~F.col(c).eqNullSafe(F.col(f"__new_{c}"))).cast("int") for c in tracked],
+            F.lit(0),
+        )
+        > 0,
+        F.lit(True),
+    )
+    has_batch = F.col("__eff").isNotNull()
+    has_cur = F.col("valid_from").isNotNull()
+
+    untouched_cur = joined.filter(has_cur & (~has_batch | ~changed)).select(
+        *keys, *tracked, "valid_from", "valid_to", F.lit(True).alias("is_current")
+    )
+    closed = joined.filter(has_cur & has_batch & changed).select(
+        *keys,
+        *tracked,
+        "valid_from",
+        F.col("__eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = joined.filter(has_batch & (~has_cur | changed)).select(
+        *keys,
+        *[F.col(f"__new_{c}").alias(c) for c in tracked],
+        F.col("__eff").alias("valid_from"),
+        F.lit(None).cast(history.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return past.unionByName(untouched_cur).unionByName(closed).unionByName(opened)

@@ -167,3 +167,71 @@ def expected_collision_prob(cos_sim: float, n_bits: int, n_tables: int) -> float
     p_bit = 1 - theta / math.pi
     p_table = p_bit**n_bits
     return 1 - (1 - p_table) ** n_tables
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold — the scale
+    path replacing ``bruteforce.cosine_near_pairs``'s quadratic self-join.
+
+    Same shape as the MinHash dedup pipeline: bucket on SRP codes, expand
+    pairs inside each (table, code) bucket (``collect_list`` + in-bucket
+    cross, capped by ``max_bucket``), then exact cosine verification. The
+    only shuffles carry (id, code) rows and bucket membership lists — the
+    corpus itself streams map-side through the code computation once.
+    """
+    coded = add_bucket_codes(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        dim,
+        n_bits,
+        n_tables,
+        seed,
+    )
+    melted = coded.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
+        ).alias("tbl", "code"),
+    )
+    buckets = (
+        melted.groupBy("tbl", "code")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    sorted_ids = F.array_sort("ids")
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        sorted_ids,
+                        lambda x, i: F.transform(
+                            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("cosine_sim", F.round(cosine("va", "vb"), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

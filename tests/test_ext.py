@@ -21,7 +21,10 @@ from azure_etl_databricks_sql_powerbi_spark.functions.vectors import (
     l2_distance,
     unit_normalize,
 )
-from azure_etl_databricks_sql_powerbi_spark.similarity.bruteforce import cosine_topk
+from azure_etl_databricks_sql_powerbi_spark.similarity.bruteforce import (
+    cosine_near_pairs,
+    cosine_topk,
+)
 from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
     expected_collision_prob,
     lsh_cosine_topk,
@@ -168,3 +171,25 @@ def test_ivf_recall_on_clusters(spark, vectors):
     a1 = {(r.vec_id, r.cell) for r in assign_cells(vectors, cents).collect()}
     a2 = {(r.vec_id, r.cell) for r in assign_cells(vectors, cents).collect()}
     assert a1 == a2
+
+
+def test_lsh_near_pairs_recall(spark, vectors):
+    """LSH-bucketed near-pair dedup finds the same high-cosine pairs as the
+    quadratic brute force on clustered vectors."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(vectors, threshold=0.99).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_pairs(
+            vectors, threshold=0.99, dim=8, n_bits=4, n_tables=8
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    # every LSH pair is exact-verified, so no false positives possible
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"

@@ -1,0 +1,97 @@
+"""SCD2 history: snapshot rebuild, incremental apply, idempotency, and
+rebuild ≡ incremental equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_from_snapshots,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _snapshots(spark):
+    rows = [
+        # key 1: a -> a (collapsed) -> b
+        (1, "a", _ts("2024-01-01")),
+        (1, "a", _ts("2024-02-01")),
+        (1, "b", _ts("2024-03-01")),
+        # key 2: constant
+        (2, "x", _ts("2024-01-15")),
+    ]
+    return spark.createDataFrame(rows, "k long, status string, ts timestamp")
+
+
+def test_from_snapshots_runs_and_intervals(spark):
+    hist = scd2_from_snapshots(_snapshots(spark), ["k"], ["status"], "ts")
+    got = {
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, "a", _ts("2024-01-01"), _ts("2024-03-01"), False),
+        (1, "b", _ts("2024-03-01"), None, True),
+        (2, "x", _ts("2024-01-15"), None, True),
+    }
+
+
+def test_apply_change_new_and_idempotent(spark):
+    hist = scd2_from_snapshots(_snapshots(spark), ["k"], ["status"], "ts")
+    batch = spark.createDataFrame(
+        [
+            (1, "c", _ts("2024-04-01")),  # change
+            (2, "x", _ts("2024-04-01")),  # unchanged -> no-op
+            (3, "new", _ts("2024-04-01")),  # new key
+        ],
+        "k long, status string, ts timestamp",
+    )
+    out = scd2_apply(hist, batch, ["k"], ["status"], "ts")
+    got = {
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert (1, "b", _ts("2024-03-01"), _ts("2024-04-01"), False) in got
+    assert (1, "c", _ts("2024-04-01"), None, True) in got
+    assert (2, "x", _ts("2024-01-15"), None, True) in got
+    assert (3, "new", _ts("2024-04-01"), None, True) in got
+    assert len(got) == 5
+    # re-applying the identical batch changes nothing
+    again = {
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_apply(out, batch, ["k"], ["status"], "ts").collect()
+    }
+    assert again == got
+
+
+def test_apply_equals_rebuild(spark):
+    """Applying versions batch-by-batch reproduces the one-shot rebuild."""
+    snaps = _snapshots(spark)
+    full = scd2_from_snapshots(snaps, ["k"], ["status"], "ts")
+    # replay: first batch = earliest row per key, then each later ts batch
+    first = scd2_from_snapshots(
+        snaps.withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "k"
+                ).orderBy("ts")
+            ),
+        ).filter(F.col("__rn") == 1).drop("__rn"),
+        ["k"],
+        ["status"],
+        "ts",
+    )
+    hist = first
+    for ts in [_ts("2024-02-01"), _ts("2024-03-01")]:
+        batch = snaps.filter(F.col("ts") == ts)
+        hist = scd2_apply(hist, batch, ["k"], ["status"], "ts")
+    a = {tuple(r) for r in hist.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b

@@ -7,6 +7,7 @@ import json
 from datetime import date
 
 import pytest
+from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.sources.oauth import AuthError, OAuth2QueryClient
 from azure_etl_databricks_sql_powerbi_spark.sources.registry import extract_bronze, parse_spec
@@ -200,3 +201,40 @@ def test_fetch_distributed(spark):
 
     parsed = df.select(F.get_json_object("raw", "$.id").cast("long").alias("id"))
     assert parsed.agg(F.count_distinct("id")).collect()[0][0] == total
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """run_date-partitioned write + filtered read => the scan only touches
+    the matching partition's files (partition pruning replaces the
+    reference's manual path construction, run_transform.py:24)."""
+    import glob
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import (
+        load_table,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "gold")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(1000)
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        write_partitioned_parquet(orders, path, run_date=day)
+    assert len(glob.glob(f"{path}/run_date=*")) == 3
+
+    pruned = spark.read.parquet(path).filter(F.col("run_date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # physical scan reports exactly one of three partitions selected
+    assert "PartitionFilters" in plan
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("run_date=2024-01-02" in f for f in files)
+
+    # dynamic overwrite of ONE partition leaves the others intact
+    write_partitioned_parquet(orders.limit(10), path, run_date="2024-01-02")
+    counts = {
+        r["run_date"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy(F.col("run_date").cast("string").alias("run_date"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts["2024-01-02"] == 10
+    assert counts["2024-01-01"] == counts["2024-01-03"] == 1000
