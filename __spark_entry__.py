@@ -544,11 +544,14 @@ def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (scale path; rows-only — every
     emitted pair is exact-verified so precision is 1.0 by construction,
-    recall vs brute force is unit-tested)."""
+    recall vs brute force is unit-tested). Threshold 0.75 is the near-dup
+    operating point: SRP collision prob there is ~0.9 with 6 bits x 8
+    tables (see lsh.expected_collision_prob); weakly-similar pairs are the
+    brute-force query's job."""
     from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_pairs(emb, threshold=0.4, n_bits=6, n_tables=8)
+    return lsh_near_pairs(emb, threshold=0.75, n_bits=6, n_tables=8)
 
 
 def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

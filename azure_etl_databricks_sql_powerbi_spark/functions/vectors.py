@@ -12,6 +12,9 @@ these kernels are the inner loop either way.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,3 +67,25 @@ def unit_normalize(a: Column | str) -> Column:
     return F.when(n == 0, as_double(a)).otherwise(
         F.transform(as_double(a), lambda x: x / n)
     )
+
+
+def cosine_batch(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched cosine for HOT paths with many pairs: one numpy
+    einsum per batch instead of an interpreted per-row fold. Results match
+    ``cosine`` to float-rounding; use this where pair counts are large
+    (LSH verify joins), the expression form where a plan must stay
+    Python-free.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        xm = np.array([np.asarray(v, dtype=np.float64) for v in x])
+        ym = np.array([np.asarray(v, dtype=np.float64) for v in y])
+        num = np.einsum("ij,ij->i", xm, ym)
+        den = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+        return pd.Series(np.where(den == 0, 0.0, num / np.maximum(den, 1e-300)))
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)

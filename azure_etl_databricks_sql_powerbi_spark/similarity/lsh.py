@@ -226,12 +226,14 @@ def lsh_near_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine_batch
+
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         cands.join(a, on="id_a")
         .join(b, on="id_b")
-        .withColumn("cosine_sim", F.round(cosine("va", "vb"), 4))
+        .withColumn("cosine_sim", F.round(cosine_batch("va", "vb"), 4))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
