@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the core keyed operators — the
+test layer the reference lacks entirely (SURVEY.md §5).
+
+Each property runs a handful of randomized small tables through the real
+Spark operators; examples are capped low because each example is a Spark
+job, not a pure function call.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.operators.scd2 import scd2_from_snapshots
+from azure_etl_databricks_sql_powerbi_spark.operators.upsert import merge_upsert
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(target_rows=rows_strategy, source_rows=rows_strategy)
+@settings(**SETTINGS)
+def test_merge_upsert_properties(spark, target_rows, source_rows):
+    """MERGE semantics (run_load.py:82-90): source wins on key match,
+    unmatched target rows survive, and the merge is idempotent."""
+    # one row per key on each side (MERGE requires unique source keys)
+    target = spark.createDataFrame(
+        list({k: (k, v) for k, v in target_rows}.values()), "k long, v long"
+    )
+    source = spark.createDataFrame(
+        list({k: (k, v) for k, v in source_rows}.values()), "k long, v long"
+    )
+    merged = merge_upsert(target, source, keys=["k"])
+    got = {r["k"]: r["v"] for r in merged.collect()}
+
+    expected = {k: v for k, v in {k: (k, v) for k, v in target_rows}.values()}
+    expected.update({k: v for k, v in {k: (k, v) for k, v in source_rows}.values()})
+    assert got == expected
+
+    twice = merge_upsert(merged, source, keys=["k"])
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+snapshot_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=30),  # day offset
+        st.sampled_from(["a", "b", "c"]),  # tracked value
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),  # one version per (key, ts)
+)
+
+
+@given(snaps=snapshot_strategy)
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_timeline(spark, snaps):
+    """SCD2 invariants for any version stream: exactly one current row per
+    key, no interval overlaps or gaps, first valid_from == first version."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, s, base + dt.timedelta(days=d)) for k, d, s in snaps],
+        "k long, status string, ts timestamp",
+    )
+    hist = scd2_from_snapshots(df, ["k"], ["status"], "ts").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    keys_in = {k for k, _, _ in snaps}
+    assert set(by_key) == keys_in
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) == 1
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
+        # contiguity: each valid_to == next valid_from; no zero-length runs
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]  # runs are collapsed
+        first_ts = min(base + dt.timedelta(days=d) for kk, d, _ in snaps if kk == k)
+        assert rows[0]["valid_from"] == first_ts
+
+
+@given(
+    drop=st.sets(st.sampled_from(["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]))
+)
+@settings(**SETTINGS)
+def test_conform_tolerates_any_column_drift(spark, drop):
+    """Dropping any subset of optional bronze columns still conforms to the
+    contract schema (the reference's `if col in df.columns` guards,
+    run_transform.py:49-70, as a total function)."""
+    from azure_etl_databricks_sql_powerbi_spark.plans.medallion import (
+        CUSTOMERS_CONTRACT,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.conform import conform
+
+    full = spark.createDataFrame(
+        [(1, " Ann ", 3, 10.5, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    bronze = full.drop(*drop)
+    out = conform(bronze, CUSTOMERS_CONTRACT, audit_ts="2026-01-01 00:00:00")
+    expected_cols = [c.name for c in CUSTOMERS_CONTRACT.columns] + ["etl_loaded_at"]
+    assert out.columns == expected_cols
+    row = out.collect()[0]
+    assert row["c_custkey"] == 1
+    if "c_name" not in drop:
+        assert row["c_name"] == "ann"
+    else:
+        assert row["c_name"] is None
