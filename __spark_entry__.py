@@ -578,6 +578,107 @@ def _q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead analytics (W2): previous/next order date per customer and
+    the day gap between consecutive orders."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import lag_lead
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = lag_lead(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        col="o_orderdate",
+        lag_col="prev_orderdate",
+        lead_col="next_orderdate",
+    )
+    return out.withColumn("gap_days", F.datediff("o_orderdate", "prev_orderdate"))
+
+
+def _q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over per-customer revenue (W2). The global window
+    runs on the per-customer aggregate (|customers| rows), never the fact."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import ntile_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    return ntile_bucket(
+        per,
+        order_by=[F.col("revenue").desc(), F.col("o_custkey").asc()],
+        n=4,
+        bucket_col="quartile",
+    )
+
+
+def _q_customer_cohorts_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (U-EXT): INTERSECT (retained customers, ordered in
+    both 2000 and 2001) and EXCEPT (churned, 2000 only), union-tagged."""
+    orders = load_table(spark, sf_dir, "orders")
+    y2000 = (
+        orders.filter(F.year("o_orderdate") == 2000).select("o_custkey").distinct()
+    )
+    y2001 = (
+        orders.filter(F.year("o_orderdate") == 2001).select("o_custkey").distinct()
+    )
+    retained = y2000.intersect(y2001).withColumn("cohort", F.lit("retained"))
+    churned = y2000.subtract(y2001).withColumn("cohort", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+def _q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT then UNPIVOT/melt round trip (BI surface): wide revenue per
+    priority x status back to long form."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="revenue",
+    )
+
+
+def _q_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by aggregates (A5): price of each customer's first and
+    latest order — deterministic because o_orderkey is unique."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_order_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (A5): count_if / filtered sums per status
+    (the FILTER-clause idiom, JVM-side CASE expressions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(big).alias("n_big"),
+        F.round(F.sum(F.when(big, F.col("o_totalprice"))), 2).alias("big_rev"),
+        F.round(F.avg(big.cast("int")), 6).alias("big_share"),
+    )
+
+
+def _q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped fact-vs-own-aggregate join (gold.py docstring has
+    the scale analysis)."""
+    return gold.small_quantity_part_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -622,6 +723,13 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
     "curate_documents": _q_curate_documents,
     "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
 }
 
 
@@ -990,7 +1098,7 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    "token_counts_docs": """
+    "token_counts_docs": r"""
         SELECT doc_id,
                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
                     ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
@@ -1030,7 +1138,7 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY p_brand, n_name
     """,
-    "curate_documents": """
+    "curate_documents": r"""
         WITH feat AS (
             SELECT doc_id,
                    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
@@ -1106,6 +1214,80 @@ ORACLES: dict[str, str] = {
                LEAD(valid_from) OVER wv IS NULL    AS is_current
         FROM per_run
         WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
+    """,
+    "customer_order_gaps": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderdate)  OVER w AS prev_orderdate,
+               LEAD(o_orderdate) OVER w AS next_orderdate,
+               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
+                   AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "customer_revenue_quartiles": """
+        WITH per AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, revenue,
+               NTILE(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS quartile
+        FROM per
+    """,
+    "customer_cohorts_setops": """
+        WITH y2000 AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        ), y2001 AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+        )
+        SELECT o_custkey, 'retained' AS cohort
+        FROM (SELECT * FROM y2000 INTERSECT SELECT * FROM y2001)
+        UNION ALL
+        SELECT o_custkey, 'churned' AS cohort
+        FROM (SELECT * FROM y2000 EXCEPT SELECT * FROM y2001)
+    """,
+    "unpivot_status_revenue": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'F' AS o_orderstatus, rev_f AS revenue FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'O', rev_o FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'P', rev_p FROM wide
+    """,
+    "order_extremes_by_customer": """
+        SELECT o_custkey,
+               arg_max(o_totalprice, o_orderkey) AS latest_order_price,
+               arg_min(o_totalprice, o_orderkey) AS first_order_price,
+               MAX(o_orderkey)                   AS max_orderkey,
+               COUNT(*)                          AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    "conditional_agg_orders": """
+        SELECT o_orderstatus,
+               COUNT(*)                                              AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000)         AS n_big,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)
+                                                                     AS big_rev,
+               ROUND(AVG(CAST(o_totalprice > 150000 AS INT)), 6)     AS big_share
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "small_qty_part_revenue": """
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12'
+        ), thresh AS (
+            SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
+            FROM li GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM li JOIN thresh ON l_partkey = t_partkey
+        WHERE l_quantity < qty_thresh
     """,
 }
 

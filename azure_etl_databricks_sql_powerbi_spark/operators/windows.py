@@ -33,6 +33,42 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
+def lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    col: str,
+    lag_col: str = "prev_value",
+    lead_col: str = "next_value",
+) -> DataFrame:
+    """Previous/next value per partition (W2 lag/lead analytics).
+
+    One shuffle on the partition key; order_by must be a total order within
+    the partition for deterministic (oracle-hashable) output.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*[F.col(c).asc() for c in order_by])
+    return df.withColumn(lag_col, F.lag(col).over(w)).withColumn(
+        lead_col, F.lead(col).over(w)
+    )
+
+
+def ntile_bucket(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-count quantile buckets via a global NTILE (W2).
+
+    A global ORDER BY window runs on ONE partition — fine for the
+    post-aggregate cardinalities it is meant for (per-customer rollups,
+    i.e. rows = |keys|, not |fact|). For bucketing a raw 100 TB fact use
+    approx percentile thresholds + width_bucket instead of a total sort.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(bucket_col, F.ntile(n).over(w))
+
+
 def running_agg(
     df: DataFrame,
     partition_by: Sequence[str],

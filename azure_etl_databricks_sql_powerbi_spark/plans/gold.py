@@ -116,6 +116,32 @@ def top_customers_by_segment(orders: DataFrame, customer: DataFrame, k: int = 3)
     ).orderBy("c_mktsegment", "rnk")
 
 
+def small_quantity_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#12"
+) -> DataFrame:
+    """TPC-H-Q17-shaped: yearly revenue from small-quantity line items,
+    'small' defined per part as < 20% of that part's own average quantity.
+
+    The scale-relevant shape: a fact joined against an aggregate of itself.
+    The brand filter (broadcast dim semi-join) prunes the fact FIRST, so
+    both the per-part aggregate and the re-join run on the pruned subset;
+    the per-part threshold table is orders of magnitude smaller than the
+    fact and AQE converts the re-join to broadcast at runtime.
+    """
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def customer_order_running_total(orders: DataFrame) -> DataFrame:
     """Running revenue per customer over order time (W2)."""
     from azure_etl_databricks_sql_powerbi_spark.operators.windows import running_agg
