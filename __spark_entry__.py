@@ -544,14 +544,20 @@ def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (scale path; rows-only — every
     emitted pair is exact-verified so precision is 1.0 by construction,
-    recall vs brute force is unit-tested). Threshold 0.75 is the near-dup
-    operating point: SRP collision prob there is ~0.9 with 6 bits x 8
-    tables (see lsh.expected_collision_prob); weakly-similar pairs are the
-    brute-force query's job."""
+    recall vs brute force is unit-tested on planted clusters). Operating
+    point: threshold 0.45 at 5 bits x 6 tables -> SRP collision prob
+    p_bit=0.648, per-table 0.114, >=1-of-6 = 0.52 design recall (see
+    lsh.expected_collision_prob). The loose threshold is forced by this
+    testdata: its embeddings are near-orthogonal (max pairwise cosine
+    ~0.6), so a genuine near-dup threshold would emit nothing to check —
+    and at 0.45 LSH cannot prune much by construction (candidates ~40% of
+    all pairs). At the operator's real design point (>=0.9 cosine) the
+    SAME config gives p_bit=0.856, recall 1-(1-0.46)^6 = 0.98 with tiny
+    buckets — that regime is what the planted-cluster unit test checks."""
     from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_pairs(emb, threshold=0.75, n_bits=6, n_tables=8)
+    return lsh_near_pairs(emb, threshold=0.45, n_bits=5, n_tables=6)
 
 
 def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +685,69 @@ def _q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped LEFT SEMI join (EXISTS): count orders per priority
+    that have at least one line item shipped after the order date. The
+    semi join never materializes lineitem columns — Catalyst keeps only
+    the key probe, so the fact side shuffles just l_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = lineitem.filter(F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp"))
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped LEFT OUTER join + double aggregate: distribution of
+    customers by order count, INCLUDING zero-order customers (the outer
+    join's null branch — an inner join would silently drop them)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped LEFT ANTI join + scalar subquery: customers with no
+    2001 orders whose balance exceeds the positive-balance average, grouped
+    by nation. The scalar average is a one-row broadcast; the anti join is
+    the U2 'NOT EXISTS' branch of the MERGE rewrite as a standalone op."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 2001
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(
+            recent, customer["c_custkey"] == recent["o_custkey"], "left_anti"
+        )
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -730,6 +799,9 @@ QUERIES: dict[str, QueryFn] = {
     "order_extremes_by_customer": _q_order_extremes,
     "conditional_agg_orders": _q_conditional_agg,
     "small_qty_part_revenue": _q_small_qty_part_revenue,
+    "order_priority_exists": _q_order_priority_exists,
+    "customer_order_distribution": _q_customer_order_distribution,
+    "idle_customer_balance": _q_idle_customer_balance,
 }
 
 
@@ -1288,6 +1360,41 @@ ORACLES: dict[str, str] = {
         SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         FROM li JOIN thresh ON l_partkey = t_partkey
         WHERE l_quantity < qty_thresh
+    """,
+    "order_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > TIMESTAMP '2000-06-01'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS n_customers
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY n_customers DESC, c_count DESC
+    """,
+    "idle_customer_balance": """
+        SELECT c_nationkey,
+               COUNT(*)                 AS n_custs,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2001
+        )
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
 }
 

@@ -183,12 +183,21 @@ def lsh_near_pairs(
     """Embedding near-duplicate pairs above a cosine threshold — the scale
     path replacing ``bruteforce.cosine_near_pairs``'s quadratic self-join.
 
-    Same shape as the MinHash dedup pipeline: bucket on SRP codes, expand
-    pairs inside each (table, code) bucket (``collect_list`` + in-bucket
-    cross, capped by ``max_bucket``), then exact cosine verification. The
-    only shuffles carry (id, code) rows and bucket membership lists — the
-    corpus itself streams map-side through the code computation once.
+    Bucket on SRP codes, then a banded SELF-equi-join on (table, code)
+    expands candidate pairs fully inside whole-stage codegen (at loose
+    thresholds buckets collide heavily and an in-bucket ``collect_list`` +
+    higher-order expansion runs interpreted per pair — measured ~2x slower
+    at sf0.1; same finding as simhash.near_dup_pairs). The coded table
+    (id, vector, codes) is persisted: it is read by both join sides and
+    both verify sides, and recomputing it would re-run the pandas_udf
+    projection per consumer. Oversized buckets (``max_bucket``) are
+    dropped by a count semi-filter before the join — the standard guard
+    bounding the quadratic in-bucket blowup at scale.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine_batch
+
     coded = add_bucket_codes(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v",
@@ -196,40 +205,33 @@ def lsh_near_pairs(
         n_bits,
         n_tables,
         seed,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     melted = coded.select(
         "id",
         F.posexplode(
             F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
         ).alias("tbl", "code"),
     )
-    buckets = (
+    ok = (
         melted.groupBy("tbl", "code")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("tbl", "code")
     )
-    sorted_ids = F.array_sort("ids")
+    keep = melted.join(ok, ["tbl", "code"])
     cands = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        sorted_ids,
-                        lambda x, i: F.transform(
-                            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .select("p.id_a", "p.id_b")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine_batch
-
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = coded.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = coded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         cands.join(a, on="id_a")
         .join(b, on="id_b")

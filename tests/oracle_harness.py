@@ -38,6 +38,8 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if df.empty:
+        return df.reset_index(drop=True)
     # canonical row order: stringify every cell, sort
     key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
     df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)

@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions for the flagship queries.
+
+Correctness tests prove the engine computes the right answer; these prove
+it computes it the way a 100 TB deployment needs: filters pushed into the
+parquet scan, column pruning at the reader, dimensions broadcast (fact
+side never shuffles for the join), top-k as TakeOrderedAndProject instead
+of a global sort, and semi joins that don't materialize the probe side.
+A regression here (a lost broadcast hint, a filter that stopped pushing)
+changes no answers at sf0.001 but is exactly what kills a cluster run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry(spark):
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, entry):
+    df = entry.queries()["pricing_summary"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # ship-date predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the scan reads only the 7 needed columns — join keys
+    # and line identifiers must NOT be in ReadSchema
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_schema, f"scan reads unneeded column {col}"
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in read_schema
+
+
+def test_star_revenue_broadcasts_all_dims(spark, entry):
+    df = entry.queries()["star_revenue_by_region"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # customer, nation, region ride broadcast joins; only lineitem<->orders
+    # may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_shipping_priority_is_take_ordered(spark, entry):
+    df = entry.queries()["shipping_priority_top10"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # orderBy().limit() must plan as TakeOrderedAndProject — a global sort
+    # of the aggregate output would be a scale bug
+    assert "TakeOrderedAndProject" in plan
+    # the one-segment customer dim is broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_stays_semi(spark, entry):
+    df = entry.queries()["order_priority_exists"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    # the semi probe side scans only the join key + pushed filter column
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    li_schema = next(ln for ln in read_schemas if "l_orderkey" in ln)
+    assert "l_extendedprice" not in li_schema
+
+
+def test_anti_join_stays_anti(spark, entry):
+    df = entry.queries()["idle_customer_balance"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_watermark_filter_pushes_down(spark, entry):
+    """relative_watermark's derived cutoff is a literal-free predicate, but
+    the events scan must still push the IsNotNull(ts) guard."""
+    df = entry.queries()["events_watermark_7d"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+
+
+def test_small_qty_join_prunes_fact_first(spark, entry):
+    """Q17 shape: the brand semi-filter must hit lineitem BEFORE the
+    self-aggregate join — the broadcast of the filtered part dim appears
+    under both consumers of the pruned fact."""
+    import re
+
+    df = entry.queries()["small_qty_part_revenue"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # brand equality is evaluated at the part scan (DataFilters), not after
+    # the join
+    assert re.search(r"p_brand#\d+ = Brand#12", plan)
