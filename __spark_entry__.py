@@ -748,6 +748,67 @@ def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (north-star
+    curation op): md5-bucket assignment is a map-side expression — zero
+    shuffle, reproducible across engines/re-runs (operators/sampling.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    split = deterministic_split(
+        docs, on="text", weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def _q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: 20 docs per language, chosen by hash order
+    (deterministic domain-mixing quota; operators/sampling.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        quota_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample_per_group(docs, group_by=["lang"], n=20, on="doc_id")
+
+
+def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop sequence packing into 2048-token bins (LLM
+    pretraining layout): one window cumsum (operators/sampling.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import text as T
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", 2048, order_by=["doc_id"])
+
+
+def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace tokens by frequency (explode
+    -> count -> TakeOrderedAndProject; deterministic tiebreak on token)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -802,6 +863,10 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_exists": _q_order_priority_exists,
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
+    "dataset_split_summary": _q_dataset_split_summary,
+    "stratified_sample_docs": _q_stratified_sample_docs,
+    "pack_sequences_docs": _q_pack_sequences_docs,
+    "vocab_top100": _q_vocab_top100,
 }
 
 
@@ -1395,6 +1460,67 @@ ORACLES: dict[str, str] = {
           AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """,
+    "dataset_split_summary": r"""
+        WITH b AS (
+            SELECT text,
+                   CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 10000
+                       AS bucket,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+                   END AS n_tokens
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END          AS split,
+               COUNT(*)                      AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM b
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "stratified_sample_docs": """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS hb
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY hb ASC, doc_id ASC
+            ) AS rk FROM h
+        ) WHERE rk <= 20
+    """,
+    "pack_sequences_docs": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+                   END AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id
+        FROM c
+    """,
+    "vocab_top100": r"""
+        SELECT token, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents WHERE LENGTH(TRIM(text)) > 0
+        )
+        GROUP BY token
+        ORDER BY freq DESC, token ASC
+        LIMIT 100
     """,
 }
 

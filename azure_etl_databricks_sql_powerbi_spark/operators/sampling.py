@@ -1,0 +1,111 @@
+"""Dataset curation operators for training-data pipelines: deterministic
+splits, stratified quota sampling, and sequence packing.
+
+These are the ops a 100 TB LLM-data pipeline runs after cleaning/dedup
+(north-star surface; no analog in the reference, which stops at gold
+tables — cf. run_transform.py:76-92). All are pure Catalyst expressions:
+
+- splits/sampling hash CONTENT (md5), not row position — assignment is
+  reproducible across re-runs, partitionings, and engines (``rand()`` or
+  zipWithIndex would be neither), and needs no shuffle at all: a split is
+  a map-side filter, so each split of a 100 TB corpus is one scan.
+- packing is one window cumsum per pack group — a single shuffle on the
+  grouping key; bins never cross groups, so groups parallelize.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 10_000, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of a column.
+
+    md5 (not xxhash64) so the assignment is portable: any engine with md5
+    — including the DuckDB oracle — reproduces it bit-for-bit. The first 8
+    hex chars give 32 uniform bits, plenty for split ratios.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias(
+        "bucket"
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    on: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a split label ('train'/'val'/...) by hashed content weight.
+
+    Weights need not sum to 1 (they are normalized). Assignment depends
+    only on ``on``'s value + salt: stable under re-runs, appends, and
+    repartitioning — the property that makes held-out sets trustworthy
+    when the corpus is rebuilt.
+    """
+    total = sum(weights.values())
+    buckets = 10_000
+    bucket = hash_bucket(on, buckets, salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(acc * buckets)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def quota_sample_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    n: int,
+    on: str,
+    salt: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic stratified sample: n rows per group, chosen by hash
+    order (domain-mixing quotas). One shuffle on the group key; the hash
+    order is uniform, so this is an unbiased without-replacement sample
+    that every re-run reproduces."""
+    h = hash_bucket(on, 1 << 32, salt)
+    w = Window.partitionBy(*group_by).orderBy(h.asc(), F.col(on).asc())
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    ctx_len: int,
+    order_by: Sequence[str],
+    group_by: Sequence[str] = (),
+    bin_col: str = "bin_id",
+    offset_col: str = "start_offset",
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing (the LLM-pretraining layout):
+    documents are laid end-to-end in ``order_by`` order and cut into
+    ``ctx_len``-token bins; a document may straddle a boundary.
+
+    Emits each row's ``start_offset`` in the token stream and the bin its
+    first token lands in. One window cumsum per ``group_by`` partition (no
+    partition => one global stream: fine for bounded corpora, use groups
+    at scale so each shard packs independently)."""
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(offset_col, cum - F.col(token_col)).withColumn(
+        bin_col, (F.col(offset_col) / ctx_len).cast("long")
+    )

@@ -1,0 +1,77 @@
+"""Unit tests for dataset-curation operators (operators/sampling.py):
+split determinism/proportions, quota-sample invariants, packing layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+    deterministic_split,
+    pack_sequences,
+    quota_sample_per_group,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_split_is_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = deterministic_split(docs, on="text", weights=w)
+    b = deterministic_split(docs.repartition(7), on="text", weights=w)
+    am = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    bm = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert am == bm
+    # ratios roughly honored (md5 is uniform; corpus has duplicate texts so
+    # tolerance is loose)
+    n = len(am)
+    train = sum(1 for s in am.values() if s == "train")
+    assert 0.6 * n < train < 0.95 * n
+
+
+def test_split_different_salt_moves_rows(spark):
+    docs = _docs(spark)
+    w = {"a": 0.5, "b": 0.5}
+    s1 = deterministic_split(docs, on="text", weights=w, salt="x")
+    s2 = deterministic_split(docs, on="text", weights=w, salt="y")
+    joined = (
+        s1.select("doc_id", F.col("split").alias("p"))
+        .join(s2.select("doc_id", F.col("split").alias("q")), on="doc_id")
+    )
+    moved = joined.filter(F.col("p") != F.col("q")).count()
+    assert moved > 0
+
+
+def test_quota_sample_exact_counts_and_stability(spark):
+    docs = _docs(spark).select("doc_id", "lang")
+    s = quota_sample_per_group(docs, group_by=["lang"], n=5, on="doc_id")
+    counts = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, totals[lang])
+    # re-run reproduces the same sample
+    s2 = quota_sample_per_group(docs, group_by=["lang"], n=5, on="doc_id")
+    assert sorted(r.doc_id for r in s.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+
+
+def test_pack_sequences_layout(spark):
+    docs = _docs(spark).select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", 1000, order_by=["doc_id"]).collect()
+    rows = sorted(packed, key=lambda r: r.doc_id)
+    # offsets are the exclusive running sum in doc_id order
+    acc = 0
+    for r in rows:
+        assert r.start_offset == acc
+        assert r.bin_id == acc // 1000
+        acc += r.n_tokens
+    # bins are contiguous from 0
+    bins = {r.bin_id for r in rows}
+    assert bins == set(range(max(bins) + 1))
