@@ -809,6 +809,35 @@ def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order prices (BI surface): one aggregate
+    pass, bin = floor(price/step) clamped to [0, nbins)."""
+    orders = load_table(spark, sf_dir, "orders")
+    nbins, step = 20, 30_000.0
+    bin_id = F.least(
+        F.floor(F.col("o_totalprice") / step).cast("long"), F.lit(nbins - 1)
+    )
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def _q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per status — the sketch path that replaces the
+    exact sort-based percentile at 100 TB (rows-only: sketches are
+    engine-specific; the unit test bounds the error vs the exact value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10_000)).alias("ap50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10_000)).alias("ap90"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -867,6 +896,8 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_docs": _q_stratified_sample_docs,
     "pack_sequences_docs": _q_pack_sequences_docs,
     "vocab_top100": _q_vocab_top100,
+    "price_histogram": _q_price_histogram,
+    "approx_percentiles_by_status": _q_approx_percentiles,
 }
 
 
@@ -1521,6 +1552,14 @@ ORACLES: dict[str, str] = {
         GROUP BY token
         ORDER BY freq DESC, token ASC
         LIMIT 100
+    """,
+    "price_histogram": """
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 19) AS bin_id,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
     """,
 }
 

@@ -189,6 +189,19 @@ def test_approx_count_distinct_bound(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_approx_percentile_bound(spark):
+    """approx_percentile at accuracy 10k must land within 1% relative
+    error of the exact interpolated percentile on this data."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = orders.select(F.percentile("o_totalprice", 0.5)).collect()[0][0]
+    approx = orders.select(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10_000))
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.01
+
+
 def test_salted_join_matches_plain(spark):
     """Skewed fact (one hot key) joined salted == plain join, inner+left."""
     from azure_etl_databricks_sql_powerbi_spark.operators.skew import (
