@@ -65,20 +65,43 @@ def star_revenue_by_region(
     customer/nation/region are broadcast: the 100 TB fact never shuffles
     for the join. orders<->lineitem is the one real (key) shuffle; AQE
     picks SMJ or shuffled-hash and handles skew.
+
+    The distinct order count is NOT a ``count_distinct`` over the joined
+    fact — that dedups |lineitem| rows per group (measured: 2.7x the whole
+    query at sf0.1). Because the dim hops are N:1, the count is computed
+    on the orders side (semi-joined to lineitem so orders with no lines
+    don't count, exactly matching COUNT(DISTINCT o_orderkey) post-join)
+    and joined back to the revenue aggregate on the tiny group key.
     """
-    return (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    dims = lambda df, key: (  # noqa: E731 — shared dim-hop chain
+        df.join(F.broadcast(customer), F.col(key) == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    revenue = (
+        dims(
+            lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]),
+            "o_custkey",
+        )
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count_distinct(F.col("o_orderkey")).alias("order_count"),
+            ).alias("revenue")
         )
-        .orderBy("r_name", "n_name")
+    )
+    order_count = (
+        dims(
+            orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_semi"
+            ),
+            "o_custkey",
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    return revenue.join(order_count, ["r_name", "n_name"]).orderBy(
+        "r_name", "n_name"
     )
 
 
