@@ -84,6 +84,42 @@ def test_watermark_filter_pushes_down(spark, entry):
     assert "PushedFilters" in plan
 
 
+# Queries ALLOWED to show these physical shapes, each for a stated reason;
+# anything not listed must plan without them. BNLJoin = broadcast
+# nested-loop (fine for 1-row scalar subqueries and bounded brute-force
+# baselines); SinglePartitionExchange = global aggregate/window (fine when
+# the input is already a tiny aggregate or the op is documented global).
+_ALLOWED_FLAGS = {
+    "events_watermark_7d": {"BNLJoin", "SinglePartitionExchange"},  # scalar max(ts)
+    "qc_metrics_orders": {"SinglePartitionExchange"},  # one-row result
+    "approx_distinct_orders": {"SinglePartitionExchange"},  # one-row result
+    "token_jaccard_pairs": {"BNLJoin"},  # bounded exact ground truth (id<100)
+    "ann_cosine_topk": {"BNLJoin"},  # brute-force baseline by design
+    "embedding_near_pairs": {"BNLJoin"},  # bounded exact ground truth
+    "customer_revenue_quartiles": {"SinglePartitionExchange"},  # global ntile, documented
+    "small_qty_part_revenue": {"SinglePartitionExchange"},  # one-row result
+    "idle_customer_balance": {"BNLJoin", "SinglePartitionExchange"},  # scalar avg
+    "pack_sequences_docs": {"SinglePartitionExchange"},  # global stream, documented
+}
+
+
+def test_no_unapproved_cartesian_or_global_exchange(spark, entry):
+    """Every queries() plan is free of cartesian products, broadcast
+    nested-loop joins, and single-partition exchanges except the
+    explicitly-allowed scalar/bounded/global cases above."""
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_SMOKE))
+        flags = set()
+        if "CartesianProduct" in plan:
+            flags.add("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.add("BNLJoin")
+        if "Exchange SinglePartition" in plan:
+            flags.add("SinglePartitionExchange")
+        extra = flags - _ALLOWED_FLAGS.get(name, set())
+        assert not extra, f"{name}: unapproved plan shapes {extra}"
+
+
 def test_small_qty_join_prunes_fact_first(spark, entry):
     """Q17 shape: the brand semi-filter must hit lineitem BEFORE the
     self-aggregate join — the broadcast of the filtered part dim appears
