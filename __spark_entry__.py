@@ -838,6 +838,16 @@ def _q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: top-bigram share per doc
+    (functions/text.top_ngram_share; docs with <=2 tokens collapse to one
+    whole-text shingle => share 1.0, matching word_ngrams semantics)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import top_ngram_share
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return top_ngram_share(docs, n=2)
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -898,6 +908,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_top100": _q_vocab_top100,
     "price_histogram": _q_price_histogram,
     "approx_percentiles_by_status": _q_approx_percentiles,
+    "repetition_ratio_docs": _q_repetition_ratio,
 }
 
 
@@ -1552,6 +1563,25 @@ ORACLES: dict[str, str] = {
         GROUP BY token
         ORDER BY freq DESC, token ASC
         LIMIT 100
+    """,
+    "repetition_ratio_docs": r"""
+        WITH s AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, array_to_string(toks, ' ') AS gram
+            FROM s WHERE len(toks) <= 2
+            UNION ALL
+            SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS gram
+            FROM s, LATERAL unnest(range(1, len(toks))) AS t(i)
+            WHERE len(toks) > 2
+        ), per AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_2gram_share,
+               CAST(SUM(c) AS BIGINT)                    AS n_2grams
+        FROM per GROUP BY doc_id
     """,
     "price_histogram": """
         SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 19) AS bin_id,

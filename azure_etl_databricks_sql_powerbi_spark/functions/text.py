@@ -140,3 +140,45 @@ def word_ngrams(c: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(F.size(toks) <= n, F.array(joined)).otherwise(ngrams)
+
+
+# PII patterns kept deliberately simple and engine-portable (same regex
+# dialect subset works in Java regex and DuckDB's RE2): training-data
+# scrubbing wants high recall on the common shapes, not RFC compliance.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_counts(c: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_urls) occurrence counts — JVM regex, one scan."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(URL_RE)),
+    )
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace emails/URLs with typed placeholders (<EMAIL>, <URL>) —
+    the standard pre-training redaction pass, pure ``regexp_replace``
+    (URLs first: an email-shaped userinfo inside a URL should scrub as
+    part of the URL, not leave a dangling <EMAIL> inside it)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(
+        F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+
+
+def top_ngram_share(df, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signal: the share of a doc's word n-grams
+    taken by its single most frequent n-gram (1.0 = pure repetition or a
+    doc too short to have n of them). explode -> two hash aggregates, all
+    codegen; the shuffle carries (id, gram hash-sized strings)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias(f"top_{n}gram_share"),
+        F.sum("c").alias(f"n_{n}grams"),
+    )

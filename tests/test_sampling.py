@@ -75,3 +75,29 @@ def test_pack_sequences_layout(spark):
     # bins are contiguous from 0
     bins = {r.bin_id for r in rows}
     assert bins == set(range(max(bins) + 1))
+
+
+def test_scrub_pii_planted(spark):
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or see https://a.io/p?q=1 now"),
+        (2, "no pii here"),
+        (3, "mail://notaurl and http://x.org/a b@c.de trailing"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    ne, nu = pii_counts("text")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", ne.alias("ne"), nu.alias("nu"), scrub_pii("text").alias("s")
+        ).collect()
+    }
+    assert (out[1].ne, out[1].nu) == (1, 1)
+    assert out[1].s == "contact <EMAIL> or see <URL> now"
+    assert (out[2].ne, out[2].nu) == (0, 0) and out[2].s == "no pii here"
+    assert (out[3].ne, out[3].nu) == (1, 1)
+    assert out[3].s == "mail://notaurl and <URL> <EMAIL> trailing"
