@@ -784,14 +784,26 @@ def _q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chop sequence packing into 2048-token bins (LLM
-    pretraining layout): one window cumsum (operators/sampling.py)."""
+    pretraining layout), SHARDED: docs are hash-assigned to 16 shards and
+    each shard packs independently (window cumsum partitioned by shard).
+    The shard count bounds every window partition, so the plan is a normal
+    hash-partitioned exchange — no single-partition global stream — and
+    scales linearly with shards; the global variant stays available in
+    operators/sampling.py (unit-tested) for bounded corpora."""
     from azure_etl_databricks_sql_powerbi_spark.functions import text as T
-    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import pack_sequences
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        hash_bucket,
+        pack_sequences,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count("text").alias("n_tokens")
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        hash_bucket("doc_id", 16).alias("shard"),
     )
-    return pack_sequences(docs, "n_tokens", 2048, order_by=["doc_id"])
+    return pack_sequences(
+        docs, "n_tokens", 2048, order_by=["doc_id"], group_by=["shard"]
+    )
 
 
 def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,16 +1553,19 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
                         ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
-                   END AS n_tokens
+                   END AS n_tokens,
+                   CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 16 AS BIGINT) AS shard
             FROM documents
         ), c AS (
-            SELECT doc_id, n_tokens,
+            SELECT doc_id, n_tokens, shard,
                    CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard
                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING
                    ) - n_tokens AS BIGINT) AS start_offset
             FROM t
         )
-        SELECT doc_id, n_tokens, start_offset,
+        SELECT doc_id, n_tokens, shard, start_offset,
                CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id
         FROM c
     """,

@@ -56,7 +56,10 @@ def simhash_fingerprints(
     # sign of the ±1 fold == majority vote: bit j of the fingerprint is set
     # iff 2 * (#tokens with bit j set) > #tokens — each counter is a plain
     # sum of an extracted bit, no conditional per row. Empty docs: their
-    # single null row makes every sum NULL -> no bit set -> fp = 0.
+    # single explode_outer null row still hashes (xxhash64 skips null
+    # children but hashes the seed literal), so every empty doc gets the
+    # SAME deterministic non-zero fingerprint — empty docs pair with each
+    # other, which is the dedup behavior we want.
     packed_exprs = []
     for k in range(n_packed):
         e = F.lit(0).cast("long")

@@ -42,8 +42,15 @@ def asof_join_backward(
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__is_l", F.lit(1))
+    # SQL ASOF/equi-join semantics: NULL keys never match, and a NULL
+    # right_ts can't satisfy right_ts <= left_ts. Without this filter the
+    # window (partitioned by key) would group null-keyed right rows with
+    # null-keyed left rows and carry them forward — a match SQL never makes.
+    # Null-keyed LEFT rows are preserved (with null right columns), as in a
+    # left join.
     r_tag = (
-        right.select(
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
             on,
             F.col(right_ts).alias("__t"),
             *[F.col(c).alias(f"__r_{c}") for c in right_cols],

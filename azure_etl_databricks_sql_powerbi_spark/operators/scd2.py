@@ -101,11 +101,27 @@ def scd2_apply(
     untouched_cur = joined.filter(has_cur & (~has_batch | ~changed)).select(
         *keys, *tracked, "valid_from", "valid_to", F.lit(True).alias("is_current")
     )
+    # A late-arriving batch (__eff before the open row's valid_from) would
+    # silently emit an inverted interval (valid_to < valid_from); fail
+    # loudly instead — out-of-order batches must be handled upstream
+    # (replay through scd2_from_snapshots), not absorbed as corrupt history.
+    guarded_valid_to = F.when(
+        F.col("__eff") < F.col("valid_from"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd2_apply: batch effective ts precedes current row's "
+                    "valid_from (late-arriving batch) for key "
+                ),
+                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]),
+            )
+        ).cast(history.schema["valid_to"].dataType),
+    ).otherwise(F.col("__eff"))
     closed = joined.filter(has_cur & has_batch & changed).select(
         *keys,
         *tracked,
         "valid_from",
-        F.col("__eff").alias("valid_to"),
+        guarded_valid_to.alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
     opened = joined.filter(has_batch & (~has_cur | changed)).select(

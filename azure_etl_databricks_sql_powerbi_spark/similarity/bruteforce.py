@@ -71,9 +71,12 @@ def cosine_near_pairs(
     broadcast, or go through the LSH bucketing in ``lsh.py``."""
     a = spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # threshold on the UNROUNDED cosine (round only for display) so the
+    # predicate agrees bit-for-bit with a plain SQL `cosine >= t` oracle;
+    # filtering on the rounded value would admit pairs in [t-5e-5, t).
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine("va", "vb"), 4))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        .withColumn("__cos", cosine("va", "vb"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cosine_sim"))
     )

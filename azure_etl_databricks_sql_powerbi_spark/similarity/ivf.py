@@ -40,15 +40,26 @@ def train_centroids(
     sample_size: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    sample_fraction: float = 0.25,
 ) -> np.ndarray:
-    """Driver-side k-means (L2-normalized -> spherical) on a deterministic
-    sample; returns (nlist, dim) float64 centroids."""
+    """Driver-side k-means (L2-normalized -> spherical) on a bounded
+    sample; returns (nlist, dim) float64 centroids.
+
+    The sample is ``df.sample(fraction).limit(n)``: the Bernoulli sample is
+    a map-side filter and the limit plans as CollectLimit, which executes
+    partitions incrementally until n rows arrive — so training reads a
+    bounded prefix of the corpus, never a full scan or sort (the previous
+    orderBy(hash).limit(n) planned as TakeOrderedAndProject = O(corpus)).
+    If the sampled prefix comes up short the corpus is small (≲ n/fraction
+    rows) and a plain limit(n) re-read is cheap."""
+    base = df.select(id_col, vec_col)
     sample = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        base.sample(fraction=sample_fraction, seed=seed)
         .limit(sample_size)
         .toPandas()
     )
+    if len(sample) < sample_size:
+        sample = base.limit(sample_size).toPandas()
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

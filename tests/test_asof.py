@@ -100,3 +100,26 @@ def test_asof_no_cross_key_leakage(spark):
     )
     rows = asof_join_backward(left, right, on="k", left_ts="ts", right_ts="rts").collect()
     assert len(rows) == 1 and rows[0]["v"] is None
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL ASOF semantics: a NULL key on either side never matches. A
+    null-keyed right row must not be carried into null-keyed left rows,
+    and null-keyed left rows survive with null attachment."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-05 00:00:00")), (2, 10, _ts("2024-01-05 00:00:00"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01 00:00:00"), "nullkey"),
+            (10, _ts("2024-01-01 00:00:00"), "a"),
+            (10, None, "nullts"),  # null right_ts can't satisfy rts <= ts
+        ],
+        "k long, rts timestamp, val string",
+    )
+    out = {
+        r["event_id"]: r["val"]
+        for r in asof_join_backward(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out == {1: None, 2: "a"}

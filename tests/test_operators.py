@@ -232,3 +232,28 @@ def test_salted_join_matches_plain(spark):
         (r["k"], r["n_distinct"]) for r in two_phase_distinct(big, ["k"], "rowid").collect()
     }
     assert twop == direct
+
+
+def test_merge_upsert_auto_broadcast_modes(spark):
+    """broadcast_source='auto' (default) broadcasts only when Catalyst's
+    size estimate fits autoBroadcastJoinThreshold; the plan carries a
+    BroadcastHashJoin for a tiny batch and results are identical across
+    all three modes."""
+    target = spark.createDataFrame(
+        [(i, "old", float(i)) for i in range(100)], "k long, status string, price double"
+    )
+    # Range-backed source so Catalyst has a real size estimate; an
+    # RDD-backed frame has unknown stats and auto correctly declines to
+    # force the broadcast (Catalyst/AQE still may).
+    source = spark.range(1, 2).select(
+        F.col("id").alias("k"), F.lit("new").alias("status"), F.lit(9.9).alias("price")
+    )
+    plans = {}
+    results = {}
+    for mode in ("auto", True, False):
+        df = merge_upsert(target, source, ["k"], broadcast_source=mode)
+        plans[str(mode)] = df._jdf.queryExecution().executedPlan().toString()
+        results[str(mode)] = {tuple(r) for r in df.collect()}
+    assert "BroadcastHashJoin" in plans["auto"]  # tiny probe -> broadcast
+    assert "BroadcastHashJoin" in plans["True"]
+    assert results["auto"] == results["True"] == results["False"]

@@ -99,7 +99,6 @@ _ALLOWED_FLAGS = {
     "customer_revenue_quartiles": {"SinglePartitionExchange"},  # global ntile, documented
     "small_qty_part_revenue": {"SinglePartitionExchange"},  # one-row result
     "idle_customer_balance": {"BNLJoin", "SinglePartitionExchange"},  # scalar avg
-    "pack_sequences_docs": {"SinglePartitionExchange"},  # global stream, documented
 }
 
 

@@ -95,3 +95,17 @@ def test_apply_equals_rebuild(spark):
     a = {tuple(r) for r in hist.collect()}
     b = {tuple(r) for r in full.collect()}
     assert a == b
+
+
+def test_apply_late_batch_raises(spark):
+    """A batch whose effective ts precedes the open row's valid_from must
+    fail loudly (inverted interval guard), not emit valid_to < valid_from."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    hist = scd2_from_snapshots(_snapshots(spark), ["k"], ["status"], "ts")
+    late = spark.createDataFrame(
+        [(1, "z", _ts("2024-02-15"))], "k long, status string, ts timestamp"
+    )  # key 1's open row starts 2024-03-01 -> late
+    with pytest.raises(SparkRuntimeException, match="late-arriving batch"):
+        scd2_apply(hist, late, ["k"], ["status"], "ts").collect()
