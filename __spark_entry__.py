@@ -806,6 +806,72 @@ def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately-skewed fact⋈dim join (90% of orders on ONE hot key)
+    through operators/skew.salted_join: the big side is salted into 8
+    sub-keys and the dim replicated 8x, so the hot key spreads over 8
+    tasks instead of stalling one straggler. The dim carries a merge-join
+    hint to simulate a dimension beyond the broadcast threshold — the only
+    regime where skew matters (a broadcast join never shuffles the fact).
+    Salting is physically transparent (row-identical to the plain join),
+    so this IS oracle-checkable. Plan shape asserted in
+    tests/test_plan_shapes.py::test_salted_join_shape."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("o_custkey") % 24 + 1)
+        .alias("hot_key"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("hot_key"), "n_name")
+        .hint("merge")
+    )
+    joined = salted_join(big, dim, keys=["hot_key"], n_salts=8, salt_on="o_totalprice")
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 end-to-end under Structured Streaming (rows-only: streaming
+    side effects have no SQL oracle; batch≡stream equivalence is proven in
+    tests/test_streaming.py::test_stream_upsert_replay_equals_batch):
+    events re-landed as arrival files, streamed with a DOUBLED source
+    (re-extract duplicates), deduped with bounded state
+    (dropDuplicatesWithinWatermark), and MERGEd into a parquet target via
+    foreachBatch — the reference's overlap-window + dedup + MERGE daily
+    cycle (rest_api.py:70-72, run_transform.py:49-50, run_load.py:82-90)
+    as one continuous pipeline. Returns the final target keyed rows."""
+    import tempfile
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+
+    tmp = tempfile.mkdtemp(prefix="st2_replay_")
+    src_dir, target, ck = f"{tmp}/in", f"{tmp}/target", f"{tmp}/ck"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    events.write.parquet(src_dir)
+    stream = structured.stream_files(
+        spark, src_dir, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    doubled = stream.union(stream)  # simulate overlap re-extract duplicates
+    deduped = structured.dedup_within_watermark(doubled, ["event_id"], delay="30 days")
+    structured.run_foreach_batch_upsert(
+        deduped.drop("ts"), target, keys=["event_id"], checkpoint=ck
+    )
+    return spark.read.parquet(target)
+
+
 def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 whitespace tokens by frequency (explode
     -> count -> TakeOrderedAndProject; deterministic tiebreak on token)."""
@@ -917,6 +983,8 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split_summary": _q_dataset_split_summary,
     "stratified_sample_docs": _q_stratified_sample_docs,
     "pack_sequences_docs": _q_pack_sequences_docs,
+    "skewed_join_salted": _q_skewed_join_salted,
+    "stream_upsert_replay": _q_stream_upsert_replay,
     "vocab_top100": _q_vocab_top100,
     "price_histogram": _q_price_histogram,
     "approx_percentiles_by_status": _q_approx_percentiles,
@@ -1568,6 +1636,22 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_tokens, shard, start_offset,
                CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id
         FROM c
+    """,
+    "skewed_join_salted": """
+        WITH big AS (
+            SELECT o_totalprice,
+                   CASE WHEN o_orderkey % 10 < 9 THEN 0
+                        ELSE o_custkey % 24 + 1 END AS hot_key
+            FROM orders
+        ), dim AS (
+            SELECT n_nationkey AS hot_key, n_name FROM nation
+        )
+        SELECT n_name,
+               COUNT(*)                       AS n_orders,
+               ROUND(SUM(o_totalprice), 2)    AS revenue
+        FROM big JOIN dim USING (hot_key)
+        GROUP BY n_name
+        ORDER BY n_name
     """,
     "vocab_top100": r"""
         SELECT token, COUNT(*) AS freq

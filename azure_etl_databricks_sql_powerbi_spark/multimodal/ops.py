@@ -14,8 +14,8 @@ Split of responsibilities, which is the 100 TB design point:
   blobs fits executor memory.
 
 The actual image/audio codecs (PIL/ffmpeg/...) are NOT in this
-environment, so the decode core is stubbed: ``_decode_image`` raises
-``NotImplementedError`` unless a real decoder is importable, and the
+environment: ``_decode_image`` runs a real PIL decode+featurize where PIL
+is importable and raises ``NotImplementedError`` otherwise; the
 deterministic fallback featurizer derives pseudo-features from a content
 hash — making every piece of Spark plumbing (schemas, batch iteration,
 cardinality change, partitioning) real and testable without codecs.
@@ -91,17 +91,30 @@ def attach_fake_media(
 # ------------------------------------------------ Arrow-batched decode path
 
 
-def _decode_image(data: bytes) -> tuple[int, int, list[float]]:
-    """Real decode entry point. Raises unless an actual codec is present —
-    the deliberate stub demanded by the no-codec environment."""
+def _decode_image(data: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
+    """Real decode path: PIL decode + 16x16 RGB thumbnail average-pooled
+    into a ``dim``-float unit-norm embedding. Raises NotImplementedError
+    where no codec is importable (this sandbox) — callers use
+    ``fake_features=True`` there; the Spark plumbing is identical either
+    way, so the fallback exercises everything but libjpeg/libpng."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "image codec not available in this environment; "
             "use fake_features=True for the deterministic fallback"
         ) from exc
-    raise NotImplementedError("real decode path exercised only where PIL exists")
+    import io
+
+    import numpy as np
+
+    with PIL.Image.open(io.BytesIO(data)) as img:
+        width, height = img.size
+        thumb = img.convert("RGB").resize((16, 16))
+        flat = np.asarray(thumb, dtype="float64").reshape(-1) / 255.0
+    raw = [float(chunk.mean()) for chunk in np.array_split(flat, dim)]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return width, height, [x / norm for x in raw]
 
 
 def _fake_features(data: bytes, dim: int) -> tuple[int, int, list[float]]:
@@ -133,7 +146,7 @@ def decode_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = [
-                _fake_features(b, dim) if fake_features else _decode_image(b)
+                _fake_features(b, dim) if fake_features else _decode_image(b, dim)
                 for b in pdf[content_col]
             ]
             yield pd.DataFrame(

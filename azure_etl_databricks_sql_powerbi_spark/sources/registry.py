@@ -12,6 +12,10 @@ Spec shape (same information content as the reference's endpoints.yml):
     sources:
       superoperator:
         kind: rest
+        auth:                         # optional; resolved via SecretProvider
+          header: X-Api-Key
+          value: {secret: so-api-key, env: SO_API_KEY}
+          template: "{value}"         # reference run_extract.py:24-26
         endpoints:
           - name: customers
             path: /v1/customers
@@ -19,24 +23,44 @@ Spec shape (same information content as the reference's endpoints.yml):
             incremental: {param: updated_since, from_days_ago: 7}
       quickbooks:
         kind: oauth_query
+        auth:
+          token_url: https://oauth.example/token
+          refresh_token: {secret: qbo-refresh, env: QBO_REFRESH_TOKEN}
+          client_id: {secret: qbo-client-id, env: QBO_CLIENT_ID}
+          client_secret: {secret: qbo-client-secret, env: QBO_CLIENT_SECRET}
         endpoints:
           - name: invoices
             query: "select * from Invoice maxresults 1000"
+
+Auth values are either literals or ``{secret: NAME, env: FALLBACK}``
+references resolved through a ``SecretProvider`` (O2) — the YAML never
+holds credentials, mirroring the reference's Key-Vault-name indirection
+(``endpoints.yml`` + ``run_extract.py:24-26``).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import date
+from typing import Any
 
 import yaml
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
 
-from azure_etl_databricks_sql_powerbi_spark.sources.oauth import OAuth2QueryClient
+from azure_etl_databricks_sql_powerbi_spark.secrets import SecretProvider
+from azure_etl_databricks_sql_powerbi_spark.sources.oauth import (
+    OAuth2QueryClient,
+    QueryTransport,
+    TokenTransport,
+)
 from azure_etl_databricks_sql_powerbi_spark.sources.rest import (
     IncrementalConfig,
     PagePagination,
     RestSource,
+    Transport,
     iter_paginated,
     records_to_df,
 )
@@ -83,6 +107,96 @@ def parse_spec(text: str) -> list[EndpointSpec]:
     return specs
 
 
+def resolve_auth_value(value: Any, secrets: SecretProvider) -> str:
+    """A YAML auth value is either a literal or ``{secret: NAME, env:
+    FALLBACK}`` resolved through the provider (vault first, env fallback —
+    reference ``secrets.py:26-43``)."""
+    if isinstance(value, dict):
+        return secrets.get_secret(value.get("secret", ""), value.get("env"))
+    return str(value)
+
+
+def build_rest_sources(
+    text: str,
+    secrets: SecretProvider,
+    transports: dict[str, Transport],
+    rate_limit_s: float = 0.0,
+) -> dict[str, RestSource]:
+    """Construct one authenticated ``RestSource`` per ``kind: rest`` source
+    in the YAML: the auth header value is resolved via the SecretProvider
+    and formatted through the spec's template (reference
+    ``run_extract.py:24-26`` header_template.format)."""
+    doc = yaml.safe_load(text) or {}
+    out: dict[str, RestSource] = {}
+    for source, scfg in (doc.get("sources") or {}).items():
+        if scfg.get("kind", "rest") != "rest":
+            continue
+        headers: dict[str, str] = {}
+        auth = scfg.get("auth")
+        if auth:
+            resolved = resolve_auth_value(auth.get("value", ""), secrets)
+            headers[auth.get("header", "Authorization")] = auth.get(
+                "template", "{value}"
+            ).format(value=resolved)
+        out[source] = RestSource(
+            transport=transports[source], headers=headers, rate_limit_s=rate_limit_s
+        )
+    return out
+
+
+def build_oauth_clients(
+    text: str,
+    secrets: SecretProvider,
+    token_transports: dict[str, TokenTransport],
+    query_transports: dict[str, QueryTransport],
+) -> dict[str, OAuth2QueryClient]:
+    """Construct one ``OAuth2QueryClient`` per ``kind: oauth_query`` source,
+    with refresh token / client id / client secret resolved through the
+    SecretProvider (reference ``run_extract.py:48-60`` pulls the same three
+    from Key Vault)."""
+    doc = yaml.safe_load(text) or {}
+    out: dict[str, OAuth2QueryClient] = {}
+    for source, scfg in (doc.get("sources") or {}).items():
+        if scfg.get("kind") != "oauth_query":
+            continue
+        auth = scfg.get("auth") or {}
+        out[source] = OAuth2QueryClient(
+            token_url=str(auth.get("token_url", "")),
+            refresh_token=resolve_auth_value(auth.get("refresh_token", ""), secrets),
+            client_id=resolve_auth_value(auth.get("client_id", ""), secrets),
+            client_secret=resolve_auth_value(auth.get("client_secret", ""), secrets),
+            token_transport=token_transports[source],
+            query_transport=query_transports[source],
+        )
+    return out
+
+
+_MAXRESULTS_RE = re.compile(r"\bmaxresults\s+(\d+)\b", re.IGNORECASE)
+
+
+def parse_maxresults(statement: str | None) -> int | None:
+    """Extract the ``maxresults N`` cap from a QBO-style query (L3 in
+    SURVEY.md §2.6; reference ``endpoints.yml:49,51``)."""
+    if not statement:
+        return None
+    m = _MAXRESULTS_RE.search(statement)
+    return int(m.group(1)) if m else None
+
+
+def enforce_maxresults(df: DataFrame, n: int) -> DataFrame:
+    """Cap every entity array inside ``QueryResponse`` at ``n`` rows —
+    engine-side enforcement of the query's ``maxresults`` so replayed
+    captured payloads honor the same limit the live API would apply."""
+    qr = next((f for f in df.schema.fields if f.name == "QueryResponse"), None)
+    if qr is None or not isinstance(qr.dataType, StructType):
+        return df
+    col = F.col("QueryResponse")
+    for sub in qr.dataType.fields:
+        if isinstance(sub.dataType, ArrayType):
+            col = col.withField(sub.name, F.slice(f"QueryResponse.{sub.name}", 1, n))
+    return df.withColumn("QueryResponse", col)
+
+
 def extract_bronze(
     spark: SparkSession,
     specs: list[EndpointSpec],
@@ -108,8 +222,13 @@ def extract_bronze(
             out[key] = records_to_df(spark, records)
         elif spec.kind == "oauth_query":
             client = oauth_clients[spec.source]
-            payload = client.query(spec.query or f"select * from {spec.name}")
-            out[key] = records_to_df(spark, [payload])
+            statement = spec.query or f"select * from {spec.name}"
+            payload = client.query(statement)
+            df = records_to_df(spark, [payload])
+            cap = parse_maxresults(statement)
+            if cap is not None:
+                df = enforce_maxresults(df, cap)
+            out[key] = df
         else:
             raise ValueError(f"unknown source kind: {spec.kind}")
     return out

@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Catalyst reports this sentinel (spark.sql.defaultSizeInBytes = Long.Max)
+# when a relation has no size estimate (e.g. RDD-backed frames).
+_UNKNOWN_SIZE = 1 << 62
+
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """Ensure at least ``target`` (default: cluster parallelism) partitions
@@ -15,8 +19,27 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     for exactly the inputs that have too few partitions. At 100 TB inputs
     already carry thousands of partitions and this is a no-op (the guard
     avoids an extra full-data shuffle there).
+
+    The partition-count check uses Catalyst's LOGICAL size estimate
+    (``optimizedPlan().stats()``) against ``spark.sql.files.maxPartitionBytes``
+    — the same arithmetic the scan planner uses — so deciding costs one
+    logical optimization pass and never builds physical plans or RDD
+    lineage. Only frames with no size estimate (RDD-backed, never the
+    parquet scale path) fall back to the RDD partition probe.
     """
-    target = target or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = _UNKNOWN_SIZE
+    if size < _UNKNOWN_SIZE:
+        try:  # resolved long, whatever unit string the conf was set with
+            max_part = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+        except Exception:
+            max_part = 128 * 1024 * 1024
+        est_partitions = max(1, -(-size // max_part))
+        return df.repartition(target) if est_partitions < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -85,3 +85,40 @@ def test_sample_frames_cardinality(spark, media):
     )
     joined = b"".join(bytes(r["frame_bytes"]) for r in fr)
     assert bytes(one["content"]).startswith(joined)
+
+
+def test_decode_image_raises_without_codec():
+    """Sandbox path: no PIL -> loud NotImplementedError, never silent."""
+    import pytest
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import _decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; covered by test_decode_image_real_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="fake_features=True"):
+        _decode_image(b"\x89PNG")
+
+
+def test_decode_image_real_pil(spark):
+    """Where PIL exists, fake_features=False decodes real images: correct
+    width/height and a unit-norm dim-8 embedding (skipped in codec-less
+    environments)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import decode_image_features
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (20, 10), color=(255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "media_id long, content binary")
+    row = decode_image_features(df, fake_features=False).collect()[0]
+    assert (row.width, row.height) == (20, 10)
+    assert abs(sum(x * x for x in row.embedding) - 1.0) < 1e-9

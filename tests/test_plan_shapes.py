@@ -102,6 +102,21 @@ _ALLOWED_FLAGS = {
 }
 
 
+def test_salted_join_shape(spark, entry):
+    """The skewed-join demo must actually exercise the salt: a shuffled
+    (non-broadcast) join whose partitioning key includes __salt — i.e. the
+    hot key's rows really are split across n_salts partitions — and the
+    dim side replicated via explode, not broadcast."""
+    df = entry.queries()["skewed_join_salted"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the join's exchanges hash-partition on (hot_key, __salt)
+    import re
+
+    assert re.search(r"hashpartitioning\(hot_key#\d+L?, __salt#\d+", plan), plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_no_unapproved_cartesian_or_global_exchange(spark, entry):
     """Every queries() plan is free of cartesian products, broadcast
     nested-loop joins, and single-partition exchanges except the

@@ -155,3 +155,19 @@ def test_session_windows_batch(spark):
         .count()
     )
     assert overlaps == 0
+
+
+def test_stream_upsert_replay_equals_batch(spark, tmp_path):
+    """The ST2 contract query chain (doubled stream -> bounded-state dedup
+    -> foreachBatch merge_upsert) produces EXACTLY the rows of the batch
+    equivalent (union -> dropDuplicates(key) -> merge) on the same input —
+    stream ≡ batch, row for row, not just by count."""
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["stream_upsert_replay"](spark, SF)
+    batch = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "value")
+        .dropDuplicates(["event_id"])
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
