@@ -872,6 +872,133 @@ def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def _q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped bilateral trade volume (plans/gold.trade_volume)."""
+    return gold.trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        "NATION_1",
+        "NATION_2",
+    )
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped market share of NATION_3 in PROMO parts sold to EUROPE
+    customers (plans/gold.market_share)."""
+    return gold.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+        "NATION_3",
+        "PROMO",
+        "EUROPE",
+    )
+
+
+def _q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped heavy-order customers (plans/gold.large_quantity_orders)."""
+    return gold.large_quantity_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        min_total_qty=300.0,
+    )
+
+
+def _q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped OR-of-ANDs bracket revenue (plans/gold.bracket_revenue)."""
+    return gold.bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped semi+anti supplier ranking (plans/gold.sole_return_supplier)."""
+    return gold.sole_return_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): rare-shingle candidate edges ->
+    distributed connected components (alternating large-star/small-star,
+    O(log n) rounds of groupBy+join over 8-byte pairs) -> keep-one-per-
+    cluster verdict for every doc. Oracle: the same edges + a recursive
+    CTE computing min-label reachability in DuckDB — the iterative Spark
+    algorithm is checked against a declarative transitive closure. (Spark
+    joins on xxhash64(shingle) so shuffles never carry text; the oracle
+    joins on the shingle string — identical modulo a ~2^-64 hash-collision
+    probability.)"""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import (
+        assign_clusters,
+        shingle_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_edges(docs, n=5, min_df=2, max_df=10)
+    return assign_clusters(docs.select("doc_id"), edges).select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
+_DPP_FACT_CACHE: dict[str, str] = {}
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders re-landed as a Hive-partitioned table (partition column =
+    o_orderpriority), cached per sf_dir so repeated calls in one process
+    reuse the same materialization. This is the layout the medallion sink
+    (sources/files.write_partitioned_parquet) produces at scale."""
+    import tempfile
+
+    if sf_dir not in _DPP_FACT_CACHE:
+        tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(tmp)
+        _DPP_FACT_CACHE[sf_dir] = tmp
+    return spark.read.parquet(_DPP_FACT_CACHE[sf_dir])
+
+
+def _q_dpp_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is partitioned on the join key
+    and the dim's filter is only known at plan time THROUGH the join —
+    Spark must insert a dynamicpruning subquery (reusing the dim's
+    broadcast) so the fact scan reads 2 of 5 partitions instead of all.
+    At 100 TB this is the difference between scanning the whole fact and
+    scanning the partitions the dim selects; asserted in
+    tests/test_plan_shapes.py::test_dpp_prunes_fact_partitions. The static
+    analog (literal predicate pruning at read) is covered by
+    tests/test_sources.py::test_partitioned_write_prunes_on_read."""
+    fact = _partitioned_orders(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "expedite"),
+            ("2-HIGH", "expedite"),
+            ("3-MEDIUM", "standard"),
+            ("4-NOT SPECIFIED", "standard"),
+            ("5-LOW", "deferred"),
+        ],
+        "o_orderpriority string, tier string",
+    ).where(F.col("tier") == "expedite")
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 whitespace tokens by frequency (explode
     -> count -> TakeOrderedAndProject; deterministic tiebreak on token)."""
@@ -985,6 +1112,13 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_docs": _q_pack_sequences_docs,
     "skewed_join_salted": _q_skewed_join_salted,
     "stream_upsert_replay": _q_stream_upsert_replay,
+    "dpp_priority_revenue": _q_dpp_priority_revenue,
+    "near_dup_clusters": _q_near_dup_clusters,
+    "trade_volume_q7": _q_trade_volume,
+    "market_share_q8": _q_market_share,
+    "large_quantity_orders_q18": _q_large_quantity_orders,
+    "bracket_revenue_q19": _q_bracket_revenue,
+    "sole_return_supplier_q21": _q_sole_return_supplier,
     "vocab_top100": _q_vocab_top100,
     "price_histogram": _q_price_histogram,
     "approx_percentiles_by_status": _q_approx_percentiles,
@@ -1652,6 +1786,142 @@ ORACLES: dict[str, str] = {
         FROM big JOIN dim USING (hot_key)
         GROUP BY n_name
         ORDER BY n_name
+    """,
+    "trade_volume_q7": """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name <> sn.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "market_share_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part      ON l_partkey = p_partkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region    ON cn.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "large_quantity_orders_q18": """
+        WITH heavy AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > 300.0
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN heavy    ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "bracket_revenue_q19": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "sole_return_supplier_q21": """
+        WITH l1 AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """,
+    "near_dup_clusters": r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) <= 5 THEN array_to_string(t, ' ')
+                        ELSE array_to_string(t[i.i:i.i+4], ' ') END AS shingle
+            FROM toks, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS i(i)
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+              AND shingle IN (SELECT shingle FROM rare)
+        ),
+        bidir AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        labels AS (
+            SELECT u AS node, u AS comp FROM bidir
+            UNION
+            SELECT b.v AS node, l.comp
+            FROM labels l JOIN bidir b ON b.u = l.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(comp) AS cluster_id
+            FROM labels GROUP BY node
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    "dpp_priority_revenue": """
+        WITH dim AS (
+            SELECT * FROM (VALUES
+                ('1-URGENT', 'expedite'),
+                ('2-HIGH', 'expedite'),
+                ('3-MEDIUM', 'standard'),
+                ('4-NOT SPECIFIED', 'standard'),
+                ('5-LOW', 'deferred')
+            ) AS t(o_orderpriority, tier)
+            WHERE tier = 'expedite'
+        )
+        SELECT o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN dim USING (o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "vocab_top100": r"""
         SELECT token, COUNT(*) AS freq

@@ -177,3 +177,195 @@ def customer_order_running_total(orders: DataFrame) -> DataFrame:
         out_col="running_revenue",
     )
     return out.withColumn("running_revenue", F.round("running_revenue", 2))
+
+
+def trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str,
+    nation_b: str,
+) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue shipped between two
+    nations (either direction) by supplier nation, customer nation, year.
+
+    The 2-nation filter is applied to BOTH broadcast nation dims before the
+    join, so fact rows for the other 23 nations drop at the (broadcast)
+    join instead of surviving to a post-join filter; only the cross pairs
+    (A,A)/(B,B) need the residual inequality. The fact side shuffles once
+    (lineitem<->orders on the order key); the four dims ride broadcasts.
+    """
+    picked = [nation_a, nation_b]
+    n_cust = nation.where(F.col("n_name").isin(picked)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.where(F.col("n_name").isin(picked)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str,
+    part_type: str,
+    market_region: str,
+) -> DataFrame:
+    """TPC-H-Q8-shaped market share: the target nation's share of revenue
+    for one part type sold into one region's customers, by order year.
+
+    Selective dims filter FIRST (part type, region), then broadcast — the
+    fact is pruned by the most selective predicate (part type) at the
+    first join. The share is a conditional-sum ratio inside one aggregate
+    pass, not two scans.
+    """
+    p = part.where(F.col("p_type") == part_type).select("p_partkey")
+    r = region.where(F.col("r_name") == market_region).select("r_regionkey")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def large_quantity_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_total_qty: float = 300.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H-Q18-shaped: customers whose orders exceed a total-quantity
+    threshold — aggregate the fact FIRST (map-side partial sum on the
+    order key), filter to the rare heavy orders, then join the tiny
+    survivor set to orders/customer (AQE turns the survivor join into a
+    broadcast at runtime). Deterministic top-k via TakeOrdered with a key
+    tiebreak.
+    """
+    heavy = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        orders.join(heavy, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-shaped: one revenue figure under an OR-of-ANDs predicate
+    over part attributes x line quantity brackets. The whole disjunction
+    is a single Catalyst filter after one broadcast join — brands/sizes
+    prune the part dim before broadcast, quantity brackets evaluate on the
+    fact side; no UNION of three scans.
+    """
+    p = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def sole_return_supplier(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 100
+) -> DataFrame:
+    """TPC-H-Q21-shaped semi+anti composition: suppliers who were the ONLY
+    supplier with returned ('R') lines in multi-supplier orders.
+
+    Both EXISTS branches are key-equi joins with a residual supplier
+    inequality — they stay LeftSemi/LeftAnti on the order-key shuffle
+    (asserted in tests/test_plan_shapes.py), never materializing the
+    probe side. l1 is deduped to (order, supplier) pairs first so a
+    supplier with several R-lines in one order counts that order once.
+    """
+    l1 = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    r_others = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waited = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        r_others,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )

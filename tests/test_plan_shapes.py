@@ -99,6 +99,7 @@ _ALLOWED_FLAGS = {
     "customer_revenue_quartiles": {"SinglePartitionExchange"},  # global ntile, documented
     "small_qty_part_revenue": {"SinglePartitionExchange"},  # one-row result
     "idle_customer_balance": {"BNLJoin", "SinglePartitionExchange"},  # scalar avg
+    "bracket_revenue_q19": {"SinglePartitionExchange"},  # one-row result
 }
 
 
@@ -115,6 +116,52 @@ def test_salted_join_shape(spark, entry):
 
     assert re.search(r"hashpartitioning\(hot_key#\d+L?, __salt#\d+", plan), plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q21_exists_branches_stay_semi_anti(spark, entry):
+    """Both correlated EXISTS branches must plan as LeftSemi/LeftAnti on
+    the order-key equi condition (residual supplier inequality riding
+    along) — a rewrite into inner joins would duplicate fact rows and a
+    BNL would be quadratic."""
+    df = entry.queries()["sole_return_supplier_q21"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_heavy_orders_take_ordered(spark, entry):
+    """Q18 aggregates the fact before any join and tops out via
+    TakeOrderedAndProject, never a global sort."""
+    df = entry.queries()["large_quantity_orders_q18"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_filters_nation_dims_before_join(spark, entry):
+    """The 2-nation predicate must evaluate on the broadcast nation dims
+    (dim-side DataFilters), not as a post-join filter on the fact."""
+    df = entry.queries()["trade_volume_q7"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    n_name_filtered = [
+        ln for ln in plan.splitlines() if "n_name" in ln and "PushedFilters" in ln and "In(" in ln
+    ]
+    assert n_name_filtered, "nation filter did not reach the dim scan"
+
+
+def test_dpp_prunes_fact_partitions(spark, entry):
+    """Dynamic partition pruning: the partitioned fact's scan must carry a
+    dynamicpruning expression on the partition column (fed by the dim's
+    broadcast), so only dim-selected partitions are read — at scale the
+    difference between scanning 2 partitions and the whole fact. The
+    result itself is oracle-checked; this guards the physical mechanism."""
+    df = entry.queries()["dpp_priority_revenue"](spark, SF_SMOKE)
+    plan = _plan(df)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "dpp_orders_" in ln
+    ]
+    assert scan_lines, plan
+    assert any("dynamicpruningexpression" in ln for ln in scan_lines), scan_lines
 
 
 def test_no_unapproved_cartesian_or_global_exchange(spark, entry):
