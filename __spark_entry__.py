@@ -872,6 +872,71 @@ def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def _q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill over the event stream
+    (operators/timeseries.resample_daily_ffill): the spine-side global
+    window is bounded by calendar cardinality, never fact rows."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    return resample_daily_ffill(load_table(spark, sf_dir, "events"))
+
+
+def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count via first-seen collapse
+    (operators/timeseries.cumulative_distinct_users) — linear state, no
+    distinct-over-expanding-window."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.timeseries import (
+        cumulative_distinct_users,
+    )
+
+    return cumulative_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/timeseries.cohort_retention)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel
+    (operators/timeseries.funnel_conversion)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.timeseries import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 salient terms by tf/df (log-free tf-idf ranking: the
+    per-doc ORDER of tf*N/df equals tf/df, and avoiding ln() keeps the
+    score bit-identical across engines for the oracle hash). Ranking uses
+    the UNROUNDED score (IEEE division agrees across engines) with a token
+    tiebreak; rounding happens only in the projection."""
+    from pyspark.sql import Window
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").withColumn("raw", F.col("tf") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "df", F.round("raw", 6).alias("score"), "rank")
+    )
+
+
 def _q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7-shaped bilateral trade volume (plans/gold.trade_volume)."""
     return gold.trade_volume(
@@ -1114,6 +1179,11 @@ QUERIES: dict[str, QueryFn] = {
     "stream_upsert_replay": _q_stream_upsert_replay,
     "dpp_priority_revenue": _q_dpp_priority_revenue,
     "near_dup_clusters": _q_near_dup_clusters,
+    "resample_daily_ffill": _q_resample_daily,
+    "cumulative_distinct_users": _q_cumulative_users,
+    "cohort_retention": _q_cohort_retention,
+    "funnel_conversion": _q_funnel_conversion,
+    "salient_terms": _q_salient_terms,
     "trade_volume_q7": _q_trade_volume,
     "market_share_q8": _q_market_share,
     "large_quantity_orders_q18": _q_large_quantity_orders,
@@ -1786,6 +1856,107 @@ ORACLES: dict[str, str] = {
         FROM big JOIN dim USING (hot_key)
         GROUP BY n_name
         ORDER BY n_name
+    """,
+    "resample_daily_ffill": r"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   COUNT(*) AS n_events, AVG(value) AS avg_value
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(
+                       MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                       MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                       INTERVAL 1 DAY))::DATE AS day
+            FROM events
+        )
+        SELECT s.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               ROUND(LAST_VALUE(d.avg_value IGNORE NULLS) OVER (
+                   ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS avg_value_ffill
+        FROM spine s LEFT JOIN daily d USING (day)
+        ORDER BY s.day
+    """,
+    "cumulative_distinct_users": r"""
+        WITH fs AS (
+            SELECT user_id,
+                   MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+            FROM events GROUP BY 1
+        ),
+        dn AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1),
+        spine AS (
+            SELECT UNNEST(generate_series(
+                       MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                       MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                       INTERVAL 1 DAY))::DATE AS day
+            FROM events
+        )
+        SELECT s.day,
+               COALESCE(dn.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(dn.new_users, 0)) OVER (
+                   ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_users
+        FROM spine s LEFT JOIN dn USING (day)
+        ORDER BY s.day
+    """,
+    "cohort_retention": r"""
+        WITH weekly AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(FLOOR(date_diff('day', DATE '1970-01-05',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7) AS BIGINT) AS week
+            FROM events
+        ),
+        cohort AS (SELECT u, MIN(week) AS cohort_week FROM weekly GROUP BY u)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(*) AS n_users
+        FROM weekly JOIN cohort USING (u)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "funnel_conversion": r"""
+        WITH r0 AS (
+            SELECT user_id AS u, MIN(CAST(ts AS TIMESTAMP)) AS t0
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        r1 AS (
+            SELECT e.user_id AS u, MIN(CAST(e.ts AS TIMESTAMP)) AS t1
+            FROM events e JOIN r0 ON e.user_id = r0.u
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > r0.t0
+            GROUP BY 1
+        ),
+        r2 AS (
+            SELECT e.user_id AS u, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+            FROM events e JOIN r1 ON e.user_id = r1.u
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > r1.t1
+            GROUP BY 1
+        )
+        SELECT (SELECT COUNT(*) FROM r0) AS n_view,
+               (SELECT COUNT(*) FROM r1) AS n_click,
+               (SELECT COUNT(*) FROM r2) AS n_purchase
+    """,
+    "salient_terms": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents WHERE LENGTH(TRIM(text)) > 0
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT doc_id, token, tf, df, tf::DOUBLE / df AS raw
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, token, tf, df, ROUND(raw, 6) AS score,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY raw DESC, token ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= 5
     """,
     "trade_volume_q7": """
         SELECT sn.n_name AS supp_nation,

@@ -87,6 +87,32 @@ def read_bronze_json(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV landing-zone reader (bronze surface alongside JSON/parquet).
+
+    Same scale contract as ``read_bronze_json``: pass the schema on the
+    100 TB path — ``inferSchema`` is an extra full read, and a drifting
+    inference result breaks the conform layer's drift guard downstream.
+    Malformed rows go to ``_corrupt_record`` (PERMISSIVE) rather than
+    failing the job, matching the reference's tolerate-and-QC posture.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -100,6 +100,12 @@ _ALLOWED_FLAGS = {
     "small_qty_part_revenue": {"SinglePartitionExchange"},  # one-row result
     "idle_customer_balance": {"BNLJoin", "SinglePartitionExchange"},  # scalar avg
     "bracket_revenue_q19": {"SinglePartitionExchange"},  # one-row result
+    # spine queries: scalar min/max date + global window over the CALENDAR
+    # spine (bounded by days-in-range, never fact rows) — documented in
+    # operators/timeseries.py
+    "resample_daily_ffill": {"SinglePartitionExchange"},
+    "cumulative_distinct_users": {"SinglePartitionExchange"},
+    "funnel_conversion": {"SinglePartitionExchange"},  # one-row result
 }
 
 
