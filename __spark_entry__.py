@@ -937,6 +937,21 @@ def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup/decontam.contamination_scores):
+    score every non-benchmark doc by 3-gram overlap with the 'src0'
+    benchmark slice; the contamination ratio is the RAW matched/total
+    division (bit-identical IEEE in Spark and DuckDB — no round, no libm)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        contamination_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contamination_scores(train, bench, n=3, threshold=0.8)
+
+
 def _q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7-shaped bilateral trade volume (plans/gold.trade_volume)."""
     return gold.trade_volume(
@@ -1184,6 +1199,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": _q_cohort_retention,
     "funnel_conversion": _q_funnel_conversion,
     "salient_terms": _q_salient_terms,
+    "decontaminate_docs": _q_decontaminate_docs,
     "trade_volume_q7": _q_trade_volume,
     "market_share_q8": _q_market_share,
     "large_quantity_orders_q18": _q_large_quantity_orders,
@@ -1957,6 +1973,44 @@ ORACLES: dict[str, str] = {
             FROM scored
         )
         WHERE rn <= 5
+    """,
+    "decontaminate_docs": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents
+        ),
+        gramlists AS (
+            -- mirror word_ngrams: docs with <= 3 tokens get one whole-text
+            -- shingle (empty text included: [''] on both engines)
+            SELECT doc_id, source,
+                   CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                        ELSE [array_to_string(t[i:i+2], ' ')
+                              FOR i IN generate_series(1, len(t) - 2)]
+                   END AS gs
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT g
+            FROM gramlists, UNNEST(gs) AS u(g)
+            WHERE source = 'src0'
+        ),
+        doc_grams AS (
+            SELECT DISTINCT doc_id, g
+            FROM gramlists, UNNEST(gs) AS u(g)
+            WHERE source <> 'src0'
+        ),
+        per_doc AS (
+            SELECT d.doc_id,
+                   COUNT(*)::BIGINT AS total_ngrams,
+                   COUNT(b.g)::BIGINT AS matched_ngrams
+            FROM doc_grams d LEFT JOIN bench b USING (g)
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, total_ngrams, matched_ngrams,
+               matched_ngrams / total_ngrams AS contamination,
+               CAST(matched_ngrams / total_ngrams >= 0.8 AS INT) AS contaminated
+        FROM per_doc
     """,
     "trade_volume_q7": """
         SELECT sn.n_name AS supp_nation,

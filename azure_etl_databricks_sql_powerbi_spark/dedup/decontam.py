@@ -1,0 +1,117 @@
+"""Benchmark decontamination: per-document n-gram overlap with an
+evaluation corpus.
+
+Training-data hygiene op the reference's ETL surface implies but never
+ships (its curation stops at dedup — see reference ``README.md`` pipeline
+description): before training, every candidate document is scored by how
+many of its word n-grams appear in a benchmark/eval set, and documents
+above a threshold are dropped as contaminated (the standard n-gram-overlap
+decontamination used by LLM data pipelines).
+
+Scale design (the 100 TB shape):
+
+* The benchmark side is SMALL (eval suites are thousands of documents, so
+  at most a few million distinct n-grams ~= tens of MB of 8-byte hashes).
+  Its distinct n-gram-hash set is computed once and **broadcast**; the
+  training corpus — the 100 TB side — is scanned exactly once and never
+  shuffles its text: every shuffled/broadcast row is ``(long, long)``.
+* N-grams are hashed to ``xxhash64`` longs immediately after generation
+  (same trick as ``dedup/minhash.py``): the per-doc ``distinct`` and the
+  overlap join carry 16 bytes/row instead of the gram strings.
+* The per-doc score is one hash-aggregate over the exploded grams — a
+  map-side partial combine keeps the shuffle at #distinct-grams/doc rows.
+
+``broadcast_benchmark=False`` falls back to a shuffle hash join for the
+(unusual) case of a benchmark too large to broadcast.
+
+The contamination ratio is emitted as the RAW ``matched/total`` double —
+integer division is exactly rounded in IEEE 754, so Spark and any SQL
+oracle produce bit-identical values; rounding it (Spark HALF_UP vs DuckDB
+half-even) is what would diverge (e.g. 1/128 at 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.text import word_ngrams
+from azure_etl_databricks_sql_powerbi_spark.util import spread
+
+GRAM_HASH_SEED = 0x5EED
+
+
+def _distinct_gram_hashes(
+    df: DataFrame, text_col: str, n: int, *extra_cols: str
+) -> DataFrame:
+    """Explode word n-grams and hash each to a long; distinct per extra_cols.
+
+    ``word_ngrams`` never returns an empty array (docs shorter than n words
+    yield one whole-text shingle), so a plain ``explode`` loses no rows.
+    """
+    return (
+        spread(df)
+        .select(*extra_cols, F.explode(word_ngrams(text_col, n)).alias("__g"))
+        .select(*extra_cols, F.xxhash64("__g", F.lit(GRAM_HASH_SEED)).alias("gh"))
+        .distinct()
+    )
+
+
+def contamination_scores(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Score every training doc by benchmark n-gram overlap.
+
+    Returns one row per training document:
+      ``id_col, total_ngrams, matched_ngrams, contamination, contaminated``
+    where ``contamination = matched/total`` over the doc's DISTINCT word
+    n-grams and ``contaminated = 1`` iff ``contamination >= threshold``.
+    """
+    bench = _distinct_gram_hashes(benchmark, text_col, n).withColumn(
+        "__hit", F.lit(1)
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_grams = _distinct_gram_hashes(train, text_col, n, id_col)
+    joined = doc_grams.join(bench, "gh", "left")
+    ratio = F.col("matched_ngrams") / F.col("total_ngrams")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("__hit").alias("matched_ngrams"),
+        )
+        .select(
+            id_col,
+            "total_ngrams",
+            "matched_ngrams",
+            ratio.alias("contamination"),
+            (ratio >= threshold).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop training docs whose benchmark n-gram overlap >= threshold.
+
+    Left-semi join against the clean half of ``contamination_scores`` so
+    the full training rows (text included) pass through untouched and the
+    join key is just the id.
+    """
+    clean = contamination_scores(
+        train, benchmark, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    ).filter(F.col("contaminated") == 0)
+    return train.join(clean.select(id_col), id_col, "left_semi")

@@ -113,6 +113,38 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC reader — the columnar format of Hive-side warehouses, read with
+    the same contract as parquet: vectorized scan, predicate pushdown, and
+    column pruning all apply, so downstream plans are format-agnostic.
+    Passing ``schema`` pins the read schema (and skips footer inference on
+    wide directories)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink mirroring ``write_partitioned_parquet`` (same dynamic
+    partition-overwrite semantics; only declared partition columns present
+    in ``df`` are used)."""
+    writer = df.write.mode(mode)
+    cols = [c for c in partition_cols if c in df.columns]
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,81 @@
+"""Benchmark decontamination (dedup/decontam) + ORC source roundtrip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+    contamination_scores,
+    decontaminate,
+)
+from azure_etl_databricks_sql_powerbi_spark.sources.files import read_orc, write_orc
+
+
+def _corpora(spark):
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # exact copy of a benchmark doc -> contamination 1.0
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # half-overlapping: shares a 5-token prefix with bench doc 100
+            (2, "the quick brown fox jumps straight into a deep icy river"),
+            # disjoint vocabulary -> contamination 0.0
+            (3, "completely unrelated words about spark catalyst planning"),
+            # short doc (<= n tokens) -> single whole-text shingle
+            (4, "pack my box"),
+        ],
+        "doc_id long, text string",
+    )
+    return train, bench
+
+
+def test_contamination_scores_planted(spark):
+    train, bench = _corpora(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_scores(train, bench, n=3, threshold=0.8).collect()
+    }
+    assert rows[1]["contamination"] == 1.0 and rows[1]["contaminated"] == 1
+    assert 0.0 < rows[2]["contamination"] < 0.8 and rows[2]["contaminated"] == 0
+    assert rows[3]["contamination"] == 0.0 and rows[3]["contaminated"] == 0
+    # doc 4 is a whole-text shingle that is NOT a benchmark trigram ("pack
+    # my box" != any 3-gram of bench 101? it IS its first trigram) -> matched
+    assert rows[4]["total_ngrams"] == 1 and rows[4]["contamination"] == 1.0
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    train, bench = _corpora(spark)
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=3, threshold=0.8).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_contamination_counts_are_distinct_ngrams(spark):
+    # repeated n-grams in a doc count once (DISTINCT semantics)
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    row = contamination_scores(train, bench, n=3).collect()[0]
+    # grams of train: {a b c, b c a, c a b} distinct; only "a b c" matches
+    assert row["total_ngrams"] == 3
+    assert row["matched_ngrams"] == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("part", (F.col("id") % 3).cast("int"))
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_cols=("part",))
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    # partition pruning works on the discovered layout
+    assert back.filter(F.col("part") == 1).count() == 33
+    assert set(back.columns) == {"id", "part"}
