@@ -952,6 +952,65 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scores(train, bench, n=3, threshold=0.8)
 
 
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated-min (plans/gold.min_cost_supplier)."""
+    return gold.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped scalar-subquery threshold (plans/gold.important_suppliers)."""
+    return gold.important_suppliers(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_quarter_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped view + global-max join (plans/gold.top_quarter_shippers)."""
+    return gold.top_quarter_shippers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped NOT-IN + count-distinct (plans/gold.part_supplier_breadth)."""
+    return gold.part_supplier_breadth(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped nested-threshold semi-join (plans/gold.dominant_shippers)."""
+    return gold.dominant_shippers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (plans/curation.corpus_stats)."""
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import corpus_stats
+
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capped token allocation (operators/mixing)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import token_count
+    from azure_etl_databricks_sql_powerbi_spark.operators.mixing import (
+        domain_mix_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", token_count("text")
+    )
+    return domain_mix_allocation(docs, "source", "toks", cap_frac=0.08)
+
+
 def _q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7-shaped bilateral trade volume (plans/gold.trade_volume)."""
     return gold.trade_volume(
@@ -1200,6 +1259,13 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": _q_funnel_conversion,
     "salient_terms": _q_salient_terms,
     "decontaminate_docs": _q_decontaminate_docs,
+    "min_cost_supplier": _q_min_cost_supplier,
+    "important_suppliers": _q_important_suppliers,
+    "top_quarter_shippers": _q_top_quarter_shippers,
+    "part_supplier_breadth": _q_part_supplier_breadth,
+    "dominant_shippers": _q_dominant_shippers,
+    "corpus_stats": _q_corpus_stats,
+    "domain_mix_allocation": _q_domain_mix,
     "trade_volume_q7": _q_trade_volume,
     "market_share_q8": _q_market_share,
     "large_quantity_orders_q18": _q_large_quantity_orders,
@@ -2011,6 +2077,123 @@ ORACLES: dict[str, str] = {
                matched_ngrams / total_ngrams AS contamination,
                CAST(matched_ngrams / total_ngrams >= 0.8 AS INT) AS contaminated
         FROM per_doc
+    """,
+    "min_cost_supplier": """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   l_extendedprice / l_quantity AS up
+            FROM lineitem
+        ),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey, MIN(up) AS min_unit_price
+            FROM unit GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY l_partkey
+                    ORDER BY min_unit_price ASC, l_suppkey ASC) AS rn
+                FROM per_ps
+            ) WHERE rn = 1
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               min_unit_price AS best_unit_price
+        FROM best
+        JOIN part ON l_partkey = p_partkey AND p_size < 10
+        JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY p_partkey
+    """,
+    "important_suppliers": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS supp_revenue
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey, ROUND(supp_revenue, 2) AS supp_revenue
+        FROM per_supp
+        WHERE supp_revenue > (
+            SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.001 FROM lineitem
+        )
+        ORDER BY supp_revenue DESC, l_suppkey ASC
+    """,
+    "top_quarter_shippers": """
+        WITH v AS (
+            SELECT year(l_shipdate)::VARCHAR || '-Q' || quarter(l_shipdate)::VARCHAR
+                       AS quarter,
+                   l_suppkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        m AS (SELECT quarter, MAX(total_qty) AS max_qty FROM v GROUP BY 1)
+        SELECT v.quarter, s_suppkey, s_name, total_qty
+        FROM v
+        JOIN m ON v.quarter = m.quarter AND v.total_qty = m.max_qty
+        JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY v.quarter, s_suppkey
+    """,
+    "part_supplier_breadth": """
+        WITH pairs AS (
+            SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, p_type, p_size,
+               COUNT(*)::BIGINT AS supplier_cnt
+        FROM pairs
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "dominant_shippers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        per_p AS (
+            SELECT l_partkey, SUM(ps_qty) AS p_qty FROM per_ps GROUP BY 1
+        ),
+        dom AS (
+            SELECT DISTINCT l_suppkey
+            FROM per_ps JOIN per_p USING (l_partkey)
+            WHERE ps_qty > 0.2 * p_qty
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        ORDER BY s_suppkey
+    """,
+    "corpus_stats": r"""
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT source)::BIGINT AS n_sources,
+               COUNT(DISTINCT lang)::BIGINT AS n_langs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(TRIM(text), '\s+'))
+                        END) AS BIGINT) AS total_tokens,
+               (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS exact_dup_docs,
+               (COUNT(*) - COUNT(DISTINCT text)) / COUNT(*) AS dup_rate
+        FROM documents
+    """,
+    "domain_mix_allocation": r"""
+        WITH per AS (
+            SELECT source AS domain,
+                   COUNT(*)::BIGINT AS doc_count,
+                   CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(TRIM(text), '\s+'))
+                            END) AS BIGINT) AS token_count
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(token_count)::BIGINT AS total FROM per)
+        SELECT domain, doc_count, token_count,
+               token_count / total AS share,
+               LEAST(token_count, CAST(FLOOR(0.08 * total) AS BIGINT))
+                   AS alloc_tokens,
+               CAST(token_count > CAST(FLOOR(0.08 * total) AS BIGINT) AS INT)
+                   AS capped
+        FROM per, tot
+        ORDER BY domain
     """,
     "trade_volume_q7": """
         SELECT sn.n_name AS supp_nation,

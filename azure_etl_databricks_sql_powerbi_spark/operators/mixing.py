@@ -1,0 +1,57 @@
+"""Domain/source mixing for training-data assembly.
+
+When a corpus is assembled from many sources ("domains"), the training
+recipe needs per-domain token budgets: proportional to availability but
+capped so no single domain dominates (the standard web-scale mixing rule).
+This operator computes, per domain: inventory, natural share, and the
+capped token allocation — the driver table a sampler
+(``sampling.quota_sample_per_group``) then consumes.
+
+Scale shape: one hash-aggregate over the corpus (map-side combine on the
+domain key), then a one-row global total joined back as a broadcast scalar
+— the allow-listed scalar-subquery pattern. The 100 TB side is scanned
+once; everything after the aggregate is #domains rows.
+
+Oracle determinism: token totals are exact longs; ``share`` is a raw
+long/long IEEE division (bit-identical in any engine, never rounded);
+the cap is ``floor(cap_frac * total)`` — a double product and floor, both
+exactly defined — compared and min'd in long space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def domain_mix_allocation(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    cap_frac: float = 0.2,
+) -> DataFrame:
+    """Per-domain token budget: ``min(inventory, floor(cap_frac * total))``.
+
+    Returns one row per domain:
+    ``domain, doc_count, token_count, share, alloc_tokens, capped``
+    where ``share = token_count / total`` (raw double) and ``capped = 1``
+    iff the cap bound the allocation.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(token_col).cast("long").alias("token_count"),
+    )
+    total = per.agg(F.sum("token_count").alias("__total"))
+    cap = F.floor(F.lit(cap_frac) * F.col("__total")).cast("long")
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "domain",
+            "doc_count",
+            "token_count",
+            (F.col("token_count") / F.col("__total")).alias("share"),
+            F.least(F.col("token_count"), cap).alias("alloc_tokens"),
+            (F.col("token_count") > cap).cast("int").alias("capped"),
+        )
+        .orderBy("domain")
+    )

@@ -48,3 +48,28 @@ def curate_documents(
         .filter(F.col("__rn") == 1)
         .select(id_col, "quality", "n_tokens", "n_chars", "fp")
     )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus 'data card': the summary a curation run publishes
+    alongside the dataset (doc/source/language counts, token and char
+    inventory, exact-duplicate rate).
+
+    Single scan, one hash-aggregate — distinct counts are computed with
+    count_distinct (Spark plans partial distinct aggregation; at 100 TB
+    swap in approx_count_distinct if the 2-pass exact distinct on text
+    is too hot, as qc.py's sketch path does). The dup rate is a raw
+    long/long division — engine-exact, never rounded.
+    """
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.sum(T.token_count(text_col)).cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(text_col)).alias("exact_dup_docs"),
+    )
+    return agg.select(
+        "*",
+        (F.col("exact_dup_docs") / F.col("n_docs")).alias("dup_rate"),
+    )

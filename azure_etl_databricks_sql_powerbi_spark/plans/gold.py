@@ -369,3 +369,174 @@ def sole_return_supplier(
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(k)
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, max_size: int = 10
+) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-min lookup: for each small part, the
+    supplier observed at the minimum per-unit price.
+
+    The Q2 correlated subquery (``ps_supplycost = (SELECT MIN ...)``)
+    becomes a window min over the per-(part, supplier) aggregate — one
+    shuffle on the part key serves both the aggregate and the window, and
+    the part/supplier dimensions broadcast onto the tiny winner set.
+
+    The measure is ``MIN(l_extendedprice / l_quantity)`` — a min over
+    exact IEEE divisions, so it is order-independent and bit-identical in
+    any engine (an AVG here would make the argmin depend on summation
+    order); it is also emitted raw, unrounded, for the same reason.
+    Ties resolve to the lowest s_suppkey via row_number.
+    """
+    from pyspark.sql import Window
+
+    unit = lineitem.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    per_ps = unit.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("min_unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            F.broadcast(part.where(F.col("p_size") < max_size)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            # raw double, NOT rounded: a min over exact IEEE divisions is
+            # bit-identical across engines, while ROUND of a computed
+            # division diverges (Spark decimal-string HALF_UP vs numeric
+            # rounding) on values like 0.12625
+            F.col("min_unit_price").alias("best_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def important_suppliers(lineitem: DataFrame, fraction: float = 0.001) -> DataFrame:
+    """TPC-H-Q11-shaped scalar-subquery threshold: suppliers whose revenue
+    exceeds ``fraction`` of GLOBAL revenue.
+
+    The global total is a one-row aggregate joined in as a scalar (a
+    broadcast nested-loop of exactly one row — the allow-listed scalar
+    subquery shape); the per-supplier aggregate shuffles once on s_suppkey.
+    """
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = lineitem.groupBy("l_suppkey").agg(rev.alias("supp_revenue"))
+    total = lineitem.agg((rev * F.lit(fraction)).alias("__threshold"))
+    return (
+        per_supp.join(F.broadcast(total))
+        .where(F.col("supp_revenue") > F.col("__threshold"))
+        .select(
+            "l_suppkey",
+            F.round("supp_revenue", 2).alias("supp_revenue"),
+        )
+        .orderBy(F.col("supp_revenue").desc(), F.col("l_suppkey").asc())
+    )
+
+
+def top_quarter_shippers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H-Q15-shaped view + global-max join: per quarter, the
+    supplier(s) with the maximum shipped quantity.
+
+    The 'revenue view' is the per-(quarter, supplier) aggregate; the Q15
+    equality against ``(SELECT MAX(...))`` is a broadcast join against the
+    per-quarter max of that same aggregate (computed once, reused — Spark
+    plans the reused aggregate as one exchange under AQE). The measure is
+    ``SUM(l_quantity)`` — integral, so the max-equality is exact in every
+    engine; Q15's sum-of-doubles equality would be summation-order lore.
+    """
+    q = lineitem.select(
+        F.concat(
+            F.year("l_shipdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("l_shipdate").cast("string"),
+        ).alias("quarter"),
+        "l_suppkey",
+        "l_quantity",
+    )
+    view = q.groupBy("quarter", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("total_qty")
+    )
+    mx = view.groupBy("quarter").agg(F.max("total_qty").alias("max_qty"))
+    return (
+        view.join(F.broadcast(mx), "quarter")
+        .where(F.col("total_qty") == F.col("max_qty"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("quarter", "s_suppkey", "s_name", "total_qty")
+        .orderBy("quarter", "s_suppkey")
+    )
+
+
+def part_supplier_breadth(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H-Q16-shaped NOT-IN + COUNT DISTINCT: per (brand, type, size),
+    how many DISTINCT suppliers shipped the part — excluding suppliers in
+    bad standing (negative account balance), Q16's complaint-supplier
+    NOT IN rendered as a broadcast anti-join (null-safe by construction:
+    the exclusion key list is a projection of a non-null PK).
+    """
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def dominant_shippers(
+    lineitem: DataFrame, supplier: DataFrame, share: float = 0.2
+) -> DataFrame:
+    """TPC-H-Q20-shaped nested-threshold semi-join: suppliers who shipped
+    more than ``share`` of some part's total quantity (a dominant source
+    for that part), resolved to supplier names via left-semi.
+
+    Inner aggregate (part, supplier) and part-total aggregate share the
+    l_partkey shuffle; the comparison is exact (sums of integral
+    quantities < 2^53). The supplier table never joins the fact — only the
+    winner keys, as a left-semi.
+    """
+    per_ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("ps_qty").alias("p_qty"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .where(F.col("ps_qty") > F.lit(share) * F.col("p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

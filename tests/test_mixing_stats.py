@@ -1,0 +1,67 @@
+"""Units: domain mixing allocation, corpus stats, Q2-shaped argmin plan."""
+
+from __future__ import annotations
+
+from azure_etl_databricks_sql_powerbi_spark.operators.mixing import (
+    domain_mix_allocation,
+)
+from azure_etl_databricks_sql_powerbi_spark.plans.curation import corpus_stats
+from azure_etl_databricks_sql_powerbi_spark.plans.gold import min_cost_supplier
+
+
+def test_domain_mix_cap_and_share(spark):
+    df = spark.createDataFrame(
+        [("a", 800), ("a", 100), ("b", 80), ("c", 20)],
+        "source string, toks long",
+    )
+    rows = {
+        r["domain"]: r
+        for r in domain_mix_allocation(df, "source", "toks", cap_frac=0.5).collect()
+    }
+    # total = 1000; cap = 500
+    assert rows["a"]["token_count"] == 900
+    assert rows["a"]["alloc_tokens"] == 500 and rows["a"]["capped"] == 1
+    assert rows["b"]["alloc_tokens"] == 80 and rows["b"]["capped"] == 0
+    assert rows["c"]["share"] == 20 / 1000
+    assert rows["a"]["doc_count"] == 2
+
+
+def test_corpus_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "a b c", "en", "s1", 5),  # exact dup
+            (3, "", "de", "s2", 0),  # empty text -> 0 tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 3 and r["n_sources"] == 2 and r["n_langs"] == 2
+    assert r["total_tokens"] == 6 and r["total_chars"] == 10
+    assert r["exact_dup_docs"] == 1
+    assert r["dup_rate"] == 1 / 3
+
+
+def test_min_cost_supplier_ties_resolve_to_lowest_suppkey(spark):
+    lineitem = spark.createDataFrame(
+        [
+            # part 1: suppliers 7 and 3 at identical unit price -> pick 3
+            (1, 7, 2.0, 10.0),
+            (1, 3, 4.0, 20.0),
+            # part 1: supplier 9 cheaper on one line
+            (1, 9, 4.0, 16.0),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "widget", "B", "T", 5, 9.99)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(3, "s3", 0, 1.0), (7, "s7", 0, 1.0), (9, "s9", 0, 1.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    rows = min_cost_supplier(lineitem, part, supplier).collect()
+    assert len(rows) == 1
+    assert rows[0]["s_suppkey"] == 9 and rows[0]["best_unit_price"] == 4.0

@@ -106,6 +106,12 @@ _ALLOWED_FLAGS = {
     "resample_daily_ffill": {"SinglePartitionExchange"},
     "cumulative_distinct_users": {"SinglePartitionExchange"},
     "funnel_conversion": {"SinglePartitionExchange"},  # one-row result
+    # Q11 shape: global revenue threshold is a 1-row aggregate joined as a
+    # broadcast scalar (documented in plans/gold.important_suppliers)
+    "important_suppliers": {"BNLJoin", "SinglePartitionExchange"},
+    "corpus_stats": {"SinglePartitionExchange"},  # one-row data card
+    # 1-row global token total broadcast onto #domains rows (operators/mixing)
+    "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
 }
 
 
