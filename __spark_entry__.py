@@ -991,6 +991,15 @@ def _q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-5 (rows-only: the trained quantizer has no
+    SQL analog; recall vs brute force is asserted in unit tests)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.pq import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (plans/curation.corpus_stats)."""
     from azure_etl_databricks_sql_powerbi_spark.plans.curation import corpus_stats
@@ -1265,6 +1274,7 @@ QUERIES: dict[str, QueryFn] = {
     "part_supplier_breadth": _q_part_supplier_breadth,
     "dominant_shippers": _q_dominant_shippers,
     "corpus_stats": _q_corpus_stats,
+    "ann_pq_topk": _q_ann_pq,
     "domain_mix_allocation": _q_domain_mix,
     "trade_volume_q7": _q_trade_volume,
     "market_share_q8": _q_market_share,

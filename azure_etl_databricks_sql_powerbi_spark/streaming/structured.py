@@ -23,6 +23,7 @@ files, checkpoint, stop — which is also the production pattern for
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -124,3 +125,41 @@ def run_foreach_batch_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (attribution shape): every
+    right event that lands on the same key within ``within`` AFTER a left
+    event — e.g. clicks attributed to impressions.
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + within]``, which is what lets
+    Spark GC join state: a buffered left row can be dropped once the
+    right watermark passes ``left_ts + within``. An unconstrained
+    stream-stream join would buffer both streams forever — the 100 TB/day
+    failure mode this operator exists to avoid.
+
+    Right-side columns are prefixed (``right_prefix``) so the joined
+    schema never collides; output is append-mode eligible (inner join).
+    The batch equivalence (same rows as the identical batch join once both
+    streams drain) is asserted in tests/test_streaming.py.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select([F.col(c).alias(f"{right_prefix}{c}") for c in r.columns])
+    rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(rk)

@@ -193,3 +193,33 @@ def test_lsh_near_pairs_recall(spark, vectors):
     assert approx <= exact
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_pq_recall_on_clusters(spark, vectors):
+    from azure_etl_databricks_sql_powerbi_spark.similarity.pq import (
+        encode_pq,
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
+
+    exact = cosine_topk(vectors, vectors.filter(F.col("vec_id") < 5), k=4)
+    approx = pq_cosine_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") < 5),
+        k=4,
+        m=4,
+        n_centroids=4,
+        sample_size=15,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 3 tight clusters quantized with 4 centroids/subspace: same-cluster
+    # vectors share codes, so their ADC scores dominate
+    assert recall >= 0.9, f"PQ recall too low: {recall}"
+    # codes are deterministic given the seed, and one byte per subspace
+    books = train_pq_codebooks(vectors, m=4, k=4, sample_size=15)
+    c1 = encode_pq(vectors, books).select("vec_id", "pq_code").collect()
+    c2 = encode_pq(vectors, books).select("vec_id", "pq_code").collect()
+    assert sorted(map(str, c1)) == sorted(map(str, c2))
+    assert all(len(r.pq_code) == 4 for r in c1)

@@ -171,3 +171,45 @@ def test_stream_upsert_replay_equals_batch(spark, tmp_path):
         .dropDuplicates(["event_id"])
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (clicks within 1h after a
+    view on the same user) emits exactly the rows of the identical batch
+    join once both streams drain."""
+    views_s = structured.stream_files(spark, events_dir, EVENTS_SCHEMA).where(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "event_id")
+    clicks_s = structured.stream_files(spark, events_dir, EVENTS_SCHEMA).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    joined = structured.stream_stream_interval_join(
+        views_s, clicks_s, key="user_id", left_ts="ts", right_ts="ts",
+        within="1 hour", watermark="2 hours",
+    )
+    structured.run_to_memory(joined, "ssj_out")
+    got = {
+        tuple(r)
+        for r in spark.table("ssj_out")
+        .select("user_id", "event_id", "r_event_id")
+        .collect()
+    }
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), "event_id"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    batch = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 hour")),
+    )
+    want = {
+        tuple(r) for r in batch.select("user_id", "event_id", "cid").collect()
+    }
+    assert got == want and len(want) > 0
