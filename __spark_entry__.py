@@ -1201,6 +1201,68 @@ def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_share(docs, n=2)
 
 
+def _q_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.revenue_change_q6(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.product_profit_q9(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.returned_items_q10(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_priority_line_health_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.priority_line_health_q12(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.promo_revenue_q14(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.stats_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import rank_distribution
+
+    return rank_distribution(
+        load_table(spark, sf_dir, "orders"),
+        partition_by=["o_orderstatus"],
+        order_by="o_totalprice",
+        keys=["o_orderkey"],
+    )
+
+
+def _q_dedup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup over the corpus: 10-token chunks,
+    first occurrence (lowest doc_id, span_idx) wins corpus-wide, docs
+    reassembled from surviving spans (dedup/lines.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import dedup_corpus_spans
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dedup_corpus_spans(docs, chunk_tokens=10)
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -1285,6 +1347,14 @@ QUERIES: dict[str, QueryFn] = {
     "price_histogram": _q_price_histogram,
     "approx_percentiles_by_status": _q_approx_percentiles,
     "repetition_ratio_docs": _q_repetition_ratio,
+    "revenue_change_q6": _q_revenue_change_q6,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "priority_line_health_q12": _q_priority_line_health_q12,
+    "promo_revenue_q14": _q_promo_revenue_q14,
+    "stats_profile_lineitem": _q_stats_profile,
+    "order_rank_distribution": _q_order_rank_distribution,
+    "dedup_spans_docs": _q_dedup_spans_docs,
 }
 
 
@@ -2377,6 +2447,103 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1
         ORDER BY 1
+    """,
+    "revenue_change_q6": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "product_profit_q9": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "returned_items_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "priority_line_health_q12": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "promo_revenue_q14": """
+        SELECT ROUND(
+                 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)), 4
+               ) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    "stats_profile_lineitem": """
+        SELECT l_returnflag,
+               COUNT(*)                                         AS n_lines,
+               ROUND(corr(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               ROUND(stddev_samp(l_extendedprice), 4)           AS price_stddev,
+               ROUND(var_samp(l_quantity), 4)                   AS qty_var
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "order_rank_distribution": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6)    AS cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC)
+    """,
+    "dedup_spans_docs": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents WHERE LENGTH(TRIM(text)) > 0
+        ), spans AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ') AS span
+            FROM toks,
+                 LATERAL unnest(range(0, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS u(i)
+        ), ranked AS (
+            SELECT doc_id, span_idx, span,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY span ORDER BY doc_id, span_idx
+                   ) AS rn
+            FROM spans
+        )
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id
     """,
 }
 

@@ -89,3 +89,24 @@ def running_agg(
     )
     fn = getattr(F, func)
     return df.withColumn(out_col, fn(F.col(agg_col)).over(w))
+
+
+def rank_distribution(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """percent_rank + cume_dist of ``order_by`` within each partition
+    (W2 analytic surface): where does each row sit in its group's
+    distribution? One shuffle on the partition keys; the in-partition sort
+    is local. ``keys`` are the identifying columns carried through.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(F.col(order_by).asc())
+    return df.select(
+        *keys,
+        *partition_by,
+        F.col(order_by),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )

@@ -540,3 +540,202 @@ def dominant_shippers(
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def revenue_change_q6(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue-change: one filtered scan, one
+    global sum. Every predicate (shipdate range, discount band, quantity
+    cap) sits directly on the parquet scan, so pushdown + min/max row-group
+    skipping bound the IO; the aggregate is a single map-side partial sum
+    with a 1-row exchange. The cheapest possible plan shape at 100 TB.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def product_profit_q9(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+    cost_ratio: float = 0.1,
+) -> DataFrame:
+    """TPC-H-Q9-shaped product-profit by nation and year.
+
+    Adaptation (testdata has no partsupp/ps_supplycost): supply cost is
+    modeled as ``cost_ratio * p_retailprice * l_quantity``, keeping Q9's
+    structure — fact joined to a *filtered* part dim (name contains a
+    token), supplier -> nation for the grouping key, orders for the year.
+    part/supplier/nation broadcast; the part filter prunes the fact rows
+    early (join-side filter, not post-aggregate). One shuffle for the
+    (nation, year) aggregate.
+    """
+    profit = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_token))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(cost_ratio) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def returned_items_q10(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-k customers by revenue
+    lost to returns in one quarter.
+
+    The orders date filter is pushed to the orders scan (one quarter of
+    orders joins the fact, not seven years); the returnflag filter is
+    pushed to the lineitem scan. customer/nation broadcast. Top-k is
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def priority_line_health_q12(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H-Q12-shaped conditional-count join (adapted: testdata has no
+    l_shipmode/l_receiptdate, so the grouping key is l_linestatus and the
+    'late' window is the shipdate year).
+
+    Structure preserved from Q12: fact filtered on a date range, joined to
+    orders, and per group a CASE-conditional count splits critical
+    (1-URGENT/2-HIGH) from other priorities — map-side partial aggregation
+    of two counters per group, one tiny shuffle.
+    """
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def promo_revenue_q14(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: percentage of one month's
+    revenue coming from PROMO-type parts.
+
+    Date filter pushed to the fact scan (one month of lineitem), part
+    broadcast, both the conditional and total sums computed in ONE
+    aggregate pass (no second scan, no self-join).
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def stats_profile(lineitem: DataFrame) -> DataFrame:
+    """Statistical profile of the fact table per return flag: sample
+    correlation / covariance / stddev / variance of quantity vs price.
+
+    All five moments come out of ONE hash-aggregate pass (Spark computes
+    them as streaming moment accumulators with map-side partials) — a
+    single scan + tiny shuffle regardless of fact size. Definitions are
+    the sample (n-1) variants, matching DuckDB/ANSI corr/covar_samp/
+    stddev_samp/var_samp bit-for-bit at double precision.
+    """
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )

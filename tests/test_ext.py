@@ -223,3 +223,57 @@ def test_pq_recall_on_clusters(spark, vectors):
     c2 = encode_pq(vectors, books).select("vec_id", "pq_code").collect()
     assert sorted(map(str, c1)) == sorted(map(str, c2))
     assert all(len(r.pq_code) == 4 for r in c1)
+
+
+# ------------------------------------------------------------- span dedup
+
+
+def test_span_dedup_removes_cross_doc_duplicates(spark):
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import dedup_corpus_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # original line
+            (2, "alpha beta gamma"),          # exact duplicate doc -> vanishes
+            (3, "delta epsilon\nalpha beta gamma"),  # 2nd line duplicated
+            (4, "unique words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_corpus_spans(docs, line_sep="\n").collect()
+    }
+    assert out == {
+        1: "alpha beta gamma",
+        3: "delta epsilon",
+        4: "unique words here",
+    }  # doc 2 fully deduplicated away; doc 3 keeps only its novel line
+
+
+def test_span_dedup_first_seen_within_doc(spark):
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import dedup_corpus_spans
+
+    docs = spark.createDataFrame(
+        [(7, "x y\nz w\nx y")], ["doc_id", "text"]
+    )  # repeated line inside ONE doc: keep first occurrence only
+    [row] = dedup_corpus_spans(docs, line_sep="\n").collect()
+    assert row.text == "x y z w"
+
+
+def test_span_dedup_chunk_mode_splits_and_reassembles(spark):
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import (
+        dedup_corpus_spans,
+        explode_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    spans = explode_spans(docs, chunk_tokens=10).collect()
+    # 25 tokens -> chunks of 10/10/5; empty + whitespace docs -> no spans
+    assert sorted((r.doc_id, r.span_idx) for r in spans) == [(1, 0), (1, 1), (1, 2)]
+    assert [r.span for r in spans if r.span_idx == 2][0] == "t20 t21 t22 t23 t24"
+    out = dedup_corpus_spans(docs, chunk_tokens=10).collect()
+    assert len(out) == 1 and out[0].text == " ".join(f"t{i}" for i in range(25))

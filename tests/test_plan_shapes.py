@@ -112,6 +112,8 @@ _ALLOWED_FLAGS = {
     "corpus_stats": {"SinglePartitionExchange"},  # one-row data card
     # 1-row global token total broadcast onto #domains rows (operators/mixing)
     "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
+    "revenue_change_q6": {"SinglePartitionExchange"},  # one-row result
+    "promo_revenue_q14": {"SinglePartitionExchange"},  # one-row result
 }
 
 
