@@ -1263,6 +1263,27 @@ def _q_dedup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus_spans(docs, chunk_tokens=10)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: k-means
+    cells -> within-cell cosine pairs -> keep lowest id per duplicate
+    pair. Rows-only by design (k-means assignment has no SQL oracle);
+    keep-one-per-planted-cluster semantics unit-tested in test_ext.py.
+
+    Threshold 0.45, not the paper's ~0.95 design point: the synthetic
+    embeddings are near-orthogonal (max pair cosine ~0.51 at sf0.01 —
+    same corpus property documented for embedding_near_pairs_lsh), so
+    0.95 would be a no-op demo. At 0.45 the operator demonstrably drops
+    the near-pairs that share a cell."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.45, nlist=16)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -1355,6 +1376,7 @@ QUERIES: dict[str, QueryFn] = {
     "stats_profile_lineitem": _q_stats_profile,
     "order_rank_distribution": _q_order_rank_distribution,
     "dedup_spans_docs": _q_dedup_spans_docs,
+    "semantic_dedup_embeddings": _q_semantic_dedup,
 }
 
 

@@ -1,0 +1,107 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): k-means-cluster the corpus
+embeddings, compute pairwise cosine only WITHIN each cluster, and drop
+all but one member of every semantic-duplicate pair above a threshold.
+The clustering is what makes it tractable — candidate pairs are bounded
+by cell population, never corpus², and cells are independent units of
+work that parallelize across any cluster width.
+
+Spark shape here:
+
+1. centroids come from ``similarity.ivf.train_centroids`` (driver-side
+   k-means on a bounded sample — KBs of state),
+2. cell assignment is the same Arrow-batched matmul ``assign_cells``
+   (one numpy GEMM per batch),
+3. within-cell pairs via a self-equi-join on ``cell`` with ``id_a <
+   id_b`` (a hash join whose build side is one cell's members), cosine
+   scored JVM-side (``functions.vectors.cosine`` — zip_with/aggregate,
+   codegen), and a ``max_cell`` guard caps degenerate cells exactly like
+   the LSH buckets in ``dedup/minhash.py``,
+4. the keep rule is deterministic: a vector survives unless it pairs
+   above-threshold with a LOWER id in its cell (SemDeDup keeps one
+   arbitrary member per duplicate pair; lowest-id is our arbitrary-but-
+   reproducible choice). Survivors = corpus left-anti-join dropped ids.
+
+No SQL oracle exists (k-means assignment is not SQL-expressible);
+correctness is unit-tested on planted duplicate clusters
+(tests/test_ext.py) and the contract query is rows-only by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
+from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+    assign_cells,
+    train_centroids,
+)
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 10_000,
+) -> DataFrame:
+    """Within-cell pairs with cosine >= threshold: ``(id_a, id_b,
+    cosine_sim)``, id_a < id_b. Cells larger than ``max_cell`` are
+    dropped with the same rationale as minhash's bucket cap: a cell that
+    big means the centroids under-fit, and quadratic work inside it would
+    dominate the job; re-train with larger nlist instead.
+    """
+    cells = assign_cells(
+        df.select(id_col, vec_col), centroids, vec_col, nprobe=1
+    )
+    # cell population guard: one tiny aggregate on (cell), broadcast back
+    pop = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    bounded = cells.join(
+        F.broadcast(pop.filter(F.col("__n") <= max_cell)), "cell"
+    ).drop("__n")
+    a = bounded.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = bounded.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine("__va", "__vb"))
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cosine_sim"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    max_cell: int = 10_000,
+) -> DataFrame:
+    """End-to-end SemDeDup: returns the surviving rows of ``df`` (all
+    columns), having dropped every vector that is a semantic duplicate
+    (cosine >= threshold, same cell) of a lower-id vector.
+    """
+    cents = train_centroids(
+        df, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    pairs = semantic_dup_pairs(
+        df, cents, threshold, id_col, vec_col, max_cell
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

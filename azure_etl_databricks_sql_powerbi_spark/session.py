@@ -32,6 +32,12 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Keep parquet scans splittable around executor memory at target SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Runtime semi-join (bloom) filters: a selective dim-side predicate
+    # injects a bloom filter into the fact scan of shuffle joins, cutting
+    # shuffle input before the exchange — at 100 TB this is the difference
+    # between shuffling the lake and shuffling the match set. (Plan shape
+    # guarded in tests/test_plan_shapes.py::test_runtime_bloom_filter.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Timestamps as TIMESTAMP (not TIMESTAMP_NTZ) to match testdata parquet.
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

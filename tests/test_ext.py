@@ -277,3 +277,40 @@ def test_span_dedup_chunk_mode_splits_and_reassembles(spark):
     assert [r.span for r in spans if r.span_idx == 2][0] == "t20 t21 t22 t23 t24"
     out = dedup_corpus_spans(docs, chunk_tokens=10).collect()
     assert len(out) == 1 and out[0].text == " ".join(f"t{i}" for i in range(25))
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark, vectors):
+    """3 planted clusters of 5 near-identical vectors: SemDeDup at 0.99
+    must keep exactly the lowest id of each cluster and all pairs must be
+    intra-cluster."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import train_centroids
+
+    survivors = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            vectors, threshold=0.99, nlist=3, sample_size=15
+        ).collect()
+    )
+    assert survivors == [0, 5, 10]
+
+    cents = train_centroids(vectors, nlist=3, sample_size=15)
+    pairs = semantic_dup_pairs(vectors, cents, threshold=0.99).collect()
+    assert len(pairs) == 3 * 10  # C(5,2) per cluster
+    assert all(r.id_a // 5 == r.id_b // 5 for r in pairs)
+
+
+def test_semantic_dedup_max_cell_guard(spark, vectors):
+    """A max_cell below the cell population must drop those cells from
+    pair generation entirely (no quadratic blowup on degenerate cells)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dup_pairs
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import train_centroids
+
+    cents = train_centroids(vectors, nlist=3, sample_size=15)
+    assert semantic_dup_pairs(vectors, cents, threshold=0.5, max_cell=4).count() == 0

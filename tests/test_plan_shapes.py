@@ -207,3 +207,41 @@ def test_small_qty_join_prunes_fact_first(spark, entry):
     # brand equality is evaluated at the part scan (DataFilters), not after
     # the join
     assert re.search(r"p_brand#\d+ = Brand#12", plan)
+
+
+def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark):
+    """Scale posture: with a selective dim-side predicate on a shuffle
+    join, the optimizer must inject a runtime bloom filter
+    (bloom_filter_agg on the dim, might_contain on the fact scan) so the
+    fact side is pruned BEFORE the exchange. Size thresholds are forced
+    because the local test tables are far below the 10 GB application-side
+    default; the conf itself ships enabled in session.get_spark."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
