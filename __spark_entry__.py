@@ -1284,6 +1284,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import (
+        full_curation_pipeline,
+    )
+
+    return full_curation_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -1377,6 +1385,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_rank_distribution": _q_order_rank_distribution,
     "dedup_spans_docs": _q_dedup_spans_docs,
     "semantic_dedup_embeddings": _q_semantic_dedup,
+    "full_curation_pipeline": _q_full_curation,
 }
 
 
@@ -2546,6 +2555,111 @@ ORACLES: dict[str, str] = {
                ROUND(CUME_DIST() OVER w, 6)    AS cume_dist
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC)
+    """,
+    "full_curation_pipeline": r"""
+        WITH feat AS (
+            SELECT doc_id, text,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+                   END AS n_tokens,
+                   LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / GREATEST(LENGTH(text), 1) AS praw,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('the','and','of','to','in','is','you','that','it','for')))
+                   END AS en,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('el','la','de','que','y','en','un','los','se','no')))
+                   END AS es,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('der','die','und','in','den','von','zu','das','mit','sich')))
+                   END AS de,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                             x -> lower(x) IN ('le','la','de','et','les','des','en','un','du','une')))
+                   END AS fr,
+                   md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+            FROM documents WHERE source <> 'src0'
+        ), scored AS (
+            SELECT doc_id, text, fp,
+                   CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                        WHEN es >= de AND es >= fr THEN 'es'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang,
+                   ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
+                         + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                         + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+            FROM feat
+        ), deduped AS (
+            SELECT doc_id, text
+            FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM scored
+                WHERE pred_lang = 'en' AND quality >= 0.5
+            ) WHERE rn = 1
+        ), gramlists AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM deduped
+        ), bench_toks AS (
+            SELECT string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents WHERE source = 'src0'
+        ), bench AS (
+            SELECT DISTINCT g FROM (
+                SELECT CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                            ELSE [array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)]
+                       END AS gs
+                FROM bench_toks
+            ), UNNEST(gs) AS u(g)
+        ), doc_grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                            ELSE [array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)]
+                       END AS gs
+                FROM gramlists
+            ), UNNEST(gs) AS u(g)
+        ), contam AS (
+            SELECT d.doc_id,
+                   COUNT(*)   AS total_ngrams,
+                   COUNT(b.g) AS matched_ngrams
+            FROM doc_grams d LEFT JOIN bench b USING (g)
+            GROUP BY d.doc_id
+        ), clean AS (
+            SELECT dd.doc_id, dd.text
+            FROM deduped dd JOIN contam c USING (doc_id)
+            WHERE c.matched_ngrams / c.total_ngrams < 0.8
+        ), ctoks AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM clean WHERE LENGTH(TRIM(text)) > 0
+        ), spans AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ') AS span
+            FROM ctoks,
+                 LATERAL unnest(range(0, CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS u(i)
+        ), ranked AS (
+            SELECT doc_id, span_idx, span,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY span ORDER BY doc_id, span_idx
+                   ) AS rn
+            FROM spans
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT)
+                         % 10000 < 9000 THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT)
+                         % 10000 < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               text
+        FROM rebuilt
     """,
     "dedup_spans_docs": r"""
         WITH toks AS (

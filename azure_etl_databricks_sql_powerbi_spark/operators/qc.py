@@ -127,3 +127,62 @@ def qc_gate(df: DataFrame, checks: list[_AggCheck]) -> DataFrame:
         summary = "; ".join(f"{r.check_name} ({r.detail})" for r in failed)
         raise ValueError(f"QC gate failed: {summary}")
     return df
+
+
+def attach_observed_checks(
+    df: DataFrame, checks: list[_AggCheck], name: str = "qc"
+):
+    """Zero-extra-pass QC: attach the checks to ``df`` as an
+    ``Observation`` so their aggregates are computed AS A SIDE EFFECT of
+    whatever action consumes the plan (typically the gold write), instead
+    of ``run_checks``'s separate aggregate job over the data.
+
+    At 100 TB the difference is one full scan: ``run_checks`` re-reads the
+    table to aggregate; an observation folds the same partial aggregates
+    into the tasks the write already runs, shipping a handful of numbers
+    to the driver with the task results.
+
+    Returns ``(observed_df, finish)`` — run your action on ``observed_df``
+    (write, count, foreach), then call ``finish()`` for the
+    ``list[CheckResult]``. ``finish`` blocks until the action completes;
+    missing-column checks fail at plan time exactly like ``run_checks``.
+
+    One carve-out: Spark rejects DISTINCT aggregates in observed metrics
+    (INVALID_OBSERVED_METRICS), so ``check_unique_key`` checks can't ride
+    the action — they run as a ``run_checks`` pass of their own inside
+    ``finish()``. Everything else (counts, null rates, freshness) is
+    observed at zero extra cost.
+    """
+    from pyspark.sql import Observation
+
+    results: dict[int, CheckResult] = {}
+    live: list[tuple[int, _AggCheck]] = []
+    fallback: list[tuple[int, _AggCheck]] = []
+    for i, chk in enumerate(checks):
+        needed = _referenced_column(chk)
+        if needed is not None and needed not in df.columns:
+            results[i] = CheckResult(chk.name, False, f"column '{needed}' missing")
+        elif chk.name.startswith("unique_key:"):
+            fallback.append((i, chk))
+        else:
+            live.append((i, chk))
+
+    if live:
+        obs = Observation(name)
+        observed = df.observe(obs, *[chk.agg.alias(f"c{i}") for i, chk in live])
+    else:
+        obs, observed = None, df
+
+    def finish() -> list[CheckResult]:
+        if obs is not None:
+            got = obs.get  # blocks until the consuming action finishes
+            for i, chk in live:
+                results[i] = _evaluate(chk, got[f"c{i}"])
+        if fallback:
+            for (i, _), res in zip(
+                fallback, run_checks(df, [chk for _, chk in fallback])
+            ):
+                results[i] = res
+        return [results[i] for i in range(len(checks))]
+
+    return observed, finish

@@ -73,3 +73,74 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         (F.col("exact_dup_docs") / F.col("n_docs")).alias("dup_rate"),
     )
+
+
+def full_curation_pipeline(
+    docs: DataFrame,
+    benchmark_source: str = "src0",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    contam_n: int = 3,
+    contam_threshold: float = 0.8,
+    chunk_tokens: int = 10,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete training-data curation chain in one declarative plan:
+
+        raw docs (minus the benchmark slice)
+          -> language gate + quality gate           [one projection pass]
+          -> exact dedup (min-id per content fp)    [1 shuffle: fp window]
+          -> benchmark decontamination              [broadcast gram set]
+          -> C4-style span dedup + text rebuild     [2 long-key shuffles]
+          -> deterministic content-hash split       [map-side, 0 shuffles]
+
+    Output: ``(doc_id, split, text)`` — the records a tokenizer would
+    consume. Composition stays lazy end-to-end: Catalyst fuses the gates
+    into the first scan, and each stage's shuffle keys are ids/hashes,
+    never full text (text rides the doc rows exactly twice — into the
+    span explode and out of the reassembly).
+
+    Every stage is individually oracle-checked by its own contract query
+    (curate_documents, decontaminate_docs, dedup_spans_docs,
+    dataset_split_summary); this query oracle-checks their COMPOSITION —
+    the end-to-end row set a user of the reference's pipeline-runner
+    pattern (run_all_local.py:17-22) would get.
+    """
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import decontaminate
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import dedup_corpus_spans
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bench = docs.filter(F.col("source") == benchmark_source)
+    train = docs.filter(F.col("source") != benchmark_source)
+
+    featured = spread(train).select(
+        F.col(id_col),
+        F.col(text_col),
+        T.lang_id(text_col).alias("pred_lang"),
+        T.quality_score(text_col).alias("quality"),
+        T.fingerprint_md5(text_col).alias("fp"),
+    )
+    gated = featured.filter(
+        (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, text_col)
+    )
+    clean = decontaminate(
+        deduped, bench, n=contam_n, threshold=contam_threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    rebuilt = dedup_corpus_spans(
+        clean, text_col=text_col, id_col=id_col, chunk_tokens=chunk_tokens
+    )
+    return deterministic_split(rebuilt, on="text", weights=weights).select(
+        "doc_id", "split", "text"
+    )

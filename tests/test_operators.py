@@ -257,3 +257,39 @@ def test_merge_upsert_auto_broadcast_modes(spark):
     assert "BroadcastHashJoin" in plans["auto"]  # tiny probe -> broadcast
     assert "BroadcastHashJoin" in plans["True"]
     assert results["auto"] == results["True"] == results["False"]
+
+
+def test_observed_qc_matches_run_checks(spark, tmp_path):
+    """attach_observed_checks must produce the SAME results as run_checks
+    while piggybacking on the consuming action (a write) instead of a
+    second scan; missing-column checks still fail at plan time."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import attach_observed_checks
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (2, "c", "y")], "id long, v string, n string"
+    )
+    checks = [
+        check_min_rows(2),
+        check_min_rows(10),
+        check_non_null("n", max_null_rate=0.5),
+        check_non_null("missing_col"),
+        check_unique_key("id"),
+    ]
+    observed, finish = attach_observed_checks(df, checks)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = finish()
+    want = run_checks(df, checks)
+    assert [(r.check_name, r.passed) for r in got] == [
+        (r.check_name, r.passed) for r in want
+    ]
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_observed_qc_all_missing_columns(spark):
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import attach_observed_checks
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out, finish = attach_observed_checks(df, [check_non_null("nope")])
+    assert out is df  # no observation attached when nothing is live
+    [r] = finish()
+    assert not r.passed and "missing" in r.detail

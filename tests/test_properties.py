@@ -125,3 +125,46 @@ def test_conform_tolerates_any_column_drift(spark, drop):
         assert row["c_name"] == "ann"
     else:
         assert row["c_name"] is None
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(doc_lines=docs_strategy)
+@settings(**SETTINGS)
+def test_span_dedup_invariants(spark, doc_lines):
+    """For ANY corpus: (1) surviving spans are globally unique, (2) every
+    distinct input span survives exactly once, (3) the survivor of each
+    span is its first occurrence (lowest doc_id, then span_idx)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.lines import (
+        dedup_spans_global,
+        explode_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)],
+        ["doc_id", "text"],
+    )
+    spans = explode_spans(docs, line_sep="\n")
+    kept = dedup_spans_global(spans).collect()
+
+    kept_spans = [r.span for r in kept]
+    assert len(kept_spans) == len(set(kept_spans))  # globally unique
+
+    all_spans = {s for lines in doc_lines for s in lines}
+    assert set(kept_spans) == all_spans  # nothing lost, nothing invented
+
+    first = {}
+    for i, lines in enumerate(doc_lines):
+        for j, s in enumerate(lines):
+            if s not in first:
+                first[s] = (i, j)
+    assert {(r.doc_id, r.span_idx) for r in kept} == set(first.values())
