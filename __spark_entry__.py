@@ -1292,6 +1292,52 @@ def _q_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def _q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas merge_asof surface): each
+    event picks the customer's NEXT order (o_orderdate >= ts) but only
+    within 30 days — farther matches null out. Same union + sorted-window
+    shape as the backward join (one shuffle), direction flips the window
+    frame, tolerance is a post-carry projection."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import asof_join
+    from azure_etl_databricks_sql_powerbi_spark.operators.dedup import latest_per_key
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = latest_per_key(
+        load_table(spark, sf_dir, "orders"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        tiebreak=[],
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    return asof_join(
+        events.withColumn("o_custkey", F.col("user_id")),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        tolerance_seconds=30 * 86400,
+    ).select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+
+
+def _q_payments_decimal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money rollup on the DecimalType(18,2) payments contract
+    (plans/medallion.PAYMENTS_DECIMAL_CONTRACT): decimal sums are exact
+    integers-of-cents — hash-identical across engines with NO rounding,
+    unlike the double path which must round at the edge."""
+    silver = medallion.clean_payments_decimal(load_table(spark, sf_dir, "events"))
+    return (
+        silver.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.sum("value").cast("decimal(18,2)").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _q_pricing_summary,
     "dim_customers": _q_dim_customers,
@@ -1386,6 +1432,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_spans_docs": _q_dedup_spans_docs,
     "semantic_dedup_embeddings": _q_semantic_dedup,
     "full_curation_pipeline": _q_full_curation,
+    "asof_forward_tolerance": _q_asof_forward_tolerance,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
 }
 
 
@@ -1715,6 +1763,36 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN o
           ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+    """,
+    "payments_decimal_rollup": """
+        SELECT event_type,
+               COUNT(*) AS n_payments,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS total_value,
+               MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
+               MAX(CAST(value AS DECIMAL(18,2))) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "asof_forward_tolerance": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) = 1
+        )
+        SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+               o.o_orderkey, o.o_totalprice
+        FROM events e
+        LEFT JOIN o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+         AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP) + INTERVAL 30 DAY
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.event_id ORDER BY o.o_orderdate ASC
+        ) = 1
     """,
     "range_join_business_hours": """
         WITH days AS (

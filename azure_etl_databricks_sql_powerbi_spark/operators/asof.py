@@ -25,25 +25,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key (nulls when no such
-    row). Ties on timestamp resolve to the right row (right sorts first at
-    equal ts, so an equal-time right row IS visible to the left row —
-    DuckDB ``ASOF JOIN``'s >= semantics).
+    """Generalized as-of join (the pandas ``merge_asof`` surface).
+
+    For every left row, attach within the same ``on`` key:
+
+    - ``direction="backward"``: the LATEST right row with
+      ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN`` >= semantics),
+    - ``direction="forward"``: the EARLIEST right row with
+      ``right_ts >= left_ts``.
+
+    Ties on timestamp resolve to the right row (an equal-time right row
+    IS visible in both directions). ``tolerance_seconds`` bounds the
+    match: a carried right row farther than the tolerance from
+    ``left_ts`` is nulled out (exactly pandas' ``tolerance``), computed
+    post-carry as a cheap per-row projection — the window shape and
+    shuffle count don't change.
+
+    Scale shape: union + sorted window = ONE shuffle on the key, each
+    key's timeline processed in one sorted pass; no non-equi join, no
+    per-left-row subquery.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__is_l", F.lit(1))
     # SQL ASOF/equi-join semantics: NULL keys never match, and a NULL
-    # right_ts can't satisfy right_ts <= left_ts. Without this filter the
+    # right_ts can't satisfy the inequality. Without this filter the
     # window (partitioned by key) would group null-keyed right rows with
     # null-keyed left rows and carry them forward — a match SQL never makes.
     # Null-keyed LEFT rows are preserved (with null right columns), as in a
@@ -58,25 +76,59 @@ def asof_join_backward(
         .withColumn("__is_l", F.lit(0))
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    carry_cols = [*right_cols, "__m"]  # __m = the matched right timestamp
+    unioned = unioned.withColumn(
+        "__r___m", F.when(F.col("__is_l") == 0, F.col("__t"))
+    )
 
-    # right rows (__is_l=0) sort before left rows at equal __t => inclusive
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left at equal __t => inclusive; carry the
+        # most recent right value forward
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # right rows sort AFTER left at equal __t => inclusive; take the
+        # next right value looking forward
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__is_l").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
+        "*", *[carry(f"__r_{c}").alias(f"__c_{c}") for c in carry_cols]
     )
-    out = carried.filter(F.col("__is_l") == 1).select(
-        *left.columns,
-        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
-    )
-    return out
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(
+                F.unix_timestamp(F.col("__c___m")) - F.unix_timestamp(F.col("__t"))
+            )
+            <= tolerance_seconds
+        )
+        out_cols = [
+            F.when(within, F.col(f"__c_{c}")).alias(c) for c in right_cols
+        ]
+    else:
+        out_cols = [F.col(f"__c_{c}").alias(c) for c in right_cols]
+    return carried.filter(F.col("__is_l") == 1).select(*left.columns, *out_cols)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join (see ``asof_join``; kept as the stable name the
+    rest of the engine and tests use)."""
+    return asof_join(left, right, on, left_ts, right_ts, right_cols, "backward")
 
 
 def range_join_buckets(

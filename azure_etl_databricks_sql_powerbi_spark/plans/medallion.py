@@ -47,6 +47,31 @@ PAYMENTS_CONTRACT = Contract(
 )
 
 
+# Decimal-money variant of the payments contract (SURVEY.md §1.2: the
+# reference chooses double for currency — run_transform.py:68 — which we
+# match by default; DecimalType(18,2) is the offered exact-money option:
+# sums are exact integers-of-cents, immune to float summation order, the
+# right choice when the fact feeds a ledger instead of a dashboard).
+PAYMENTS_DECIMAL_CONTRACT = Contract(
+    columns=(
+        ColumnSpec("event_id", "bigint", required=True),
+        ColumnSpec("ts", "timestamp"),
+        ColumnSpec("user_id", "bigint"),
+        ColumnSpec("event_type", "string"),
+        ColumnSpec("value", "decimal(18,2)"),
+    )
+)
+
+
+def clean_payments_decimal(
+    bronze: DataFrame, audit_ts: str | None = TEST_AUDIT_TS
+) -> DataFrame:
+    """events bronze -> silver payments-fact with exact decimal money."""
+    return conform(
+        dedupe_exact(bronze, ["event_id"]), PAYMENTS_DECIMAL_CONTRACT, audit_ts
+    )
+
+
 def clean_customers(bronze: DataFrame, audit_ts: str | None = TEST_AUDIT_TS) -> DataFrame:
     """customer bronze -> silver: key-dedup then drift-tolerant conform."""
     return conform(dedupe_exact(bronze, ["c_custkey"]), CUSTOMERS_CONTRACT, audit_ts)

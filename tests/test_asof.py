@@ -123,3 +123,53 @@ def test_asof_null_keys_never_match(spark):
         for r in asof_join_backward(left, right, on="k", left_ts="ts", right_ts="rts").collect()
     }
     assert out == {1: None, 2: "a"}
+
+
+def test_asof_forward_picks_next_and_is_inclusive(spark):
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05 00:00:00")),  # exact-equal right exists
+            (2, 10, _ts("2024-01-06 00:00:00")),  # next is Jan 10
+            (3, 10, _ts("2024-02-01 00:00:00")),  # nothing after
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), "early"),
+            (10, _ts("2024-01-05 00:00:00"), "equal"),
+            (10, _ts("2024-01-10 00:00:00"), "late"),
+        ],
+        "k long, rts timestamp, val string",
+    )
+    out = {
+        r["event_id"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    assert out == {1: "equal", 2: "late", 3: None}
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05 00:00:00")), (2, 10, _ts("2024-03-01 00:00:00"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), "a")], "k long, rts timestamp, val string"
+    )
+    # backward: event 1 is 4 days after the right row (within 7d), event 2
+    # is ~2 months after (outside) -> nulled
+    out = {
+        r["event_id"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="backward", tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert out == {1: "a", 2: None}
