@@ -541,23 +541,44 @@ def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _plant_near_dups(emb: DataFrame, every: int = 10, jitter: float = 0.18) -> DataFrame:
+    """Append a deterministic near-duplicate copy of every ``every``-th
+    vector, entirely in-plan: copy vec_id = original + 1_000_000, each
+    component scaled by ``1 + jitter*sin(31*vec_id + 7*i)`` (a fixed
+    pseudo-random perturbation — no RNG, reproducible across runs/sf).
+    With jitter 0.18 the copy's cosine to its original is ~0.99, far above
+    a realistic 0.92 near-dup threshold, while the untouched corpus stays
+    near-orthogonal (max pairwise cosine ~0.6) — so dedup/LSH contract
+    queries get a real operating point where buckets/cells actually prune."""
+    src = emb.filter((F.col("vec_id") % every) == 0)
+    copies = src.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x * (1.0 + jitter * F.sin(F.col("vec_id") * 31 + i * 7))
+            ).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return emb.unionByName(copies)
+
+
 def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (scale path; rows-only — every
-    emitted pair is exact-verified so precision is 1.0 by construction,
-    recall vs brute force is unit-tested on planted clusters). Operating
-    point: threshold 0.45 at 5 bits x 6 tables -> SRP collision prob
-    p_bit=0.648, per-table 0.114, >=1-of-6 = 0.52 design recall (see
-    lsh.expected_collision_prob). The loose threshold is forced by this
-    testdata: its embeddings are near-orthogonal (max pairwise cosine
-    ~0.6), so a genuine near-dup threshold would emit nothing to check —
-    and at 0.45 LSH cannot prune much by construction (candidates ~40% of
-    all pairs). At the operator's real design point (>=0.9 cosine) the
-    SAME config gives p_bit=0.856, recall 1-(1-0.46)^6 = 0.98 with tiny
-    buckets — that regime is what the planted-cluster unit test checks."""
+    """LSH-bucketed embedding near-dup pairs at the operator's REAL design
+    point: deterministic planted near-dups (see _plant_near_dups; cosine
+    ~0.99 to their originals) over the otherwise near-orthogonal corpus,
+    threshold 0.92, 8 bits x 8 tables. SRP analytics at cos 0.99:
+    p_bit=0.955, per-table 0.955^8=0.69, >=1-of-8 recall 1-(0.31)^8 >
+    0.9999 (lsh.expected_collision_prob) — while a random near-orthogonal
+    pair collides with prob 1-(1-2^-8)^8 ~ 3.1%, so candidate pairs stay
+    <5% of all pairs (asserted in tests/test_ext.py). Rows-only — emitted
+    pairs are exact-verified so precision is 1.0 by construction; recall
+    is unit-tested."""
     from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_pairs(emb, threshold=0.45, n_bits=5, n_tables=6)
+    emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
+    return lsh_near_pairs(emb, threshold=0.92, n_bits=8, n_tables=8)
 
 
 def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,6 +891,45 @@ def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.drop("ts"), target, keys=["event_id"], checkpoint=ck
     )
     return spark.read.parquet(target)
+
+
+def _q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 stateful operator under a real streaming drain, with a SQL
+    oracle: events re-landed as arrival files, streamed through
+    ``applyInPandasWithState`` running per-key (count, sum) state
+    (streaming/stateful.py), drained with availableNow into a memory
+    sink. The LAST update emitted per key is the final state, which by
+    construction equals the batch ``GROUP BY user_id`` — so this custom
+    stateful operator gets a driver-checked green row, not rows-only.
+    Eviction/bounded-state semantics are covered by the sessionize
+    operator's test (test_streaming.py::test_sessionize_bounded_state)."""
+    import os
+    import tempfile
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+    from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import running_totals
+
+    tmp = tempfile.mkdtemp(prefix="st4_totals_")
+    src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    # several input files -> several micro-batches -> state actually folds
+    events.repartition(4).write.parquet(src_dir)
+    stream = structured.stream_files(
+        spark,
+        src_dir,
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        max_files_per_trigger=2,
+    )
+    table = os.path.basename(tmp)  # unique per run: memory sink names collide
+    structured.run_to_memory(
+        running_totals(stream), table, output_mode="update", checkpoint=ck
+    )
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
 
 
 def _q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,16 +1329,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Rows-only by design (k-means assignment has no SQL oracle);
     keep-one-per-planted-cluster semantics unit-tested in test_ext.py.
 
-    Threshold 0.45, not the paper's ~0.95 design point: the synthetic
-    embeddings are near-orthogonal (max pair cosine ~0.51 at sf0.01 —
-    same corpus property documented for embedding_near_pairs_lsh), so
-    0.95 would be a no-op demo. At 0.45 the operator demonstrably drops
-    the near-pairs that share a cell."""
+    Runs at the paper's realistic operating point: deterministic planted
+    near-dups (_plant_near_dups; cosine ~0.99) at threshold 0.92. The
+    planted copy lands in its original's k-means cell (it is a tiny
+    perturbation), pairs above threshold, and — having the higher id —
+    is dropped; the near-orthogonal rest of the corpus survives. Cell
+    populations bound the quadratic, so candidate pairs stay a small
+    fraction of corpus² (asserted in tests/test_ext.py)."""
     from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
     return (
-        semantic_dedup(emb, threshold=0.45, nlist=16)
+        semantic_dedup(emb, threshold=0.92, nlist=16)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
@@ -1338,57 +1400,53 @@ def _q_payments_decimal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money star aggregate (decimal Q1 shape through joins+rollup):
+    lineitem revenue in DecimalType end-to-end — money at scale 2,
+    revenue = gross * (1 - discount) at scale 4, summed EXACTLY, never
+    rounded (a scale-down cast would hit Spark-vs-DuckDB rounding-mode
+    divergence on half boundaries; keeping the product scale avoids
+    rounding entirely). Dims (customer, nation) broadcast; fact shuffles
+    once on o_orderkey for the orders join, then rollup(n_name,
+    l_returnflag) gives per-nation, nation-total, and grand-total money."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    gross = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_disc = F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "l_returnflag",
+            gross.alias("__gross"),
+            (gross * one_minus_disc).alias("__rev"),
+        )
+        .rollup("n_name", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("__gross").cast("decimal(38,2)").alias("gross_total"),
+            F.sum("__rev").cast("decimal(38,4)").alias("revenue_total"),
+        )
+    )
+
+
+# Key order matters: the correctness driver verifies the FIRST 50 entries
+# against the DuckDB oracle at sf0.01. Rounds 1-3 verified the original
+# declaration order (r1's first 50 — all green in CORRECTNESS_r01-r03.json);
+# round 4 rotates the window so the 45 queries declared since land in it,
+# keeping 5 round-1 anchors for regression cover. Every query keeps its
+# oracle regardless of position; `tests/test_oracle_parity.py` checks ALL
+# of them at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    "pricing_summary": _q_pricing_summary,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "star_revenue_by_region": _q_star_revenue,
-    "merge_upsert_orders": _q_merge_upsert,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "minhash_near_dup": _q_minhash_near_dup,
-    "simhash_near_dup": _q_simhash_near_dup,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "media_metadata": _q_media_metadata,
-    "media_frames": _q_media_frames,
-    "asof_events_orders": _q_asof_events_orders,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
-    "order_extremes_by_customer": _q_order_extremes,
-    "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    # --- 45 queries awaiting first driver verification (rounds 2-3 work) ---
     "order_priority_exists": _q_order_priority_exists,
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
@@ -1434,6 +1492,61 @@ QUERIES: dict[str, QueryFn] = {
     "full_curation_pipeline": _q_full_curation,
     "asof_forward_tolerance": _q_asof_forward_tolerance,
     "payments_decimal_rollup": _q_payments_decimal_rollup,
+    # --- round-4 additions (ST4 oracle + decimal star, VERDICT #5/#7) ---
+    "stateful_running_totals": _q_stateful_running_totals,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    # --- 3 round-1 anchors (driver-green in r1-r3) for regression cover ---
+    "pricing_summary": _q_pricing_summary,
+    "merge_upsert_orders": _q_merge_upsert,
+    "star_revenue_by_region": _q_star_revenue,
+    # --- previously driver-verified (green rows in CORRECTNESS_r01-r03) ---
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "minhash_near_dup": _q_minhash_near_dup,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "media_metadata": _q_media_metadata,
+    "media_frames": _q_media_frames,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
 }
 
 
@@ -1774,6 +1887,28 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "stateful_running_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    "decimal_star_rollup": """
+        SELECT n_name, l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS gross_total,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(38,4)) AS revenue_total
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation    ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, l_returnflag)
     """,
     "asof_forward_tolerance": """
         WITH o AS (

@@ -32,7 +32,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.text import word_ngrams
@@ -46,6 +46,7 @@ def shingle_edges(
     n: int = 5,
     min_df: int = 2,
     max_df: int = 10,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Candidate near-dup edges: doc pairs sharing >=1 word ``n``-gram whose
     document frequency is in ``[min_df, max_df]``.
@@ -56,6 +57,11 @@ def shingle_edges(
     ``max_bucket``). Plan: explode -> distinct -> df-filter (one hash
     aggregate) -> self-equi-join on the 8-byte shingle hash.
 
+    The boilerplate cap is never silent when the caller passes an
+    ``observation``: after an action, ``observation.get`` reports
+    ``dropped_shingles`` (distinct shingles above ``max_df``, each a
+    skipped candidate bucket).
+
     Returns distinct ``(u, v)`` with ``u < v``.
     """
     sh = (
@@ -64,12 +70,16 @@ def shingle_edges(
         .select("u", F.xxhash64("sh").alias("sh_h"))
         .distinct()
     )
-    in_band = (
-        sh.groupBy("sh_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df").between(min_df, max_df))
-        .select("sh_h")
-    )
+    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    if observation is not None:
+        # observe BEFORE the band filter so over-cap shingles hit the metric
+        dfreq = dfreq.observe(
+            observation,
+            F.sum(F.when(F.col("df") > max_df, 1).otherwise(0)).alias(
+                "dropped_shingles"
+            ),
+        )
+    in_band = dfreq.where(F.col("df").between(min_df, max_df)).select("sh_h")
     bounded = sh.join(in_band, "sh_h")
     right = bounded.select(F.col("sh_h"), F.col("u").alias("v"))
     return (

@@ -31,7 +31,7 @@ AQE handles residual skew in the verify join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.text import word_ngrams
@@ -86,11 +86,12 @@ def candidate_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int = 1000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >= 1 LSH band bucket."""
     assert num_hashes % bands == 0
     sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed)
-    return _candidates_from_sig(sig, num_hashes, bands, max_bucket)
+    return _candidates_from_sig(sig, num_hashes, bands, max_bucket, observation)
 
 
 def _pairs_in_bucket(ids: Column) -> Column:
@@ -108,7 +109,11 @@ def _pairs_in_bucket(ids: Column) -> Column:
 
 
 def _candidates_from_sig(
-    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """In-bucket pair expansion after one groupBy on the band key.
 
@@ -120,7 +125,7 @@ def _candidates_from_sig(
     collide heavily by design (see simhash.near_dup_pairs; measured both
     ways at sf0.1: collect_list 1.2s vs self-join 2.7s for this operator).
     """
-    buckets = (
+    grouped = (
         sig.select(
             "id",
             F.posexplode(F.array(*band_cols(num_hashes, bands))).alias(
@@ -129,8 +134,20 @@ def _candidates_from_sig(
         )
         .groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    if observation is not None:
+        # "No silent caps": count over-cap buckets (and the member rows
+        # excluded from pairing) before the filter drops them
+        grouped = grouped.observe(
+            observation,
+            F.sum(
+                F.when(F.size("ids") > max_bucket, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+            F.sum(
+                F.when(F.size("ids") > max_bucket, F.size("ids")).otherwise(0)
+            ).alias("dropped_bucket_rows"),
+        )
+    buckets = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     return (
         buckets.select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -148,9 +165,14 @@ def near_dup_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int = 1000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over distinct shingle-hash
     sets; returns (id_a, id_b, jaccard >= threshold).
+
+    ``observation`` (optional) surfaces the ``max_bucket`` guard: after an
+    action, ``observation.get`` reports ``dropped_buckets`` /
+    ``dropped_bucket_rows`` instead of silently skipping oversized buckets.
 
     Jaccard is computed on the 64-bit shingle hashes rather than the shingle
     strings — identical up to xxhash64 collisions (~n²/2⁶⁴), and the verify
@@ -168,7 +190,7 @@ def near_dup_pairs(
     sig = _signature_with_sets(df, text_col, id_col, ngram, num_hashes, seed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _candidates_from_sig(sig, num_hashes, bands, max_bucket)
+    cands = _candidates_from_sig(sig, num_hashes, bands, max_bucket, observation)
     sets_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sets_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

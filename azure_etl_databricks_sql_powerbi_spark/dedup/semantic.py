@@ -32,7 +32,7 @@ correctness is unit-tested on planted duplicate clusters
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
@@ -49,18 +49,41 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 10_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Within-cell pairs with cosine >= threshold: ``(id_a, id_b,
     cosine_sim)``, id_a < id_b. Cells larger than ``max_cell`` are
     dropped with the same rationale as minhash's bucket cap: a cell that
     big means the centroids under-fit, and quadratic work inside it would
     dominate the job; re-train with larger nlist instead.
+
+    The cap is never silent when the caller passes an ``observation``:
+    after any action on the result, ``observation.get`` reports
+    ``dropped_cells`` / ``dropped_rows`` (vectors excluded from dedup by
+    the guard) — the repo's "No silent caps" contract. (Caveat shared by
+    all observed caps here: metrics need the observed node to execute, so
+    a plan AQE collapses to a fully-empty relation may skip them — at any
+    realistic scale dedup output is never globally empty.)
     """
     cells = assign_cells(
         df.select(id_col, vec_col), centroids, vec_col, nprobe=1
     )
-    # cell population guard: one tiny aggregate on (cell), broadcast back
+    # cell population guard: one tiny aggregate on (cell), broadcast back.
+    # The observe node sits on the per-cell populations BEFORE the filter,
+    # so over-cap cells hit the metric even though they never reach the
+    # join. (DISTINCT aggregates are disallowed in observed metrics; pop
+    # is one row per cell, so plain sums give cell and row counts.)
     pop = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    if observation is not None:
+        pop = pop.observe(
+            observation,
+            F.sum(F.when(F.col("__n") > max_cell, 1).otherwise(0)).alias(
+                "dropped_cells"
+            ),
+            F.sum(
+                F.when(F.col("__n") > max_cell, F.col("__n")).otherwise(0)
+            ).alias("dropped_rows"),
+        )
     bounded = cells.join(
         F.broadcast(pop.filter(F.col("__n") <= max_cell)), "cell"
     ).drop("__n")
@@ -92,16 +115,20 @@ def semantic_dedup(
     sample_size: int = 2048,
     seed: int = 42,
     max_cell: int = 10_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: returns the surviving rows of ``df`` (all
     columns), having dropped every vector that is a semantic duplicate
     (cosine >= threshold, same cell) of a lower-id vector.
+
+    ``observation`` (optional) surfaces the ``max_cell`` guard's dropped
+    cell/row counts — see ``semantic_dup_pairs``.
     """
     cents = train_centroids(
         df, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
     )
     pairs = semantic_dup_pairs(
-        df, cents, threshold, id_col, vec_col, max_cell
+        df, cents, threshold, id_col, vec_col, max_cell, observation
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

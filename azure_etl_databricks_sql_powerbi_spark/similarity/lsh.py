@@ -21,7 +21,7 @@ import random
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.vectors import as_double, cosine
@@ -179,6 +179,7 @@ def lsh_near_pairs(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket: int = 5000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold — the scale
     path replacing ``bruteforce.cosine_near_pairs``'s quadratic self-join.
@@ -212,11 +213,20 @@ def lsh_near_pairs(
             F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
         ).alias("tbl", "code"),
     )
-    ok = (
-        melted.groupBy("tbl", "code")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-        .select("tbl", "code")
+    sized = melted.groupBy("tbl", "code").agg(F.count(F.lit(1)).alias("n"))
+    if observation is not None:
+        # "No silent caps": report oversized buckets before dropping them
+        sized = sized.observe(
+            observation,
+            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+                "dropped_buckets"
+            ),
+            F.sum(
+                F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)
+            ).alias("dropped_bucket_rows"),
+        )
+    ok = sized.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "tbl", "code"
     )
     keep = melted.join(ok, ["tbl", "code"])
     cands = (

@@ -57,3 +57,83 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 120,
+) -> DataFrame:
+    """Custom event-time sessionizer with BOUNDED state: one open session
+    per key, evicted via ``GroupStateTimeout.EventTimeTimeout`` once the
+    watermark passes ``last_event + gap`` — the eviction contract that
+    keeps state O(active keys) instead of O(all keys ever seen) at
+    100 TB/day. (Spark's built-in ``session_window`` covers windowed aggs;
+    this is the ST4 surface for session state with custom per-key logic.)
+
+    Input must carry ``withWatermark(ts_col, ...)`` — event-time timeouts
+    are defined relative to it. Emits one row per CLOSED session
+    ``(key, session_start, session_end, n_events)`` with ``session_end``
+    the last event's timestamp; sessions still within the gap of the final
+    watermark stay in state (their rows appear on a later trigger in
+    production). Closure paths: (a) timeout — watermark passed the gap
+    with no new data; (b) in-batch split — a batch holds a gap-exceeding
+    ts jump for the key, so every sub-session before the jump closes
+    immediately. Batch≡stream parity and the state-size bound are
+    asserted in tests/test_streaming.py::test_sessionize_bounded_state.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _epoch_us(t: pd.Timestamp) -> int:
+        return int(t.value // 1_000)
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(_epoch_us(t) for t in pd.to_datetime(pdf[ts_col]))
+            ts_list.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts_list[0], ts_list[0] - 1, 0
+                # sentinel: first event below folds in as (n=0 -> n=1)
+            for t in ts_list:
+                if t - last > gap_us and n > 0:
+                    closed.append((start, last, n))
+                    start, n = t, 0
+                last = max(last, t)
+                n += 1
+            state.update((start, last, n))
+            # evict once the watermark passes last + gap (ms precision)
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=(
+            f"{key_col} bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint"
+        ),
+        stateStructType="start bigint, last bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

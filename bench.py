@@ -1,14 +1,19 @@
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (rounds 1-3 postmortem: a single 95-query JSON line
+overflowed the driver's capture buffer, truncating the LEFT side — the
+total was lost two rounds running). The headline line is therefore SHORT
+and printed FIRST, with the per-query map on its own later line and
+mirrored to ``BENCH_DETAIL.json`` beside this script:
+
+    {"metric": "total_query_wallclock", "value": N, "unit": "sec", "sf": S, "n_queries": K}
+    {"queries": {"q1": sec, ...}}
 
 ``value`` is the total wall-clock of all benched queries (excluding session
-startup). Each query is fully executed via a count-collapsing action that
-still materializes every row (``df.foreach`` would move rows to Python;
-``.write.format("noop")`` keeps everything JVM-side — the honest way to
-bench a plan).
+startup). Each query is fully executed via ``.write.format("noop")`` which
+materializes every row JVM-side — the honest way to bench a plan.
 """
 
 from __future__ import annotations
@@ -67,17 +72,22 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    headline = {
+        "metric": "total_query_wallclock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # Headline first and short so it survives any output-capture truncation;
+    # bulky per-query detail on its own line AND mirrored to a side file.
+    print(json.dumps(headline), flush=True)
+    print(json.dumps({"queries": timings}), flush=True)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({**headline, "queries": timings}, fh, indent=1)
     spark.stop()
 
 

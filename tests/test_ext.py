@@ -306,6 +306,60 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, vectors):
     assert all(r.id_a // 5 == r.id_b // 5 for r in pairs)
 
 
+def test_contract_queries_realistic_operating_point(spark):
+    """The embedding contract queries run with planted near-dups at a
+    realistic >=0.92 threshold (round-3 directive): LSH must recover every
+    planted pair and nothing else (precision 1.0), its bucketing must keep
+    candidate pairs under 5% of all pairs (i.e. it actually prunes), and
+    SemDeDup must drop exactly the planted copies."""
+    import __spark_entry__ as entrymod
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import add_bucket_codes
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    planted = entrymod._plant_near_dups(emb)
+    n_planted = planted.count() - n
+
+    pairs = entrymod._q_embedding_near_pairs_lsh(spark, sf).collect()
+    assert len(pairs) == n_planted
+    assert all(r.id_b - r.id_a == 1_000_000 for r in pairs)
+
+    # pruning: distinct candidate pairs (same-bucket in any table) < 5% of
+    # all C(N,2) pairs — replicate the query's bucket config
+    n_tables = 8
+    coded = add_bucket_codes(
+        planted.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        "v", dim=64, n_bits=8, n_tables=n_tables, seed=42,
+    )
+    melted = coded.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
+        ).alias("tbl", "code"),
+    )
+    cands = (
+        melted.alias("a")
+        .join(
+            melted.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    total = planted.count()
+    all_pairs = total * (total - 1) // 2
+    assert cands < 0.05 * all_pairs, f"{cands}/{all_pairs} candidates — LSH not pruning"
+
+    survivors = entrymod._q_semantic_dedup(spark, sf)
+    assert survivors.count() == n
+    assert survivors.agg(F.max("vec_id")).first()[0] < 1_000_000
+
+
 def test_semantic_dedup_max_cell_guard(spark, vectors):
     """A max_cell below the cell population must drop those cells from
     pair generation entirely (no quadratic blowup on degenerate cells)."""
@@ -314,3 +368,116 @@ def test_semantic_dedup_max_cell_guard(spark, vectors):
 
     cents = train_centroids(vectors, nlist=3, sample_size=15)
     assert semantic_dup_pairs(vectors, cents, threshold=0.5, max_cell=4).count() == 0
+
+
+# ------------------------------------------------- no-silent-caps metrics
+#
+# Each capped operator takes an optional Observation and reports what the
+# cap dropped (VERDICT r3 directive #4). Tests trip the cap while leaving
+# survivors — the realistic regime, and also required because AQE prunes
+# the CollectMetrics node from a plan it collapses to a fully-empty
+# relation (observed metrics then never materialize).
+
+
+def test_semantic_max_cell_cap_is_observed(spark):
+    """When the max_cell guard trips, the caller-supplied Observation must
+    report the dropped cell/row counts while surviving cells still pair."""
+    from pyspark.sql import Observation
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dup_pairs
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import train_centroids
+
+    import random
+
+    rng = random.Random(3)
+    big = [rng.gauss(0, 1) for _ in range(8)]
+    small = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, [x + rng.gauss(0, 0.01) for x in big]) for i in range(6)]
+    rows += [(10 + i, [x + rng.gauss(0, 0.01) for x in small]) for i in range(2)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_centroids(vecs, nlist=2, sample_size=8)
+    obs = Observation("semantic_caps")
+    out = semantic_dup_pairs(vecs, cents, threshold=0.9, max_cell=5, observation=obs)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(10, 11)}  # the 6-member cell is over cap; 2-member survives
+    assert obs.get["dropped_cells"] == 1
+    assert obs.get["dropped_rows"] == 6
+
+    # and with the cap NOT tripping, the metrics must read zero
+    obs2 = Observation("semantic_caps_ok")
+    semantic_dup_pairs(vecs, cents, threshold=0.9, max_cell=100, observation=obs2).count()
+    assert obs2.get["dropped_cells"] == 0
+
+
+def test_minhash_max_bucket_cap_is_observed(spark):
+    """max_bucket trips -> Observation reports dropped buckets + their
+    member rows instead of silently skipping them; under-cap buckets
+    still emit their pairs."""
+    from pyspark.sql import Observation
+
+    quad = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    duo = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, quad) for i in range(4)] + [(10, duo), (11, duo)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    obs = Observation("minhash_caps")
+    # identical docs share every band bucket: the 4-copy doc's buckets are
+    # over a cap of 3 (dropped + reported), the 2-copy doc's are under it
+    out = minhash_pairs(docs, threshold=0.5, max_bucket=3, observation=obs)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(10, 11)}
+    assert obs.get["dropped_buckets"] > 0
+    assert obs.get["dropped_bucket_rows"] == 4 * obs.get["dropped_buckets"]
+
+
+def test_shingle_df_cap_is_observed(spark):
+    """Boilerplate shingles above max_df are counted via the Observation,
+    not silently excluded from edge generation."""
+    from pyspark.sql import Observation
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import shingle_edges
+
+    # one 5-gram in 4 docs (over max_df=3 -> dropped + reported), another
+    # in 2 docs (in band -> the surviving edge)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(4)]
+        + [(10, "one two three four five"), (11, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    obs = Observation("shingle_caps")
+    edges = shingle_edges(docs, n=5, min_df=2, max_df=3, observation=obs)
+    assert {(r.u, r.v) for r in edges.collect()} == {(10, 11)}
+    assert obs.get["dropped_shingles"] == 1
+
+
+def test_lsh_near_pairs_max_bucket_cap_is_observed(spark):
+    """lsh_near_pairs' bucket cap reports dropped buckets via Observation
+    while under-cap buckets still verify and emit their pairs."""
+    from pyspark.sql import Observation
+
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
+
+    import random
+
+    rng = random.Random(5)
+    big = [rng.gauss(0, 1) for _ in range(8)]
+    small = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, [x + rng.gauss(0, 0.005) for x in big]) for i in range(5)]
+    rows += [(10 + i, [x + rng.gauss(0, 0.005) for x in small]) for i in range(2)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    obs = Observation("lsh_caps")
+    out = lsh_near_pairs(
+        vecs,
+        threshold=0.9,
+        dim=8,
+        n_bits=6,
+        n_tables=4,
+        max_bucket=4,
+        observation=obs,
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(10, 11)}  # 5-member buckets over cap; 2-member survives
+    assert obs.get["dropped_buckets"] > 0
+    assert obs.get["dropped_bucket_rows"] == 5 * obs.get["dropped_buckets"]

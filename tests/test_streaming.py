@@ -133,6 +133,60 @@ def test_stateful_running_totals(spark, events_dir, tmp_path):
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in expected.collect()}
 
 
+def test_sessionize_bounded_state(spark, events_dir, tmp_path):
+    """ST4 eviction contract: the custom sessionizer's closed sessions
+    match the batch gap-split exactly, and its final state holds ONLY the
+    still-open sessions — total_sessions == emitted + state rows, so
+    timed-out state was provably evicted (bounded state)."""
+    from pyspark.sql import Window
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import sessionize
+
+    src = _stream(spark, events_dir, max_files_per_trigger=1)
+    sess = sessionize(
+        structured.with_watermark(src, delay="1 minute"), gap_minutes=120
+    )
+    q = structured.run_to_memory(
+        sess, "sessions_stream", output_mode="append", checkpoint=str(tmp_path / "ck")
+    )
+    emitted = spark.table("sessions_stream")
+
+    # batch truth: split each user's ordered events on >2h gaps
+    # (ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP)
+    batch = load_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (
+        batch.withColumn("prev_us", F.unix_micros(F.lag("ts").over(w)))
+        .withColumn("cur_us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_us").isNull()
+                | ((F.col("cur_us") - F.col("prev_us")) > 7200 * 1_000_000)
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+    )
+    sessions = flagged.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    n_emitted = emitted.count()
+    matched = emitted.join(
+        sessions, ["user_id", "session_start", "session_end", "n_events"]
+    ).count()
+    assert n_emitted > 0 and matched == n_emitted
+
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    total_sessions = sessions.count()
+    assert state_rows == total_sessions - n_emitted  # exact accounting
+    assert state_rows < total_sessions  # eviction actually happened
+
+
 def test_session_windows_batch(spark):
     """session_window sanity: sessions are per-user, non-overlapping, and
     every event is inside [start, end)."""
