@@ -362,6 +362,27 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no _fake_features): deterministic
+    PNGs are generated in-plan per document (multimodal.png.encode_png —
+    actual zlib-compressed 8-bit RGB), then decoded + featurized through
+    the real codec path (_decode_image: PIL when importable, else the
+    stdlib PNG decoder with filter reconstruction). Rows-only: pixel
+    featurization has no SQL oracle; encoder<->decoder roundtrip and
+    embedding determinism are unit-tested (tests/test_multimodal.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = ops.attach_generated_png(docs, width=16, height=16)
+    feats = ops.decode_image_features(media, fake_features=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("embedding", 1), 6).alias("emb_0"),
+    )
+
+
 
 # ---------------------------------------- EXT: as-of / range joins, BI ops
 
@@ -1529,6 +1550,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessions_2h": _q_events_sessions,
     "media_metadata": _q_media_metadata,
     "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
     "range_join_business_hours": _q_range_join_business_hours,
     "status_pivot_by_priority": _q_status_pivot,
     "price_percentiles_by_status": _q_price_percentiles,

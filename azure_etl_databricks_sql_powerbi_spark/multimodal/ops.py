@@ -13,12 +13,14 @@ Split of responsibilities, which is the 100 TB design point:
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of large
   blobs fits executor memory.
 
-The actual image/audio codecs (PIL/ffmpeg/...) are NOT in this
-environment: ``_decode_image`` runs a real PIL decode+featurize where PIL
-is importable and raises ``NotImplementedError`` otherwise; the
-deterministic fallback featurizer derives pseudo-features from a content
-hash — making every piece of Spark plumbing (schemas, batch iteration,
-cardinality change, partitioning) real and testable without codecs.
+Codec story: PIL/ffmpeg are NOT installed here, so ``_decode_image``
+prefers PIL when importable (real clusters) and otherwise REALLY decodes
+PNG via the stdlib codec in ``multimodal.png`` (zlib inflate + filter
+reconstruction) — generated-PNG payloads (``attach_generated_png``) are
+decoded end-to-end, no fakes. ``_fake_features`` remains the explicit
+opt-in stand-in for formats with no available codec, keeping every piece
+of Spark plumbing (schemas, batch iteration, cardinality change,
+partitioning) testable regardless.
 """
 
 from __future__ import annotations
@@ -88,33 +90,111 @@ def attach_fake_media(
     return df.select(F.col(id_col).alias("media_id"), payload.alias("content"))
 
 
+def attach_generated_png(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """REAL media payloads, generated in-plan: each row gets a valid 8-bit
+    RGB PNG (``multimodal.png.encode_png``) whose pixels derive
+    deterministically from sha256 of the row id — so decode paths can be
+    exercised end-to-end on actual compressed images, reproducibly, with
+    no binary testdata. Runs as one Arrow-batched ``mapInPandas`` (codec
+    work is per-batch Python, the 100 TB shape for any encode stage)."""
+    n_px = width * height * 3
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Engine imports happen INSIDE the closure after a sys.path
+        # bootstrap: a module-global reference would make cloudpickle
+        # serialize by module name and executors without the package on
+        # PYTHONPATH would fail to unpickle the task. On a real cluster
+        # the package ships via --py-files/pip and the bootstrap is a
+        # no-op; in local mode it makes the task self-contained.
+        import hashlib as _hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.png import encode_png
+
+        for pdf in it:
+            payloads = []
+            for rid in pdf[id_col]:
+                seed = _hashlib.sha256(str(int(rid)).encode()).digest()
+                # seed-dependent brightness ramp (not raw hash bytes: those
+                # mean-pool to the same ~127.5 gray everywhere, which would
+                # make every decoded embedding identical — a ramp gives each
+                # image a distinct, still deterministic, feature vector)
+                slope = 1 + seed[1] % 7
+                pixels = bytes((seed[0] + i * slope) % 256 for i in range(n_px))
+                payloads.append(encode_png(width, height, pixels))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].values, "content": payloads}
+            )
+
+    return spread(df.select(id_col)).mapInPandas(
+        batches, "media_id bigint, content binary"
+    )
+
+
 # ------------------------------------------------ Arrow-batched decode path
 
 
-def _decode_image(data: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
-    """Real decode path: PIL decode + 16x16 RGB thumbnail average-pooled
-    into a ``dim``-float unit-norm embedding. Raises NotImplementedError
-    where no codec is importable (this sandbox) — callers use
-    ``fake_features=True`` there; the Spark plumbing is identical either
-    way, so the fallback exercises everything but libjpeg/libpng."""
-    try:
-        import PIL.Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use fake_features=True for the deterministic fallback"
-        ) from exc
-    import io
+def _package_parent() -> str:
+    """Directory containing the engine package — captured driver-side so
+    executor closures can bootstrap ``sys.path`` before importing engine
+    modules (see ``attach_generated_png``/``decode_image_features``)."""
+    import os
 
+    import azure_etl_databricks_sql_powerbi_spark as _pkg
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+
+
+def _pool_features(flat: "object", dim: int) -> list[float]:
+    """Shared featurizer tail: unit-norm ``dim``-float mean-pool of a flat
+    [0,1] pixel array."""
     import numpy as np
 
-    with PIL.Image.open(io.BytesIO(data)) as img:
-        width, height = img.size
-        thumb = img.convert("RGB").resize((16, 16))
-        flat = np.asarray(thumb, dtype="float64").reshape(-1) / 255.0
     raw = [float(chunk.mean()) for chunk in np.array_split(flat, dim)]
     norm = sum(x * x for x in raw) ** 0.5 or 1.0
-    return width, height, [x / norm for x in raw]
+    return [x / norm for x in raw]
+
+
+def _decode_image(data: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
+    """Real decode path: decode + 16x16 RGB thumbnail average-pooled into
+    a ``dim``-float unit-norm embedding.
+
+    Codec selection: PIL when importable (any format, bicubic thumbnail —
+    the real-cluster path); otherwise the stdlib PNG codec
+    (``multimodal.png``: zlib inflate + filter reconstruction, nearest-
+    neighbor 16x16 sampling) — a REAL decode, not a fake, for the PNG
+    payloads this engine generates. Non-PNG payloads without PIL raise
+    ``NotImplementedError`` loudly; ``fake_features=True`` remains the
+    explicit opt-in stand-in for codec-less formats."""
+    import numpy as np
+
+    try:
+        import PIL.Image
+    except ImportError:
+        pass
+    else:
+        import io
+
+        with PIL.Image.open(io.BytesIO(data)) as img:
+            width, height = img.size
+            thumb = img.convert("RGB").resize((16, 16))
+            flat = np.asarray(thumb, dtype="float64").reshape(-1) / 255.0
+        return width, height, _pool_features(flat, dim)
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.png import decode_png
+
+    width, height, ch, pixels = decode_png(data)
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)[:, :, :3]
+    # nearest-neighbor 16x16 thumbnail, then the same pooling tail
+    ys = (np.arange(16) * height) // 16
+    xs = (np.arange(16) * width) // 16
+    thumb = px[ys][:, xs].astype("float64").reshape(-1) / 255.0
+    return width, height, _pool_features(thumb, dim)
 
 
 def _fake_features(data: bytes, dim: int) -> tuple[int, int, list[float]]:
@@ -143,7 +223,19 @@ def decode_image_features(
     Output schema: (media_id, width, height, embedding float[]).
     """
 
+    pkg_parent = _package_parent()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: see attach_generated_png
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
+            _decode_image,
+            _fake_features,
+        )
+
         for pdf in it:
             decoded = [
                 _fake_features(b, dim) if fake_features else _decode_image(b, dim)

@@ -369,3 +369,51 @@ def test_parse_maxresults():
     assert parse_maxresults("select * from Invoice MAXRESULTS 5") == 5
     assert parse_maxresults("select * from Invoice") is None
     assert parse_maxresults(None) is None
+
+
+# ----------------------------------------------------------- cloud fs (S8)
+
+
+def test_abfss_uri_and_medallion_layout():
+    from azure_etl_databricks_sql_powerbi_spark.sources import cloudfs
+
+    assert (
+        cloudfs.abfss_uri("lake", "acct", "gold/finance/fact")
+        == "abfss://lake@acct.dfs.core.windows.net/gold/finance/fact"
+    )
+    assert cloudfs.abfss_uri("lake", "acct") == "abfss://lake@acct.dfs.core.windows.net"
+    # reference adls.py:14-18 layout, as prunable partition directories
+    assert (
+        cloudfs.medallion_path("abfss://lake@acct.dfs.core.windows.net",
+                               "silver", "finance", "payments", "2026-08-13")
+        == "abfss://lake@acct.dfs.core.windows.net/silver/finance/payments/run_date=2026-08-13"
+    )
+    with pytest.raises(ValueError):
+        cloudfs.medallion_path("/root", "platinum", "d", "t")
+
+
+def test_adls_conf_shapes_and_secret_wiring():
+    from azure_etl_databricks_sql_powerbi_spark.secrets import SecretProvider
+    from azure_etl_databricks_sql_powerbi_spark.sources import cloudfs
+
+    key = cloudfs.adls_key_conf("acct", "K")
+    assert key == {"fs.azure.account.key.acct.dfs.core.windows.net": "K"}
+
+    secrets = SecretProvider(vault_client={"sp-secret": "hunter2"})
+    oauth = cloudfs.adls_oauth_conf(
+        "acct", "tid", "cid", secrets.get_secret("sp-secret")
+    )
+    host = "acct.dfs.core.windows.net"
+    assert oauth[f"fs.azure.account.auth.type.{host}"] == "OAuth"
+    assert oauth[f"fs.azure.account.oauth2.client.secret.{host}"] == "hunter2"
+    assert oauth[f"fs.azure.account.oauth2.client.endpoint.{host}"].endswith(
+        "/tid/oauth2/token"
+    )
+
+
+def test_apply_fs_conf_hits_live_hadoop_configuration(spark):
+    from azure_etl_databricks_sql_powerbi_spark.sources import cloudfs
+
+    cloudfs.apply_fs_conf(spark, {"fs.azure.test.probe": "42"})
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.azure.test.probe") == "42"
