@@ -57,3 +57,34 @@ def write_jsonl_bronze(df: DataFrame, path: str, run_date: str | None = None) ->
     object per line, optionally under a run_date= partition directory."""
     target = f"{path}/run_date={run_date}" if run_date else path
     df.write.mode("overwrite").json(target)
+
+
+def write_raw_json_snapshot(
+    df: DataFrame, path: str, run_date: str | None = None, indent: int = 2
+) -> str:
+    """Byte-shape parity with the reference's raw snapshot
+    (``run_extract.py:69-71``): ONE pretty-printed JSON array per
+    endpoint/run_date, ``ensure_ascii=False`` + ``indent=2``.
+
+    Deliberately a driver-side materialization: the reference snapshot is
+    a single small API response document, not a dataset — use
+    ``write_jsonl_bronze`` for anything Spark-scale. Guarded by a row
+    cap so the footgun of pointing it at a fact table fails loudly.
+    Returns the written file path.
+    """
+    import json
+    import os
+
+    rows = df.toJSON().collect()
+    if len(rows) > 100_000:
+        raise ValueError(
+            "write_raw_json_snapshot is for small API-response snapshots; "
+            f"{len(rows)} rows — use write_jsonl_bronze for datasets"
+        )
+    data = [json.loads(r) for r in rows]
+    target = f"{path}/run_date={run_date}" if run_date else path
+    os.makedirs(target, exist_ok=True)
+    out = os.path.join(target, "data.json")
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(data, fh, ensure_ascii=False, indent=indent)
+    return out

@@ -417,3 +417,28 @@ def test_apply_fs_conf_hits_live_hadoop_configuration(spark):
     cloudfs.apply_fs_conf(spark, {"fs.azure.test.probe": "42"})
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.azure.test.probe") == "42"
+
+
+def test_write_raw_json_snapshot_byte_shape(spark, tmp_path):
+    """Reference run_extract.py:69-71 parity: one pretty-printed JSON
+    document (ensure_ascii=False, indent=2) per endpoint/run_date."""
+    import json
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.sinks import (
+        write_raw_json_snapshot,
+    )
+
+    df = spark.createDataFrame([(1, "café"), (2, "b")], ["id", "name"])
+    out = write_raw_json_snapshot(df, str(tmp_path / "qb"), run_date="2026-08-13")
+    text = open(out, encoding="utf-8").read()
+    assert out.endswith("run_date=2026-08-13/data.json")
+    assert "café" in text  # ensure_ascii=False, not é
+    assert text.startswith("[\n  {")  # indent=2 document, not JSONL
+    data = sorted(json.loads(text), key=lambda d: d["id"])
+    assert data == [{"id": 1, "name": "café"}, {"id": 2, "name": "b"}]
+
+    big = spark.range(200_000).withColumnRenamed("id", "x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot"):
+        write_raw_json_snapshot(big, str(tmp_path / "nope"))
