@@ -28,10 +28,20 @@ def load_bench(path: str) -> dict:
         doc = json.load(f)
     if "queries" in doc:
         return doc
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if not m:
+    tail = doc.get("tail", "")
+    start = tail.find('{"metric"')
+    if start < 0:
         raise SystemExit(f"{path}: no bench JSON found (keys: {sorted(doc)})")
-    return json.loads(m.group(0))
+    # balanced parse handles both the legacy one-line format (queries
+    # inline) and the round-4+ contract (short headline line, queries on
+    # their own later line)
+    out, _ = json.JSONDecoder().raw_decode(tail[start:])
+    if "queries" not in out:
+        q = tail.find('{"queries"')
+        out["queries"] = (
+            json.JSONDecoder().raw_decode(tail[q:])[0]["queries"] if q >= 0 else {}
+        )
+    return out
 
 
 def main() -> None:
