@@ -387,6 +387,20 @@ def _q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- EXT: as-of / range joins, BI ops
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: deterministic PCM16 WAV tones are
+    generated in-plan per document (multimodal.wav.encode_wav — actual
+    RIFF containers), then parsed back (decode_wav) for duration / RMS /
+    zero-crossing-rate / peak. Rows-only: the codec round-trip and the
+    feature math are unit-tested (tests/test_multimodal.py); zcr ~
+    2*freq/sample_rate gives an analytic cross-check."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = ops.attach_generated_wav(docs)
+    return ops.audio_features(media)
+
+
 def _q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of backward join (J4-EXT): each event picks the customer's latest
     order with o_orderdate <= ts — union + sorted-window carry-forward (one
@@ -1551,6 +1565,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_metadata": _q_media_metadata,
     "media_frames": _q_media_frames,
     "media_decode_features": _q_media_decode_features,
+    "audio_features": _q_audio_features,
     "range_join_business_hours": _q_range_join_business_hours,
     "status_pivot_by_priority": _q_status_pivot,
     "price_percentiles_by_status": _q_price_percentiles,

@@ -253,6 +253,97 @@ def decode_image_features(
     return spread(df).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def attach_generated_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    n_samples: int = 1600,
+) -> DataFrame:
+    """REAL audio payloads, generated in-plan: each row gets a valid PCM16
+    WAV (``multimodal.wav.encode_wav``) — a seed-keyed sine tone whose
+    frequency/amplitude derive from sha256 of the row id, so audio decode
+    runs end-to-end on actual RIFF containers, deterministically."""
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for rid in pdf[id_col]:
+                seed = _hashlib.sha256(str(int(rid)).encode()).digest()
+                freq = 100 + seed[0] * 8  # 100..2140 Hz
+                amp = 8000 + seed[1] * 64  # well inside int16
+                samples = [
+                    int(amp * math.sin(2 * math.pi * freq * i / sample_rate))
+                    for i in range(n_samples)
+                ]
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].values, "content": payloads}
+            )
+
+    return spread(df.select(id_col)).mapInPandas(
+        batches, "media_id bigint, content binary"
+    )
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Real audio feature extraction over PCM16 WAV payloads
+    (``multimodal.wav.decode_wav``): duration, RMS level, zero-crossing
+    rate, peak amplitude — the standard cheap audio QC/fingerprint set,
+    one Arrow batch at a time."""
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import decode_wav
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_sec": [],
+                "rms": [],
+                "zero_crossing_rate": [],
+                "peak": [],
+            }
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                rate, _ch, samples = decode_wav(bytes(data))
+                x = np.asarray(samples, dtype=np.float64)
+                n = len(x)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_sec"].append(round(n / rate, 6))
+                out["rms"].append(round(float(np.sqrt((x**2).mean())), 3) if n else 0.0)
+                out["zero_crossing_rate"].append(
+                    round(float((np.diff(np.signbit(x)) != 0).mean()), 6) if n > 1 else 0.0
+                )
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return spread(df).mapInPandas(
+        batches,
+        "media_id bigint, sample_rate int, n_samples long, duration_sec double, "
+        "rms double, zero_crossing_rate double, peak long",
+    )
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,

@@ -191,3 +191,55 @@ def test_decode_image_real_pil(spark):
     row = decode_image_features(df, fake_features=False).collect()[0]
     assert (row.width, row.height) == (20, 10)
     assert abs(sum(x * x for x in row.embedding) - 1.0) < 1e-9
+
+
+def test_wav_codec_roundtrip_and_guards():
+    """PCM16 WAV roundtrip through the stdlib codec, word-aligned chunk
+    walking, and loud rejection of non-PCM variants."""
+    import struct
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    data = wav.encode_wav(samples, sample_rate=8000, channels=1)
+    assert wav.decode_wav(data) == (8000, 1, samples)
+
+    with pytest.raises(NotImplementedError):
+        wav.decode_wav(b"OggS not a riff")
+    # float PCM (format 3) rejected
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        wav.decode_wav(bad)
+
+
+def test_audio_features_end_to_end(spark):
+    """Generated WAV tones decoded through the real codec: duration is
+    n/rate exactly, zero-crossing rate matches the tone frequency
+    analytically (zcr ~ 2f/rate), deterministic across runs."""
+    import hashlib
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
+        attach_generated_wav,
+        audio_features,
+    )
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = attach_generated_wav(docs, sample_rate=8000, n_samples=1600)
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        assert (r.sample_rate, r.n_samples) == (8000, 1600)
+        assert r.duration_sec == pytest.approx(0.2)
+        seed = hashlib.sha256(str(mid).encode()).digest()
+        freq = 100 + seed[0] * 8
+        assert r.zero_crossing_rate == pytest.approx(2 * freq / 8000, rel=0.06)
+        amp = 8000 + seed[1] * 64
+        # sine RMS = amp/sqrt(2); int truncation keeps it within ~1%
+        assert r.rms == pytest.approx(amp / 2**0.5, rel=0.02)
+        assert 0 < r.peak <= amp
+    again = {r.media_id: r for r in audio_features(media).collect()}
+    assert {m: tuple(r) for m, r in rows.items()} == {m: tuple(r) for m, r in again.items()}
