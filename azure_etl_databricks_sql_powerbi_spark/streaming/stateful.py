@@ -115,8 +115,13 @@ def sessionize(
                 last = max(last, t)
                 n += 1
             state.update((start, last, n))
-            # evict once the watermark passes last + gap (ms precision)
-            state.setTimeoutTimestamp((last + gap_us) // 1000)
+            # evict once the watermark passes last + gap (ms precision).
+            # Clamped one past the current watermark: a key whose data is
+            # already older than watermark - gap would otherwise request a
+            # timeout in the past, which Spark rejects — clamping makes
+            # such stragglers evict on the next trigger instead.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last + gap_us) // 1000, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {
