@@ -245,3 +245,19 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decimal_star_rollup_broadcasts_and_single_agg_exchange(spark, entry):
+    """Exact-money star rollup: every dim join is broadcast (the fact side
+    never shuffles pre-aggregate at this sf), the rollup keeps partial
+    aggregation before its one exchange, and the money stays DecimalType
+    end-to-end (no double in the aggregate output)."""
+    df = entry.queries()["decimal_star_rollup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation at least
+    assert "Expand" in plan  # rollup grouping-set expansion
+    # partial-then-final aggregate around exactly one shuffle exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    types = dict(df.dtypes)
+    assert types["gross_total"] == "decimal(38,2)"
+    assert types["revenue_total"] == "decimal(38,4)"
