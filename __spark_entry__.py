@@ -1527,14 +1527,16 @@ QUERIES: dict[str, QueryFn] = {
     "full_curation_pipeline": _q_full_curation,
     "asof_forward_tolerance": _q_asof_forward_tolerance,
     "payments_decimal_rollup": _q_payments_decimal_rollup,
-    # --- round-4 additions (ST4 oracle + decimal star, VERDICT #5/#7) ---
+    # --- round-4 additions (VERDICT #5/#6/#7: ST4 oracle, real-codec
+    # decode, decimal star) ---
     "stateful_running_totals": _q_stateful_running_totals,
     "decimal_star_rollup": _q_decimal_star_rollup,
-    # --- 3 round-1 anchors (driver-green in r1-r3) for regression cover ---
+    "media_decode_features": _q_media_decode_features,
+    # --- 2 round-1 anchors (driver-green in r1-r3) for regression cover ---
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    "star_revenue_by_region": _q_star_revenue,
     # --- previously driver-verified (green rows in CORRECTNESS_r01-r03) ---
+    "star_revenue_by_region": _q_star_revenue,
     "dedup_exact_docs": _q_dedup_exact_docs,
     "asof_events_orders": _q_asof_events_orders,
     "dim_customers": _q_dim_customers,
@@ -1564,7 +1566,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessions_2h": _q_events_sessions,
     "media_metadata": _q_media_metadata,
     "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
     "audio_features": _q_audio_features,
     "range_join_business_hours": _q_range_join_business_hours,
     "status_pivot_by_priority": _q_status_pivot,
