@@ -351,13 +351,17 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling via mapInPandas (cardinality-changing Arrow path);
-    rows-only check — frame hashes have no SQL oracle, determinism and
+    """REAL frame sampling via mapInPandas (cardinality-changing Arrow
+    path): valid PNGs are generated in-plan (multimodal.png.encode_png),
+    decoded through the real codec, and split into horizontal pixel
+    bands — every frame hash is over DECODED RGB raster bytes. Rows-only
+    check: frame hashes have no SQL oracle; determinism and band
     reassembly are unit-tested (tests/test_multimodal.py)."""
     from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return ops.sample_frames(ops.attach_fake_media(docs), n_frames=4).select(
+    media = ops.attach_generated_png(docs, width=16, height=16)
+    return ops.sample_decoded_frames(media, n_frames=4).select(
         "media_id", "frame_idx", "frame_sha256"
     )
 
@@ -967,6 +971,50 @@ def _q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 event-time sessionizer under a real streaming drain (rows-only:
+    closed-session emission has no SQL oracle; exact batch≡stream equality
+    AND the bounded-state eviction accounting are asserted in
+    tests/test_streaming.py::test_sessionize_bounded_state): events are
+    re-landed as arrival files, streamed through the custom
+    ``applyInPandasWithState`` sessionizer (streaming/stateful.py,
+    2-hour gap, 1-minute watermark) and drained with availableNow into a
+    memory sink. Emits one row per CLOSED session — the same gap-split
+    semantics as the batch ``events_sessions_2h`` query; sessions still
+    open at the final watermark stay in state by design, so the row count
+    is slightly below the batch session count."""
+    import os
+    import tempfile
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+    from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import sessionize
+
+    tmp = tempfile.mkdtemp(prefix="st4_sessions_")
+    src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    # several input files -> several micro-batches -> watermark advances
+    # between triggers and event-time timeouts actually fire
+    events.repartition(4).write.parquet(src_dir)
+    stream = structured.stream_files(
+        spark,
+        src_dir,
+        "event_id bigint, ts timestamp, user_id bigint",
+        max_files_per_trigger=2,
+    )
+    table = os.path.basename(tmp)  # unique per run: memory sink names collide
+    structured.run_to_memory(
+        sessionize(
+            structured.with_watermark(stream, delay="1 minute"), gap_minutes=120
+        ),
+        table,
+        output_mode="append",
+        checkpoint=ck,
+    )
+    return spark.table(table).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def _q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill + forward fill over the event stream
     (operators/timeseries.resample_daily_ffill): the spine-side global
@@ -1420,16 +1468,21 @@ def _q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_payments_decimal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-money rollup on the DecimalType(18,2) payments contract
     (plans/medallion.PAYMENTS_DECIMAL_CONTRACT): decimal sums are exact
-    integers-of-cents — hash-identical across engines with NO rounding,
-    unlike the double path which must round at the edge."""
+    integers-of-cents, so the aggregate itself never rounds. The FINAL
+    output columns are cast to double on both the Spark and oracle sides
+    purely to canonicalize the textual representation (DecimalType renders
+    trailing zeros, `101951.00`, while the oracle pipeline degrades DuckDB
+    decimals to floats rendering `101951.0` — numerically identical values
+    that hash-differ). Internal arithmetic stays decimal; only the contract
+    edge is double."""
     silver = medallion.clean_payments_decimal(load_table(spark, sf_dir, "events"))
     return (
         silver.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_payments"),
-            F.sum("value").cast("decimal(18,2)").alias("total_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+            F.sum("value").cast("decimal(18,2)").cast("double").alias("total_value"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
         )
         .orderBy("event_type")
     )
@@ -1443,7 +1496,13 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence on half boundaries; keeping the product scale avoids
     rounding entirely). Dims (customer, nation) broadcast; fact shuffles
     once on o_orderkey for the orders join, then rollup(n_name,
-    l_returnflag) gives per-nation, nation-total, and grand-total money."""
+    l_returnflag) gives per-nation, nation-total, and grand-total money.
+
+    The FINAL money columns are cast to double on both sides to
+    canonicalize representation (decimal trailing zeros hash-differ from
+    the oracle's float rendering even when values are identical); the
+    exact decimal sum happens first, so the cast maps the same exact
+    decimal to the same double in both engines."""
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
     )
@@ -1467,21 +1526,84 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum("__gross").cast("decimal(38,2)").alias("gross_total"),
-            F.sum("__rev").cast("decimal(38,4)").alias("revenue_total"),
+            F.sum("__gross").cast("decimal(38,2)").cast("double").alias("gross_total"),
+            F.sum("__rev").cast("decimal(38,4)").cast("double").alias("revenue_total"),
         )
     )
 
 
 # Key order matters: the correctness driver verifies the FIRST 50 entries
-# against the DuckDB oracle at sf0.01. Rounds 1-3 verified the original
-# declaration order (r1's first 50 — all green in CORRECTNESS_r01-r03.json);
-# round 4 rotates the window so the 45 queries declared since land in it,
-# keeping 5 round-1 anchors for regression cover. Every query keeps its
-# oracle regardless of position; `tests/test_oracle_parity.py` checks ALL
-# of them at sf0.001 on every pytest run.
+# against the DuckDB oracle at sf0.01. The window rotates each round so
+# every declared query keeps fresh driver evidence (rotation history is
+# tracked in tools/rotation_manifest.json and guarded by
+# tests/test_properties.py::test_every_query_has_driver_evidence).
+# Round-5 window: the 4 round-4 red rows (decimal-edge fixes, kept in the
+# window to prove them green), audio_features (the one query with no
+# driver row in rounds 1-4), the reworked real-decode media_frames +
+# media_decode_features, the new sessionize_stream contract query, and
+# the 42 stalest green queries (last verified in round 3) for regression
+# cover. Deferred past position 50: the 45 queries verified green in
+# round 4 plus 5 rows-only LSH/minhash queries (unit-covered; no oracle
+# exists for them by design, so a re-run adds no information). Every
+# query keeps its oracle regardless of position;
+# `tests/test_oracle_parity.py` checks ALL of them at sf0.001 on every
+# pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- 45 queries awaiting first driver verification (rounds 2-3 work) ---
+    # --- round-4 red rows, fixed this round (decimal output edge) ---
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    # --- zero driver evidence in rounds 1-4 / changed this round ---
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "sessionize_stream": _q_sessionize_stream,
+    # --- stalest greens (last verified round 3) for regression cover ---
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "media_metadata": _q_media_metadata,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    # ================= end of the 50-entry driver window =================
+    # --- verified green in round 4 (CORRECTNESS_r04.json) ---
     "order_priority_exists": _q_order_priority_exists,
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
@@ -1516,8 +1638,6 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentiles_by_status": _q_approx_percentiles,
     "repetition_ratio_docs": _q_repetition_ratio,
     "revenue_change_q6": _q_revenue_change_q6,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
     "priority_line_health_q12": _q_priority_line_health_q12,
     "promo_revenue_q14": _q_promo_revenue_q14,
     "stats_profile_lineitem": _q_stats_profile,
@@ -1526,65 +1646,15 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_embeddings": _q_semantic_dedup,
     "full_curation_pipeline": _q_full_curation,
     "asof_forward_tolerance": _q_asof_forward_tolerance,
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    # --- round-4 additions (VERDICT #5/#6/#7: ST4 oracle, real-codec
-    # decode, decimal star) ---
     "stateful_running_totals": _q_stateful_running_totals,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "media_decode_features": _q_media_decode_features,
-    # --- 2 round-1 anchors (driver-green in r1-r3) for regression cover ---
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # --- previously driver-verified (green rows in CORRECTNESS_r01-r03) ---
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
+    # --- rows-only by design (no oracle; recall/bounds unit-tested) ---
     "minhash_near_dup": _q_minhash_near_dup,
     "simhash_near_dup": _q_simhash_near_dup,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "media_metadata": _q_media_metadata,
-    "media_frames": _q_media_frames,
-    "audio_features": _q_audio_features,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
     "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
-    "order_extremes_by_customer": _q_order_extremes,
-    "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
 }
 
 
@@ -1918,10 +1988,10 @@ ORACLES: dict[str, str] = {
     "payments_decimal_rollup": """
         SELECT event_type,
                COUNT(*) AS n_payments,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-                   AS total_value,
-               MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
-               MAX(CAST(value AS DECIMAL(18,2))) AS max_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    AS DOUBLE) AS total_value,
+               CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+               CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -1936,12 +2006,12 @@ ORACLES: dict[str, str] = {
     "decimal_star_rollup": """
         SELECT n_name, l_returnflag,
                COUNT(*) AS n_lines,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS gross_total,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST('1.00' AS DECIMAL(3,2))
-                           - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(38,4)) AS revenue_total
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS gross_total,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST('1.00' AS DECIMAL(3,2))
+                                - CAST(l_discount AS DECIMAL(4,2))))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS revenue_total
         FROM lineitem
         JOIN orders    ON l_orderkey = o_orderkey
         JOIN customer  ON o_custkey = c_custkey
@@ -2741,8 +2811,14 @@ ORACLES: dict[str, str] = {
     "product_profit_q9": """
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)
-                         - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+               CAST(ROUND(SUM(
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST('1.00' AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))
+                   - CAST('0.1000' AS DECIMAL(6,4))
+                     * CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))
+               ), 2) AS DOUBLE) AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -2754,7 +2830,11 @@ ORACLES: dict[str, str] = {
     """,
     "returned_items_q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST('1.00' AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))
+               ), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -216,11 +216,16 @@ def decode_image_features(
     content_col: str = "content",
     id_col: str = "media_id",
     dim: int = 8,
-    fake_features: bool = True,
+    fake_features: bool = False,
 ) -> DataFrame:
     """Decode + featurize via ``mapInPandas``: one Arrow batch in, one out.
 
     Output schema: (media_id, width, height, embedding float[]).
+
+    The DEFAULT path is the real codec (``_decode_image``: PIL when
+    importable, else the stdlib PNG codec) and fails loudly on payloads it
+    cannot decode; ``fake_features=True`` is the explicit opt-in
+    deterministic stand-in for codec-less formats/tests.
     """
 
     pkg_parent = _package_parent()
@@ -323,16 +328,34 @@ def audio_features(
                 "peak": [],
             }
             for mid, data in zip(pdf[id_col], pdf[content_col]):
-                rate, _ch, samples = decode_wav(bytes(data))
+                rate, ch, samples = decode_wav(bytes(data))
+                # decode_wav yields interleaved samples: duration counts
+                # FRAMES (n // channels), and zcr must run per channel —
+                # computed on the raw interleaved stream both would be
+                # wrong by a factor of `ch` for stereo input.
                 x = np.asarray(samples, dtype=np.float64)
                 n = len(x)
+                frames = n // ch if ch else 0
+                chans = x[: frames * ch].reshape(frames, ch) if frames else x.reshape(0, max(ch, 1))
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
-                out["duration_sec"].append(round(n / rate, 6))
+                out["duration_sec"].append(round(frames / rate, 6))
                 out["rms"].append(round(float(np.sqrt((x**2).mean())), 3) if n else 0.0)
                 out["zero_crossing_rate"].append(
-                    round(float((np.diff(np.signbit(x)) != 0).mean()), 6) if n > 1 else 0.0
+                    round(
+                        float(
+                            np.mean(
+                                [
+                                    (np.diff(np.signbit(chans[:, c])) != 0).mean()
+                                    for c in range(chans.shape[1])
+                                ]
+                            )
+                        ),
+                        6,
+                    )
+                    if frames > 1
+                    else 0.0
                 )
                 out["peak"].append(int(np.abs(x).max()) if n else 0)
             yield pd.DataFrame(out)
@@ -370,6 +393,58 @@ def sample_frames(
                     idxs.append(i)
                     blobs.append(chunk)
                     shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": blobs,
+                    "frame_sha256": shas,
+                }
+            )
+
+    return spread(df).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def sample_decoded_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL frame extraction: decode each PNG payload through the real
+    codec path and emit ``n_frames`` evenly-split horizontal pixel bands —
+    frame bytes/hashes are over DECODED RGB rasters, not container byte
+    slices. Same cardinality-changing Arrow shape as ``sample_frames``
+    (one row in, ``n_frames`` rows out); at 100 TB this is the ffmpeg
+    keyframe-extraction slot with the codec swapped in per batch."""
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: see attach_generated_png
+        import hashlib as _hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.png import decode_png
+
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            blobs: list[bytes] = []
+            shas: list[str] = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                width, height, ch, pixels = decode_png(bytes(data))
+                row_bytes = width * ch
+                step = max(1, height // n_frames)
+                for i in range(n_frames):
+                    lo = min(i * step, height) * row_bytes
+                    hi = (height if i == n_frames - 1 else min((i + 1) * step, height)) * row_bytes
+                    band = pixels[lo:hi]
+                    ids.append(mid)
+                    idxs.append(i)
+                    blobs.append(band)
+                    shas.append(_hashlib.sha256(band).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -590,7 +590,22 @@ def product_profit_q9(
     part/supplier/nation broadcast; the part filter prunes the fact rows
     early (join-side filter, not post-aggregate). One shuffle for the
     (nation, year) aggregate.
+
+    Money math is exact DecimalType end-to-end: ``ROUND(SUM(double), 2)``
+    lands on half-cent boundaries where double accumulation order and
+    rounding mode diverge across engines (observed: one row off by exactly
+    one cent vs a DuckDB oracle). Each money input is cast to a tight
+    decimal (exact, since the source doubles carry <=2 decimal places),
+    the profit expression is computed and summed exactly, the exact
+    decimal is rounded HALF_UP (both Spark and DuckDB round decimals half
+    away from zero), and only the final value is cast to double to
+    canonicalize the output representation.
     """
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ratio = F.lit(cost_ratio).cast("decimal(6,4)")
     profit = (
         lineitem.join(
             F.broadcast(part.filter(F.col("p_name").contains(name_token))),
@@ -603,14 +618,14 @@ def product_profit_q9(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
             (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - F.lit(cost_ratio) * F.col("p_retailprice") * F.col("l_quantity")
+                ext * (F.lit("1.00").cast("decimal(3,2)") - disc)
+                - ratio * retail * qty
             ).alias("amount"),
         )
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -631,7 +646,15 @@ def returned_items_q10(
     orders joins the fact, not seven years); the returnflag filter is
     pushed to the lineitem scan. customer/nation broadcast. Top-k is
     TakeOrderedAndProject — no global sort materialization.
+
+    Revenue is summed in exact DecimalType then rounded and cast to
+    double at the edge — ``ROUND(SUM(double), 2)`` diverges by one cent
+    across engines on half-cent boundaries (see product_profit_q9).
     """
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit("1.00").cast("decimal(3,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(
@@ -644,11 +667,7 @@ def returned_items_q10(
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(k)
     )

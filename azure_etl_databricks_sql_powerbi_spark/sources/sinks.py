@@ -75,11 +75,15 @@ def write_raw_json_snapshot(
     import json
     import os
 
-    rows = df.toJSON().collect()
-    if len(rows) > 100_000:
+    # Cap enforced BEFORE materialization: collect at most cap+1 rows via
+    # limit() so pointing this at a fact table raises here instead of
+    # OOMing the driver on an unbounded collect.
+    cap = 100_000
+    rows = df.limit(cap + 1).toJSON().collect()
+    if len(rows) > cap:
         raise ValueError(
             "write_raw_json_snapshot is for small API-response snapshots; "
-            f"{len(rows)} rows — use write_jsonl_bronze for datasets"
+            f"more than {cap} rows — use write_jsonl_bronze for datasets"
         )
     data = [json.loads(r) for r in rows]
     target = f"{path}/run_date={run_date}" if run_date else path

@@ -2,14 +2,17 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
 
-Output contract (rounds 1-3 postmortem: a single 95-query JSON line
-overflowed the driver's capture buffer, truncating the LEFT side — the
-total was lost two rounds running). The headline line is therefore SHORT
-and printed FIRST, with the per-query map on its own later line and
-mirrored to ``BENCH_DETAIL.json`` beside this script:
+Output contract (rounds 1-4 postmortem: a single 95-query JSON line
+overflowed the driver's capture buffer; round 4 printed the short
+headline FIRST, but the driver keeps the LAST 2000 chars, so the
+headline scrolled out again). The SHORT headline line is therefore
+printed both FIRST and LAST — the final line of output — so tail-capture
+retains it; the bulky per-query map sits between and is mirrored to
+``BENCH_DETAIL.json`` beside this script:
 
     {"metric": "total_query_wallclock", "value": N, "unit": "sec", "sf": S, "n_queries": K}
     {"queries": {"q1": sec, ...}}
+    {"metric": "total_query_wallclock", "value": N, "unit": "sec", "sf": S, "n_queries": K}
 
 ``value`` is the total wall-clock of all benched queries (excluding session
 startup). Each query is fully executed via ``.write.format("noop")`` which
@@ -79,16 +82,19 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
-    # Headline first and short so it survives any output-capture truncation;
-    # bulky per-query detail on its own line AND mirrored to a side file.
-    print(json.dumps(headline), flush=True)
-    print(json.dumps({"queries": timings}), flush=True)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
         json.dump({**headline, "queries": timings}, fh, indent=1)
     spark.stop()
+    # Headline printed FIRST (survives right-truncation) and again LAST
+    # (survives the driver's keep-last-2000-chars tail capture); the bulky
+    # per-query detail sits between and is mirrored to BENCH_DETAIL.json.
+    # Nothing may print after the final headline line.
+    print(json.dumps(headline), flush=True)
+    print(json.dumps({"queries": timings}), flush=True)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

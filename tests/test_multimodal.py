@@ -46,7 +46,9 @@ def test_sniff_handles_unknown_bytes(spark):
 
 
 def test_decode_features_deterministic(spark, media):
-    feats = ops.decode_image_features(media, dim=8)
+    # fake_features is an EXPLICIT opt-in (the default is the real codec,
+    # which would loudly reject these pseudo-PNG payloads)
+    feats = ops.decode_image_features(media, dim=8, fake_features=True)
     assert feats.schema == ops.IMAGE_FEATURES_SCHEMA
     rows = feats.collect()
     assert len(rows) == media.count()
@@ -56,8 +58,28 @@ def test_decode_features_deterministic(spark, media):
         norm = sum(x * x for x in r["embedding"]) ** 0.5
         assert norm == pytest.approx(1.0, abs=1e-3)
     # deterministic across runs
-    again = {r["media_id"]: r["embedding"] for r in ops.decode_image_features(media, dim=8).collect()}
+    again = {
+        r["media_id"]: r["embedding"]
+        for r in ops.decode_image_features(media, dim=8, fake_features=True).collect()
+    }
     assert {r["media_id"]: r["embedding"] for r in rows} == again
+
+
+def test_decode_features_default_is_real_codec(spark):
+    """The DEFAULT decode path really decodes: generated 16x16 PNGs come
+    back with codec-reported dimensions (not sha-derived fakes), and fake
+    payloads are rejected loudly under the defaults."""
+    docs = load_table(spark, SF, "documents").limit(8)
+    media = ops.attach_generated_png(docs, width=16, height=16)
+    rows = ops.decode_image_features(media).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r["width"], r["height"]) == (16, 16)
+        norm = sum(x * x for x in r["embedding"]) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-3)
+    fake = ops.attach_fake_media(docs.limit(1))
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        ops.decode_image_features(fake).collect()
 
 
 def test_decode_rejects_garbage_loudly():
@@ -89,6 +111,60 @@ def test_sample_frames_cardinality(spark, media):
     )
     joined = b"".join(bytes(r["frame_bytes"]) for r in fr)
     assert bytes(one["content"]).startswith(joined)
+
+
+def test_sample_decoded_frames_real_pixels(spark):
+    """Decoded-frame sampling: every frame hash is over real decoded RGB
+    raster bytes, the bands reassemble the full raster exactly, and the
+    extraction is deterministic across runs."""
+    import hashlib as _hashlib
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.png import decode_png
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    media = ops.attach_generated_png(docs, width=16, height=16)
+    frames = ops.sample_decoded_frames(media, n_frames=4)
+    assert frames.schema == ops.FRAME_SCHEMA
+    assert frames.count() == 40
+    # bands of media_id 3 reassemble exactly the reference decode
+    payload = bytes(media.filter(F.col("media_id") == 3).collect()[0]["content"])
+    w, h, ch, pixels = decode_png(payload)
+    fr = frames.filter(F.col("media_id") == 3).orderBy("frame_idx").collect()
+    joined = b"".join(bytes(r["frame_bytes"]) for r in fr)
+    assert joined == pixels
+    for r in fr:
+        assert r["frame_sha256"] == _hashlib.sha256(bytes(r["frame_bytes"])).hexdigest()
+    # deterministic across runs
+    again = {(r["media_id"], r["frame_idx"]): r["frame_sha256"] for r in frames.collect()}
+    assert {(r["media_id"], r["frame_idx"]): r["frame_sha256"]
+            for r in frames.collect()} == again
+
+
+def test_audio_features_stereo_channels(spark):
+    """ADVICE fix: stereo WAVs report FRAME-based duration (not 2x) and
+    per-channel zcr. A stereo file interleaving two identical mono tracks
+    must match the mono file's duration and zcr exactly."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import encode_wav
+
+    import math
+
+    rate, n = 8000, 800
+    mono = [int(12000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    stereo = [s for s in mono for _ in (0, 1)]  # L=R interleaved
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(mono, rate))),
+            (2, bytearray(encode_wav(stereo, rate, channels=2))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in ops.audio_features(df).collect()}
+    assert rows[1]["duration_sec"] == pytest.approx(n / rate, abs=1e-9)
+    assert rows[2]["duration_sec"] == pytest.approx(n / rate, abs=1e-9)
+    assert rows[2]["zero_crossing_rate"] == pytest.approx(
+        rows[1]["zero_crossing_rate"], abs=1e-9
+    )
+    assert rows[2]["rms"] == pytest.approx(rows[1]["rms"], abs=1e-6)
 
 
 def test_png_codec_roundtrip_and_filters():

@@ -250,14 +250,21 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark):
 def test_decimal_star_rollup_broadcasts_and_single_agg_exchange(spark, entry):
     """Exact-money star rollup: every dim join is broadcast (the fact side
     never shuffles pre-aggregate at this sf), the rollup keeps partial
-    aggregation before its one exchange, and the money stays DecimalType
-    end-to-end (no double in the aggregate output)."""
+    aggregation before its one exchange, and the money arithmetic stays
+    DecimalType through the aggregate — only the FINAL output edge casts
+    to double (representation canonicalization vs the oracle; r4 verdict
+    item 1)."""
     df = entry.queries()["decimal_star_rollup"](spark, SF_SMOKE)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 2  # customer + nation at least
     assert "Expand" in plan  # rollup grouping-set expansion
     # partial-then-final aggregate around exactly one shuffle exchange
     assert plan.count("Exchange hashpartitioning") == 1
+    # the SUMs themselves are decimal (exact) ...
+    assert "sum(__gross" in plan and "sum(__rev" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,2)" in analyzed and "decimal(38,4)" in analyzed
+    # ... and only the contract edge is double
     types = dict(df.dtypes)
-    assert types["gross_total"] == "decimal(38,2)"
-    assert types["revenue_total"] == "decimal(38,4)"
+    assert types["gross_total"] == "double"
+    assert types["revenue_total"] == "double"

@@ -1,0 +1,95 @@
+"""Correctness-window rotation guard (round-4 verdict directive #6).
+
+The driver verifies only the FIRST 50 entries of ``QUERIES`` each round,
+so a query outside every round's window would never get driver evidence
+(``audio_features`` sat unverified for four rounds this way). The
+rotation manifest (``tools/rotation_manifest.json``) records each past
+round's actual window (the keys of the committed CORRECTNESS files) plus
+the currently-planned window; this test fails the moment a declared
+query has no driver row anywhere AND is not scheduled in the upcoming
+window — i.e. a query can never again silently sit unverified.
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _declared() -> list[str]:
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    return list(entry.QUERIES.keys())
+
+
+def test_every_query_has_driver_evidence():
+    declared = _declared()
+    covered: set[str] = set()
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        covered |= set(json.load(open(path)).keys())
+    covered |= set(declared[:50])  # the upcoming round's window
+    missing = sorted(set(declared) - covered)
+    assert not missing, (
+        f"queries with no driver evidence and no window slot: {missing} — "
+        "rotate them into the first 50 entries of QUERIES"
+    )
+
+
+def test_rotation_manifest_matches_current_window():
+    """The committed manifest's planned window must be the REAL first-50
+    of QUERIES, so the documented rotation can't drift from the code."""
+    manifest = json.load(open(REPO / "tools" / "rotation_manifest.json"))
+    planned_key = max(k for k in manifest if k.endswith("_planned"))
+    assert manifest[planned_key] == _declared()[:50]
+
+
+def test_rotation_manifest_covers_all_declared():
+    """Union of all manifest windows (past rounds + planned) covers every
+    declared query."""
+    manifest = json.load(open(REPO / "tools" / "rotation_manifest.json"))
+    union = set(itertools.chain.from_iterable(manifest.values()))
+    missing = sorted(set(_declared()) - union)
+    assert not missing, f"declared queries absent from rotation manifest: {missing}"
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Every window-eligible query needs an ORACLES entry unless it is a
+    deliberate rows-only contract (streaming side effects, approximate
+    ops, codec featurization) — keep this list short and intentional."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    ROWS_ONLY = {
+        # streaming side effects / drained state (batch≡stream unit-tested)
+        "stream_upsert_replay",
+        "sessionize_stream",
+        # approximate ops: ±bound/recall unit-tested, no SQL equivalent
+        "approx_distinct_orders",
+        "approx_percentiles_by_status",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "embedding_near_pairs_lsh",
+        "semantic_dedup_embeddings",
+        # codec featurization: roundtrip/determinism unit-tested
+        "media_frames",
+        "media_decode_features",
+        "audio_features",
+    }
+    oracles = set(entry.oracle_sql().keys())
+    for name in entry.QUERIES:
+        if name in ROWS_ONLY:
+            assert name not in oracles, f"{name} is listed rows-only but has an oracle"
+        else:
+            assert name in oracles, f"{name} has no oracle and no documented exemption"
