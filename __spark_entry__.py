@@ -1095,6 +1095,57 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scores(train, bench, n=3, threshold=0.8)
 
 
+def _q_novel_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup with a bloom prefilter
+    (dedup/incremental.novel_documents): corpus = docs with doc_id % 5
+    != 0, new batch = even doc_ids (overlap = re-ingested duplicates).
+    Bloom-negative rows skip the join entirely; bloom-positive rows
+    exact-confirm via LEFT ANTI on the md5 fingerprint — EXACT anti-join
+    semantics at any false-positive rate, which is what the oracle
+    checks. Pruning effectiveness is unit-tested
+    (tests/test_incremental_dedup.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
+        novel_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    return novel_documents(batch, corpus, fpp=0.01)
+
+
+def _q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags (functions/text.gopher_quality_flags):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    stopword presence, and the composite keep decision — all pure Column
+    expressions over exact counts; ratios are raw IEEE divisions (never
+    rounded) so the oracle replicates them bit-identically."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text", min_words=10, max_words=200)
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()]
+    ).orderBy("doc_id")
+
+
+def _q_chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking
+    (operators/chunking.chunk_documents): 8-token windows, 2-token
+    overlap — explode(sequence) fan-out inside the scan stage, zero
+    shuffles; chunk text via slice+array_join Catalyst expressions."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=8, overlap=2).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped correlated-min (plans/gold.min_cost_supplier)."""
     return gold.min_cost_supplier(
@@ -1599,10 +1650,16 @@ QUERIES: dict[str, QueryFn] = {
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
     "customer_cohorts_setops": _q_customer_cohorts_setops,
     "unpivot_status_revenue": _q_unpivot_status_revenue,
+    # --- round-5 additions (new operators need first driver evidence;
+    # the 3 displaced stale greens keep their r3 rows and rotate back
+    # next round) ---
+    "novel_docs_incremental": _q_novel_docs_incremental,
+    "gopher_quality_docs": _q_gopher_quality_docs,
+    "chunk_documents_rag": _q_chunk_documents_rag,
+    # ================= end of the 50-entry driver window =================
     "order_extremes_by_customer": _q_order_extremes,
     "conditional_agg_orders": _q_conditional_agg,
     "small_qty_part_revenue": _q_small_qty_part_revenue,
-    # ================= end of the 50-entry driver window =================
     # --- verified green in round 4 (CORRECTNESS_r04.json) ---
     "order_priority_exists": _q_order_priority_exists,
     "customer_order_distribution": _q_customer_order_distribution,
@@ -1864,6 +1921,71 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT)    AS n_dups
         FROM documents
         GROUP BY 1
+    """,
+    "novel_docs_incremental": """
+        SELECT b.doc_id, md5(b.text) AS fingerprint
+        FROM documents b
+        WHERE b.doc_id % 2 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents c
+              WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)
+          )
+        ORDER BY b.doc_id
+    """,
+    "gopher_quality_docs": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS toks,
+                   text
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       / GREATEST(len(toks), 1) AS mean_word_len,
+                   (length(regexp_replace(text, '[^#…]', '', 'g'))
+                    + len(regexp_extract_all(text, '\.\.\.')))
+                       / GREATEST(len(toks), 1) AS symbol_ratio,
+                   len(list_filter(toks, x -> lower(x) IN
+                       ('the','and','of','to','in','is','you','that','it','for')))
+                       AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               CAST(n_words >= 10 AND n_words <= 200 AS INTEGER)
+                   AS flag_word_count,
+               CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INTEGER)
+                   AS flag_mean_word_len,
+               CAST(symbol_ratio <= 0.1 AS INTEGER) AS flag_symbol_ratio,
+               CAST(stop_hits >= 2 AS INTEGER) AS flag_stopwords,
+               CAST(n_words >= 10 AND n_words <= 200
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND symbol_ratio <= 0.1 AND stop_hits >= 2 AS INTEGER)
+                   AS keep
+        FROM m
+        ORDER BY doc_id
+    """,
+    "chunk_documents_rag": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 8 THEN 1
+                        ELSE ((len(toks) - 8 + 5) // 6) + 1 END AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(toks[i * 6 + 1 : i * 6 + 8]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[i * 6 + 1 : i * 6 + 8], ' ') AS chunk_text
+        FROM c CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+        ORDER BY doc_id, chunk_idx
     """,
     "token_jaccard_pairs": r"""
         WITH toks AS (

@@ -142,6 +142,56 @@ def word_ngrams(c: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) <= n, F.array(joined)).otherwise(ngrams)
 
 
+def gopher_quality_flags(
+    c: Column | str,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = LANG_PROFILES["en"],
+) -> dict[str, Column]:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted):
+    per-document boolean flags plus the composite ``keep`` decision —
+    the standard pre-training corpus filter set, each rule a pure Column
+    expression over exact counts so the oracle replicates it verbatim.
+
+    Returns {n_words, mean_word_len, symbol_ratio, flag_word_count,
+    flag_mean_word_len, flag_symbol_ratio, flag_stopwords, keep}.
+    ``mean_word_len``/``symbol_ratio`` are raw long/long IEEE divisions
+    (bit-identical across engines, never rounded); flags are ints.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    n_words = token_count(c)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.length(F.regexp_replace(c, r"\s", "")) / safe_n
+    # '#' and ellipsis runs per word — Gopher's symbol-to-word screen
+    n_symbols = F.length(F.regexp_replace(c, r"[^#…]", "")) + F.regexp_count(
+        c, F.lit(r"\.\.\.")
+    )
+    symbol_ratio = n_symbols / safe_n
+    flag_wc = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    flag_mwl = (
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ).cast("int")
+    flag_sym = (symbol_ratio <= max_symbol_ratio).cast("int")
+    flag_stop = (stopword_hits(c, stopwords) >= min_stopword_hits).cast("int")
+    keep = (
+        (flag_wc == 1) & (flag_mwl == 1) & (flag_sym == 1) & (flag_stop == 1)
+    ).cast("int")
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "flag_word_count": flag_wc,
+        "flag_mean_word_len": flag_mwl,
+        "flag_symbol_ratio": flag_sym,
+        "flag_stopwords": flag_stop,
+        "keep": keep,
+    }
+
+
 # PII patterns kept deliberately simple and engine-portable (same regex
 # dialect subset works in Java regex and DuckDB's RE2): training-data
 # scrubbing wants high recall on the common shapes, not RFC compliance.

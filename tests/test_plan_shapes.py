@@ -268,3 +268,19 @@ def test_decimal_star_rollup_broadcasts_and_single_agg_exchange(spark, entry):
     types = dict(df.dtypes)
     assert types["gross_total"] == "double"
     assert types["revenue_total"] == "double"
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_documents is one scan + explode + project — the fan-out
+    happens inside the scan stage, no Exchange anywhere (the 100 TB
+    contract: chunking cost is proportional to input bytes, never a
+    shuffle)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    df = chunk_documents(load_table(spark, SF_SMOKE, "documents"))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate explode" in plan or "Generate" in plan  # the fan-out
