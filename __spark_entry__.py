@@ -1146,6 +1146,23 @@ def _q_chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with EXACT final counts
+    (sketches/cms.heavy_hitter_tokens): tokens occurring >= 1% of total
+    occurrences. The CMS never underestimates, so its map-side prune
+    keeps a superset of the true heavy hitters; the exact aggregate runs
+    on candidates only and a final HAVING drops the eps-slack — identical
+    semantics to the plain explode+groupBy+HAVING the oracle runs.
+    The total count sizing the threshold is read off the sketch itself
+    (every CMS row sums to exactly N increments) — no extra pass."""
+    from azure_etl_databricks_sql_powerbi_spark.sketches.cms import (
+        heavy_hitter_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(docs, min_share_denom=100, eps=0.001)
+
+
 def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped correlated-min (plans/gold.min_cost_supplier)."""
     return gold.min_cost_supplier(
@@ -1288,6 +1305,26 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(docs.select("doc_id"), edges).select(
         "doc_id", "cluster_id", "keep"
     )
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators/sampling.leakage_safe_split): split assigned by the
+    near-dup CLUSTER representative, so a test document's near-duplicate
+    can never sit in train. Oracle: the near_dup_clusters recursive-CTE
+    closure + the same md5-bucket split arithmetic on the cluster id."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import shingle_edges
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_edges(docs, n=5, min_df=2, max_df=10)
+    return leakage_safe_split(
+        docs.select("doc_id"),
+        edges,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "cluster_id", "split")
 
 
 _DPP_FACT_CACHE: dict[str, str] = {}
@@ -1648,15 +1685,17 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_customer_status": _q_scd2_customer_status,
     "customer_order_gaps": _q_customer_order_gaps,
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
     # --- round-5 additions (new operators need first driver evidence;
-    # the 3 displaced stale greens keep their r3 rows and rotate back
+    # the 5 displaced stale greens keep their r3 rows and rotate back
     # next round) ---
     "novel_docs_incremental": _q_novel_docs_incremental,
     "gopher_quality_docs": _q_gopher_quality_docs,
     "chunk_documents_rag": _q_chunk_documents_rag,
+    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+    "leakage_safe_split": _q_leakage_safe_split,
     # ================= end of the 50-entry driver window =================
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
     "order_extremes_by_customer": _q_order_extremes,
     "conditional_agg_orders": _q_conditional_agg,
     "small_qty_part_revenue": _q_small_qty_part_revenue,
@@ -1921,6 +1960,20 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT)    AS n_dups
         FROM documents
         GROUP BY 1
+    """,
+    "heavy_hitter_tokens": r"""
+        WITH occ AS (
+            SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents
+            WHERE length(TRIM(text)) > 0
+        ), thr AS (
+            SELECT GREATEST(1, COUNT(*) // 100) AS t FROM occ
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM occ
+        GROUP BY token
+        HAVING COUNT(*) >= (SELECT t FROM thr)
+        ORDER BY token
     """,
     "novel_docs_incremental": """
         SELECT b.doc_id, md5(b.text) AS fingerprint
@@ -2866,6 +2919,57 @@ ORACLES: dict[str, str] = {
                COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    "leakage_safe_split": r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) <= 5 THEN array_to_string(t, ' ')
+                        ELSE array_to_string(t[i.i:i.i+4], ' ') END AS shingle
+            FROM toks, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS i(i)
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+              AND shingle IN (SELECT shingle FROM rare)
+        ),
+        bidir AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        labels AS (
+            SELECT u AS node, u AS comp FROM bidir
+            UNION
+            SELECT b.v AS node, l.comp
+            FROM labels l JOIN bidir b ON b.u = l.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(comp) AS cluster_id
+            FROM labels GROUP BY node
+        ),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        ),
+        b AS (
+            SELECT doc_id, cluster_id,
+                   CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10000 AS bucket
+            FROM assigned
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """,
     "dpp_priority_revenue": """
         WITH dim AS (

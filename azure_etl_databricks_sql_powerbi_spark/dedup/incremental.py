@@ -48,27 +48,6 @@ def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _probe_positions(hashes, n_bits: int, k: int):
-    """Double hashing g_i(x) = h1 + i*h2 (mod m) over the two 32-bit
-    halves of a 64-bit hash — k positions per key, fully vectorized.
-    Returns an (len(hashes), k) int64 array of bit positions."""
-    import numpy as np
-
-    h = np.asarray(hashes, dtype=np.uint64)
-    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)  # odd
-    i = np.arange(k, dtype=np.int64)
-    return (h1[:, None] + i[None, :] * h2[:, None]) % n_bits
-
-
-def _pkg_parent() -> str:
-    import os
-
-    import azure_etl_databricks_sql_powerbi_spark as _pkg
-
-    return os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
-
-
 def build_bloom(
     df: DataFrame, hash_col: str, expected_items: int, fpp: float = 0.01
 ) -> tuple[bytes, int, int]:
@@ -78,8 +57,10 @@ def build_bloom(
     Driver-side contract (documented, bounded): the collect returns at
     most ``num_partitions`` bitmaps of ``n_bits/8`` bytes each — sized by
     the filter, never by the data. Returns (bitmap, n_bits, k)."""
+    from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
+
     n_bits, k = bloom_params(expected_items, fpp)
-    pkg_parent = _pkg_parent()
+    pkg_parent = _pp()
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # sys.path bootstrap + in-closure import: executor tasks must not
@@ -91,8 +72,8 @@ def build_bloom(
             sys.path.insert(0, pkg_parent)
         import numpy as np
 
-        from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
-            _probe_positions,
+        from azure_etl_databricks_sql_powerbi_spark.util import (
+            double_hash_positions,
         )
 
         bits = np.zeros(n_bits // 8, dtype=np.uint8)
@@ -100,7 +81,7 @@ def build_bloom(
         for pdf in it:
             if len(pdf):
                 seen = True
-                pos = _probe_positions(pdf[hash_col].values, n_bits, k).ravel()
+                pos = double_hash_positions(pdf[hash_col].values, n_bits, k).ravel()
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         if seen:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
@@ -121,13 +102,21 @@ def split_by_bloom(
     round-trips per row."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
+
     spark = df.sparkSession
+    # Driver-side contract: one broadcast of the bitmap per call, released
+    # at session end (Spark has no post-action hook to unpersist a lazily
+    # consumed broadcast). Size is bounded by the filter (n_bits/8 bytes),
+    # never the data; long-lived sessions issuing many calls should reuse
+    # one (bitmap, n_bits, k) across batches — that reuse is the intended
+    # daily-ingest shape anyway.
     bc = spark.sparkContext.broadcast(bitmap)
     # fresh StructType: StructType.add would MUTATE df's live schema object
     out_schema = StructType(
         list(df.schema.fields) + [StructField("__bloom_hit", IntegerType())]
     )
-    pkg_parent = _pkg_parent()
+    pkg_parent = _pp()
 
     def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see build_bloom
@@ -137,15 +126,15 @@ def split_by_bloom(
             sys.path.insert(0, pkg_parent)
         import numpy as np
 
-        from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
-            _probe_positions,
+        from azure_etl_databricks_sql_powerbi_spark.util import (
+            double_hash_positions,
         )
 
         bits = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in it:
             if not len(pdf):
                 continue
-            pos = _probe_positions(pdf[hash_col].values, n_bits, k)
+            pos = double_hash_positions(pdf[hash_col].values, n_bits, k)
             hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
             pdf = pdf.copy()
             pdf["__bloom_hit"] = hit.all(axis=1).astype("int32")

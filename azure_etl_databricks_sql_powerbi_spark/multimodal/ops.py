@@ -197,6 +197,33 @@ def _decode_image(data: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     return width, height, _pool_features(thumb, dim)
 
 
+def _decode_rgb(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw RGB bytes) through the same codec dispatch as
+    ``_decode_image``: PIL when importable (any format), else the stdlib
+    PNG codec — so every operator that needs a raster decodes a given
+    payload identically."""
+    try:
+        import PIL.Image
+    except ImportError:
+        pass
+    else:
+        import io
+
+        with PIL.Image.open(io.BytesIO(data)) as img:
+            width, height = img.size
+            return width, height, img.convert("RGB").tobytes()
+
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.png import decode_png
+
+    width, height, ch, pixels = decode_png(data)
+    if ch == 3:
+        return width, height, pixels
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
+    return width, height, px[:, :, :3].tobytes()
+
+
 def _fake_features(data: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Deterministic pseudo-decode: width/height and a unit-norm embedding
     derived from the sha256 of the payload."""
@@ -304,8 +331,11 @@ def audio_features(
 ) -> DataFrame:
     """Real audio feature extraction over PCM16 WAV payloads
     (``multimodal.wav.decode_wav``): duration, RMS level, zero-crossing
-    rate, peak amplitude — the standard cheap audio QC/fingerprint set,
-    one Arrow batch at a time."""
+    rate, peak amplitude, plus FFT spectral features (dominant frequency,
+    spectral centroid) — the standard cheap audio QC/fingerprint set, one
+    Arrow batch at a time. For the engine's generated sine tones the
+    dominant frequency must land within one FFT bin of the synthesis
+    frequency — the analytic cross-check the unit test asserts."""
     pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -326,6 +356,8 @@ def audio_features(
                 "rms": [],
                 "zero_crossing_rate": [],
                 "peak": [],
+                "dominant_freq_hz": [],
+                "spectral_centroid_hz": [],
             }
             for mid, data in zip(pdf[id_col], pdf[content_col]):
                 rate, ch, samples = decode_wav(bytes(data))
@@ -358,12 +390,32 @@ def audio_features(
                     else 0.0
                 )
                 out["peak"].append(int(np.abs(x).max()) if n else 0)
+                # spectral features over the channel-mean signal: rfft
+                # magnitude spectrum; dominant bin -> Hz, centroid =
+                # magnitude-weighted mean frequency (DC excluded so
+                # silence/offset doesn't dominate)
+                if frames > 1:
+                    mono = chans.mean(axis=1)
+                    power = np.abs(np.fft.rfft(mono)) ** 2
+                    freqs = np.fft.rfftfreq(frames, d=1.0 / rate)
+                    power[0] = 0.0  # exclude DC
+                    dom = float(freqs[int(power.argmax())])
+                    denom = float(power.sum())
+                    # power-weighted centroid: magnitude weighting lets
+                    # spectral-leakage tails drag a pure tone's centroid
+                    # ~25% off its frequency; power concentrates on the peak
+                    cent = float((freqs * power).sum() / denom) if denom > 0 else 0.0
+                else:
+                    dom, cent = 0.0, 0.0
+                out["dominant_freq_hz"].append(round(dom, 3))
+                out["spectral_centroid_hz"].append(round(cent, 3))
             yield pd.DataFrame(out)
 
     return spread(df).mapInPandas(
         batches,
         "media_id bigint, sample_rate int, n_samples long, duration_sec double, "
-        "rms double, zero_crossing_rate double, peak long",
+        "rms double, zero_crossing_rate double, peak long, "
+        "dominant_freq_hz double, spectral_centroid_hz double",
     )
 
 
@@ -411,11 +463,13 @@ def sample_decoded_frames(
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """REAL frame extraction: decode each PNG payload through the real
-    codec path and emit ``n_frames`` evenly-split horizontal pixel bands —
-    frame bytes/hashes are over DECODED RGB rasters, not container byte
-    slices. Same cardinality-changing Arrow shape as ``sample_frames``
-    (one row in, ``n_frames`` rows out); at 100 TB this is the ffmpeg
+    """REAL frame extraction: decode each payload through the same codec
+    dispatch as ``decode_image_features`` (``_decode_rgb``: PIL when
+    importable, else the stdlib PNG codec) and emit ``n_frames``
+    evenly-split horizontal pixel bands — frame bytes/hashes are over
+    DECODED RGB rasters, not container byte slices. Same
+    cardinality-changing Arrow shape as ``sample_frames`` (one row in,
+    ``n_frames`` rows out); at 100 TB this is the ffmpeg
     keyframe-extraction slot with the codec swapped in per batch."""
     pkg_parent = _package_parent()
 
@@ -426,7 +480,7 @@ def sample_decoded_frames(
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
-        from azure_etl_databricks_sql_powerbi_spark.multimodal.png import decode_png
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import _decode_rgb
 
         for pdf in it:
             ids: list[int] = []
@@ -434,8 +488,8 @@ def sample_decoded_frames(
             blobs: list[bytes] = []
             shas: list[str] = []
             for mid, data in zip(pdf[id_col], pdf[content_col]):
-                width, height, ch, pixels = decode_png(bytes(data))
-                row_bytes = width * ch
+                width, height, pixels = _decode_rgb(bytes(data))
+                row_bytes = width * 3
                 step = max(1, height // n_frames)
                 for i in range(n_frames):
                     lo = min(i * step, height) * row_bytes

@@ -64,6 +64,33 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware deterministic split: the split is assigned by the
+    NEAR-DUP CLUSTER representative (``dedup/cluster.assign_clusters``
+    minimum id), so a document and its near-duplicates always land in the
+    same split — the train/test-contamination guard a plain per-document
+    split cannot give (a test doc whose near-dup sits in train leaks the
+    answer). ``edges`` is the candidate near-dup edge set (e.g.
+    ``dedup/cluster.shingle_edges``); docs with no near-dup cluster to
+    themselves and split exactly like ``deterministic_split``.
+
+    Output: df columns + ``cluster_id`` + ``keep`` + ``out_col``.
+    """
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import assign_clusters
+
+    clustered = assign_clusters(df, edges, id_col=id_col)
+    return deterministic_split(
+        clustered, on="cluster_id", weights=weights, salt=salt, out_col=out_col
+    )
+
+
 def quota_sample_per_group(
     df: DataFrame,
     group_by: Sequence[str],

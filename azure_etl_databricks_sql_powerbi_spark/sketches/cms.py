@@ -1,0 +1,176 @@
+"""Count-min-sketch heavy hitters with EXACT final counts.
+
+The 100 TB problem: "which tokens appear >= T times in the corpus" via a
+plain ``explode -> groupBy(token) -> count`` shuffles EVERY token
+occurrence-group across the cluster — the aggregate's key cardinality is
+the full vocabulary (web-scale: billions of keys, mostly long-tail trash
+seen once). The sketch-accelerated shape:
+
+1. One map-side pass builds a count-min sketch (d x w counter matrix) per
+   partition (``mapInPandas``, vectorized numpy double-hashing on the
+   token's xxhash64) — partials are summed on the driver (d*w*8 bytes per
+   partition, sized by the sketch, never the data) and broadcast.
+2. A second map-side pass keeps only tokens whose CMS estimate >= T.
+   CMS never underestimates, so the candidate set is a SUPERSET of the
+   true heavy hitters — no false negatives, only ~eps*N false positives.
+3. The exact ``groupBy(token).count()`` runs on candidates only: the
+   shuffle carries the heavy head + eps-slack, not the long tail.
+4. A final ``count >= T`` filter drops the false positives.
+
+Net semantics are EXACT — identical to the plain aggregate — for any
+sketch size; the sketch only decides how much long tail gets pruned
+before the shuffle. Same contract as the bloom-prefiltered incremental
+dedup (dedup/incremental.py); position hashing and the sys.path
+bootstrap are shared via ``util.double_hash_positions``/``util.pkg_parent``.
+
+No reference counterpart; north-star text-analysis surface.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_params(eps: float = 0.001, delta: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: width w = ceil(e/eps) counters (additive error
+    eps*N), depth d = ceil(ln(1/delta)) rows (error bound holds with
+    probability 1-delta)."""
+    w = int(math.ceil(math.e / eps))
+    d = max(1, int(math.ceil(math.log(1.0 / delta))))
+    return w, d
+
+
+def build_cms(
+    df: DataFrame, hash_col: str, eps: float = 0.001, delta: float = 0.01
+) -> tuple[bytes, int, int, int]:
+    """Count-min sketch over ``df[hash_col]`` longs (one increment per
+    row): per-partition partial matrices, summed driver-side. Returns
+    (d*w int64 little-endian buffer, w, d, total) — ``total`` is the
+    exact number of increments (every sketch row sums to it), so callers
+    sizing thresholds as a fraction of N get it for free, without an
+    extra counting pass over the data."""
+    from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
+
+    w, d = cms_params(eps, delta)
+    pkg_parent = _pp()
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: executor tasks must not unpickle
+        # engine-module globals by module name (multimodal/ops.py pattern)
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from azure_etl_databricks_sql_powerbi_spark.util import (
+            double_hash_positions,
+        )
+
+        counts = np.zeros((d, w), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if len(pdf):
+                seen = True
+                pos = double_hash_positions(pdf[hash_col].values, w, d)
+                for row in range(d):
+                    np.add.at(counts[row], pos[:, row], 1)
+        if seen:
+            yield pd.DataFrame({"counts": [counts.tobytes()]})
+
+    import numpy as np
+
+    acc = np.zeros((d, w), dtype=np.int64)
+    for row in df.select(hash_col).mapInPandas(partial, "counts binary").collect():
+        acc += np.frombuffer(row["counts"], dtype=np.int64).reshape(d, w)
+    total = int(acc[0].sum())
+    return acc.tobytes(), w, d, total
+
+
+def attach_cms_estimate(
+    df: DataFrame, hash_col: str, sketch: bytes, w: int, d: int
+) -> DataFrame:
+    """Adds ``__cms_est long`` = min over the d counters — the classic CMS
+    point estimate (>= true count, always). Driver-side contract: one
+    broadcast of the d*w matrix per call, released at session end —
+    bounded by the sketch size; reuse one sketch across calls in
+    long-lived sessions."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sketch)
+    # fresh StructType: StructType.add would MUTATE df's live schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__cms_est", LongType())]
+    )
+    pkg_parent = _pp()
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: see build_cms
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from azure_etl_databricks_sql_powerbi_spark.util import (
+            double_hash_positions,
+        )
+
+        counts = np.frombuffer(bc.value, dtype=np.int64).reshape(d, w)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pos = double_hash_positions(pdf[hash_col].values, w, d)
+            est = counts[np.arange(d)[None, :], pos].min(axis=1)
+            pdf = pdf.copy()
+            pdf["__cms_est"] = est
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: int | None = None,
+    min_share_denom: int | None = None,
+    eps: float = 0.001,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Tokens with EXACT corpus count >= threshold, CMS-pruned.
+
+    Pass either an absolute ``threshold`` or ``min_share_denom`` (e.g.
+    100 -> tokens covering >= 1/100 of all occurrences, threshold =
+    max(1, total // min_share_denom) with ``total`` read off the sketch —
+    no extra counting pass).
+
+    Output: (token, n_occurrences) — identical to the plain
+    explode+groupBy+HAVING, but the exact aggregate's shuffle only
+    carries CMS candidates (true heavy hitters + ~eps*N slack)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+
+    if (threshold is None) == (min_share_denom is None):
+        raise ValueError("pass exactly one of threshold / min_share_denom")
+    occurrences = df.select(
+        F.explode(tokens(text_col)).alias("token")
+    ).withColumn("__h", F.xxhash64("token"))
+    sketch, w, d, total = build_cms(occurrences, "__h", eps, delta)
+    if threshold is None:
+        threshold = max(1, total // min_share_denom)
+    candidates = attach_cms_estimate(occurrences, "__h", sketch, w, d).filter(
+        F.col("__cms_est") >= threshold
+    )
+    return (
+        candidates.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+        .orderBy("token")
+    )

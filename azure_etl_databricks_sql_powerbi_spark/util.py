@@ -43,3 +43,31 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def pkg_parent() -> str:
+    """Directory containing the engine package — captured DRIVER-side so
+    executor closures can sys.path-bootstrap before importing engine
+    modules (cloudpickle serializes module-global references by name, and
+    executors without the package on PYTHONPATH would fail to unpickle).
+    Canonical copy; every mapInPandas module uses this one."""
+    import os
+
+    import azure_etl_databricks_sql_powerbi_spark as _pkg
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+
+
+def double_hash_positions(hashes, width: int, depth: int):
+    """Kirsch-Mitzenmacher double hashing: position g_i(x) = h1 + i*h2
+    (mod width) for i in [0, depth) from the two 32-bit halves of a 64-bit
+    hash (h2 forced odd). Returns a (len(hashes), depth) int64 numpy array
+    — shared by the bloom filter (dedup/incremental.py) and the count-min
+    sketch (sketches/cms.py)."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    i = np.arange(depth, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % width

@@ -88,7 +88,9 @@ def test_chunking_reassembles_and_overlaps(spark):
         chunk_documents,
     )
 
-    docs = load_table(spark, SF, "documents").limit(50)
+    # deterministic subset: LIMIT without ORDER BY may pick different rows
+    # across the two collect() actions below
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 50)
     chunks = chunk_documents(docs, chunk_tokens=8, overlap=2)
     rows = sorted(
         chunks.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
@@ -134,6 +136,8 @@ def test_gopher_flags_consistent(spark):
     docs = load_table(spark, SF, "documents")
     flags = gopher_quality_flags("text", min_words=10, max_words=200)
     out = docs.select("doc_id", "text", *[v.alias(k) for k, v in flags.items()])
+    import re as _re
+
     for r in out.collect():
         expected_keep = int(
             r["flag_word_count"]
@@ -142,8 +146,107 @@ def test_gopher_flags_consistent(spark):
             and r["flag_stopwords"]
         )
         assert r["keep"] == expected_keep
-        assert r["n_words"] == len(r["text"].split())
-        nonws = len("".join(r["text"].split()))
+        # ASCII \s+ to match the engine tokenizer (Python str.split also
+        # splits on Unicode whitespace the Java regex would keep)
+        toks = [t for t in _re.split(r"[ \t\n\r\f\v]+", r["text"].strip()) if t]
+        assert r["n_words"] == len(toks)
+        nonws = len("".join(_re.split(r"[ \t\n\r\f\v]+", r["text"])))
         assert r["mean_word_len"] == pytest.approx(
             nonws / max(r["n_words"], 1), abs=0
         )
+
+
+def test_cms_heavy_hitters_exact_and_pruned(spark):
+    """CMS heavy hitters: (a) identical to the plain explode+groupBy+HAVING
+    at any sketch size; (b) on long-tail data the candidate set the exact
+    aggregate sees is a small superset of the true heavy head."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+    from azure_etl_databricks_sql_powerbi_spark.sketches import cms
+
+    # zipf-ish synthetic corpus: 5 planted heavy tokens + a long tail of
+    # singletons
+    rows = []
+    for i in range(200):
+        heavy = " ".join(f"hot{j}" for j in range(5) for _ in range(3))
+        tail = " ".join(f"rare{i}_{k}" for k in range(10))
+        rows.append((i, heavy + " " + tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    threshold = 100  # hot tokens appear 600x, tail tokens once
+    got = cms.heavy_hitter_tokens(docs, threshold=threshold, eps=0.01)
+    expected = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+    )
+    got_rows = {(r["token"], r["n_occurrences"]) for r in got.collect()}
+    exp_rows = {(r["token"], r["n_occurrences"]) for r in expected.collect()}
+    assert got_rows == exp_rows
+    assert len(got_rows) == 5
+
+    # pruning: candidates reaching the exact aggregate are a small
+    # fraction of occurrences (the long tail never shuffles)
+    occ = docs.select(F.explode(tokens("text")).alias("token")).withColumn(
+        "__h", F.xxhash64("token")
+    )
+    sketch, w, d, total = cms.build_cms(occ, "__h", eps=0.01)
+    assert total == occ.count()  # sketch rows each sum to exactly N
+    n_total = occ.count()
+    n_candidates = (
+        cms.attach_cms_estimate(occ, "__h", sketch, w, d)
+        .filter(F.col("__cms_est") >= threshold)
+        .count()
+    )
+    # true heavy occurrences are 5*600 = 3000 of 5000; eps*N slack = 50
+    assert n_candidates <= 3000 + max(100, int(0.05 * n_total))
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from azure_etl_databricks_sql_powerbi_spark.sketches import cms
+
+    df = spark.range(2000).select((F.col("id") % 50).alias("key")).withColumn(
+        "__h", F.xxhash64("key")
+    )
+    sketch, w, d, _total = cms.build_cms(df, "__h", eps=0.01)
+    est = cms.attach_cms_estimate(df, "__h", sketch, w, d)
+    # every key occurs exactly 40 times; estimates must be >= 40
+    bad = est.filter(F.col("__cms_est") < 40).count()
+    assert bad == 0
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    """Every near-dup cluster lands in exactly one split, isolated docs
+    split like deterministic_split, and the assignment is deterministic."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import shingle_edges
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    edges = shingle_edges(docs, n=5, min_df=2, max_df=10)
+    out = leakage_safe_split(
+        docs.select("doc_id"), edges,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    # one split per cluster — the leakage guard itself
+    straddling = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # all docs assigned, deterministic across runs
+    assert out.count() == docs.count()
+    a = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    again = leakage_safe_split(
+        docs.select("doc_id"), edges,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    assert a == {r["doc_id"]: (r["cluster_id"], r["split"]) for r in again.collect()}
+    # real clusters exist at this sf (otherwise the guard is vacuous)
+    multi = (
+        out.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0

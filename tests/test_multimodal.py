@@ -317,5 +317,11 @@ def test_audio_features_end_to_end(spark):
         # sine RMS = amp/sqrt(2); int truncation keeps it within ~1%
         assert r.rms == pytest.approx(amp / 2**0.5, rel=0.02)
         assert 0 < r.peak <= amp
+        # FFT dominant frequency within one bin (rate/n = 5 Hz) of the
+        # synthesis frequency — the spectral path really measures the tone
+        bin_hz = 8000 / 1600
+        assert abs(r.dominant_freq_hz - freq) <= bin_hz + 1e-9
+        # a pure tone's power-weighted centroid sits on the tone
+        assert r.spectral_centroid_hz == pytest.approx(freq, rel=0.05)
     again = {r.media_id: r for r in audio_features(media).collect()}
     assert {m: tuple(r) for m, r in rows.items()} == {m: tuple(r) for m, r in again.items()}
