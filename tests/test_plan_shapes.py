@@ -284,3 +284,26 @@ def test_chunking_is_shuffle_free(spark):
     plan = _plan(df)
     assert "Exchange" not in plan, plan[:2000]
     assert "Generate explode" in plan or "Generate" in plan  # the fan-out
+
+
+def test_novel_docs_bloom_keeps_anti_join(spark, entry):
+    """The bloom-prefiltered incremental dedup still plans its exact
+    confirm as a LEFT ANTI join (never a rewrite that could change
+    semantics), and the bloom probe is a map-side Python stage (one
+    mapInPandas over the batch), not a join."""
+    df = entry.queries()["novel_docs_incremental"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "MapInPandas" in plan
+
+
+def test_heavy_hitters_single_agg_exchange(spark, entry):
+    """The CMS-pruned exact aggregate shuffles once on the token key;
+    the sketch probe itself is map-side (MapInPandas before the
+    exchange, so the long tail is dropped pre-shuffle)."""
+    df = entry.queries()["heavy_hitter_tokens"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # one hash exchange for the exact groupBy; the orderBy adds a range
+    # exchange after the aggregate, never a second hash shuffle
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -168,3 +168,48 @@ def test_span_dedup_invariants(spark, doc_lines):
             if s not in first:
                 first[s] = (i, j)
     assert {(r.doc_id, r.span_idx) for r in kept} == set(first.values())
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    chunk_tokens=st.integers(min_value=2, max_value=10),
+    overlap_frac=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_chunking_arithmetic_properties(spark, n_tokens, chunk_tokens, overlap_frac):
+    """For ANY (doc length, window, overlap): chunk indices are contiguous
+    from 0, every chunk has 1..chunk_tokens tokens (a short/empty doc has
+    exactly one possibly-empty chunk), consecutive chunks overlap by
+    exactly `overlap`, and stripping the overlap reconstructs the doc."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    overlap = (overlap_frac * (chunk_tokens - 1)) // 101  # < chunk_tokens
+    stride = chunk_tokens - overlap
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    if n_tokens <= chunk_tokens:
+        assert len(rows) == 1
+    else:
+        # ceil((n - w)/s) + 1
+        assert len(rows) == -((n_tokens - chunk_tokens) // -stride) + 1
+    rebuilt: list[str] = []
+    for i, r in enumerate(rows):
+        ctoks = r["chunk_text"].split() if r["chunk_text"] else []
+        assert r["n_tokens"] == len(ctoks)
+        assert len(ctoks) <= chunk_tokens
+        if i == 0:
+            rebuilt.extend(ctoks)
+        else:
+            prev = rows[i - 1]["chunk_text"].split()
+            assert prev[-overlap:] == ctoks[:overlap] if overlap else True
+            rebuilt.extend(ctoks[overlap:])
+    assert rebuilt == text.split()
