@@ -1327,6 +1327,20 @@ def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "split")
 
 
+def _q_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operators composed end-to-end
+    (plans/curation.pretraining_prep): Gopher gate -> exact dedup ->
+    leakage-safe split -> chunk the TRAIN split. Oracle replays the whole
+    chain as one CTE composition (gate arithmetic, min-id dedup window,
+    recursive-CTE cluster closure, md5 split buckets, list-slice
+    chunking)."""
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import (
+        pretraining_prep,
+    )
+
+    return pretraining_prep(load_table(spark, sf_dir, "documents"))
+
+
 _DPP_FACT_CACHE: dict[str, str] = {}
 
 
@@ -1684,16 +1698,17 @@ QUERIES: dict[str, QueryFn] = {
     "curate_documents": _q_curate_documents,
     "scd2_customer_status": _q_scd2_customer_status,
     "customer_order_gaps": _q_customer_order_gaps,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
     # --- round-5 additions (new operators need first driver evidence;
-    # the 5 displaced stale greens keep their r3 rows and rotate back
+    # the 6 displaced stale greens keep their r3 rows and rotate back
     # next round) ---
     "novel_docs_incremental": _q_novel_docs_incremental,
     "gopher_quality_docs": _q_gopher_quality_docs,
     "chunk_documents_rag": _q_chunk_documents_rag,
     "heavy_hitter_tokens": _q_heavy_hitter_tokens,
     "leakage_safe_split": _q_leakage_safe_split,
+    "pretraining_prep": _q_pretraining_prep,
     # ================= end of the 50-entry driver window =================
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
     "customer_cohorts_setops": _q_customer_cohorts_setops,
     "unpivot_status_revenue": _q_unpivot_status_revenue,
     "order_extremes_by_customer": _q_order_extremes,
@@ -2919,6 +2934,107 @@ ORACLES: dict[str, str] = {
                COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    "pretraining_prep": r"""
+        WITH RECURSIVE t0 AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, toks,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       / GREATEST(len(toks), 1) AS mean_word_len,
+                   (length(regexp_replace(text, '[^#…]', '', 'g'))
+                    + len(regexp_extract_all(text, '\.\.\.')))
+                       / GREATEST(len(toks), 1) AS symbol_ratio,
+                   len(list_filter(toks, x -> lower(x) IN
+                       ('the','and','of','to','in','is','you','that','it','for')))
+                       AS stop_hits
+            FROM t0
+        ),
+        gated AS (
+            SELECT doc_id, text FROM m
+            WHERE n_words >= 10 AND n_words <= 200
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND symbol_ratio <= 0.1 AND stop_hits >= 2
+        ),
+        ded AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        dtoks AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM ded
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) <= 5 THEN array_to_string(t, ' ')
+                        ELSE array_to_string(t[i.i:i.i+4], ' ') END AS shingle
+            FROM dtoks, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS i(i)
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+              AND shingle IN (SELECT shingle FROM rare)
+        ),
+        bidir AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        labels AS (
+            SELECT u AS node, u AS comp FROM bidir
+            UNION
+            SELECT b.v AS node, l.comp
+            FROM labels l JOIN bidir b ON b.u = l.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(comp) AS cluster_id
+            FROM labels GROUP BY node
+        ),
+        assigned AS (
+            SELECT d.doc_id, d.text,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM ded d LEFT JOIN comp c USING (doc_id)
+        ),
+        train AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % 10000 AS bucket
+                FROM assigned
+            ) WHERE bucket < 9000
+        ),
+        ttoks AS (
+            SELECT doc_id,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS t
+            FROM train
+        ),
+        counted AS (
+            SELECT doc_id, t, len(t) AS n,
+                   CASE WHEN len(t) <= 8 THEN 1
+                        ELSE ((len(t) - 8 + 5) // 6) + 1 END AS n_chunks
+            FROM ttoks
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(t[i * 6 + 1 : i * 6 + 8]) AS BIGINT) AS n_tokens,
+               array_to_string(t[i * 6 + 1 : i * 6 + 8], ' ') AS chunk_text
+        FROM counted CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
     """,
     "leakage_safe_split": r"""
         WITH RECURSIVE toks AS (

@@ -144,3 +144,61 @@ def full_curation_pipeline(
     return deterministic_split(rebuilt, on="text", weights=weights).select(
         "doc_id", "split", "text"
     )
+
+
+def pretraining_prep(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_words: int = 200,
+    weights: dict[str, float] | None = None,
+    chunk_tokens: int = 8,
+    overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pre-training preparation chain — the round-5 operators composed
+    into one declarative plan:
+
+        raw docs
+          -> Gopher quality gate (rule flags -> keep)   [fused into scan]
+          -> exact dedup (min-id per md5 fingerprint)   [1 fp shuffle]
+          -> leakage-safe split (near-dup cluster       [CC rounds on
+             representative decides the split)           8-byte edges]
+          -> RAG chunking of the TRAIN split            [explode, 0 shuffle]
+
+    Output: ``(doc_id, chunk_idx, n_tokens, chunk_text)`` — the exact
+    records an embedding/pre-training tokenizer would consume, with the
+    guarantee that no near-duplicate of a val/test document ever yields a
+    train chunk. Each stage is individually oracle-checked by its own
+    contract query (gopher_quality_docs, dedup_exact_docs,
+    leakage_safe_split, chunk_documents_rag); this query oracle-checks
+    their COMPOSITION."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import shingle_edges
+    from azure_etl_databricks_sql_powerbi_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    flags = T.gopher_quality_flags(
+        text_col, min_words=min_words, max_words=max_words
+    )
+    gated = spread(docs).select(id_col, text_col).filter(flags["keep"] == 1)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, text_col)
+    )
+    edges = shingle_edges(deduped, text_col=text_col, id_col=id_col)
+    split = leakage_safe_split(deduped, edges, weights, id_col=id_col)
+    train = split.filter(F.col("split") == "train").select(id_col, text_col)
+    return chunk_documents(
+        train,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )

@@ -250,3 +250,50 @@ def test_leakage_safe_split_clusters_stay_together(spark):
         out.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+def test_pretraining_prep_composition(spark):
+    """End-to-end invariants of the composed prep chain: every emitted
+    chunk's doc (a) passed the Gopher gate, (b) is its fingerprint's
+    min-id survivor, (c) sits in the train split of the leakage-safe
+    assignment — so no chunk can come from a doc whose near-dup is in
+    val/test."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import shingle_edges
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import (
+        pretraining_prep,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF, "documents")
+    chunks = pretraining_prep(docs)
+    chunk_docs = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert chunk_docs  # non-vacuous at this sf
+
+    flags = gopher_quality_flags("text", min_words=10, max_words=200)
+    gated = docs.select("doc_id", "text").filter(flags["keep"] == 1)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    split = leakage_safe_split(
+        ded, shingle_edges(ded),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
+    assert chunk_docs == train_ids
+    # leakage guard: no cluster holding a train doc also holds a val/test doc
+    leaks = (
+        split.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
