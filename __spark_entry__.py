@@ -29,6 +29,22 @@ SF0001 = "/root/testdata/sf0.001"
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal. Queries that re-land data
+    (streaming drains, persisted dedup state) get a unique dir per
+    invocation; bench runs each query 3x and the driver re-runs rounds,
+    so un-reaped tempdirs would accumulate (ADVICE r5). atexit (not
+    inline rmtree) because the returned DataFrame is lazy — the files
+    must survive until the driver collects it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return gold.pricing_summary(load_table(spark, SF0001, "lineitem"))
@@ -911,11 +927,9 @@ def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch — the reference's overlap-window + dedup + MERGE daily
     cycle (rest_api.py:70-72, run_transform.py:49-50, run_load.py:82-90)
     as one continuous pipeline. Returns the final target keyed rows."""
-    import tempfile
-
     from azure_etl_databricks_sql_powerbi_spark.streaming import structured
 
-    tmp = tempfile.mkdtemp(prefix="st2_replay_")
+    tmp = _scratch_dir("st2_replay_")
     src_dir, target, ck = f"{tmp}/in", f"{tmp}/target", f"{tmp}/ck"
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
@@ -943,12 +957,11 @@ def _q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eviction/bounded-state semantics are covered by the sessionize
     operator's test (test_streaming.py::test_sessionize_bounded_state)."""
     import os
-    import tempfile
 
     from azure_etl_databricks_sql_powerbi_spark.streaming import structured
     from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import running_totals
 
-    tmp = tempfile.mkdtemp(prefix="st4_totals_")
+    tmp = _scratch_dir("st4_totals_")
     src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
     events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     # several input files -> several micro-batches -> state actually folds
@@ -984,12 +997,11 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     open at the final watermark stay in state by design, so the row count
     is slightly below the batch session count."""
     import os
-    import tempfile
 
     from azure_etl_databricks_sql_powerbi_spark.streaming import structured
     from azure_etl_databricks_sql_powerbi_spark.streaming.stateful import sessionize
 
-    tmp = tempfile.mkdtemp(prefix="st4_sessions_")
+    tmp = _scratch_dir("st4_sessions_")
     src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
     events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     # several input files -> several micro-batches -> watermark advances
@@ -1112,6 +1124,41 @@ def _q_novel_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 2 == 0)
     return novel_documents(batch, corpus, fpp=0.01)
+
+
+_DEDUP_STATE_CACHE: dict[str, str] = {}
+
+
+def _q_novel_docs_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 incremental dedup against PERSISTED corpus state
+    (dedup/incremental.save_corpus_state / load_corpus_state /
+    novel_documents_against_state): the corpus (doc_id % 5 != 0) is
+    fingerprinted + bloom'd ONCE into a state directory (cached per
+    sf_dir, like a daily job reusing yesterday's state), then the day-2
+    batch (doc_id % 3 == 0 — a different overlap slice than day 1's
+    evens) is deduped against the loaded state WITHOUT any corpus scan:
+    the batch-2 job's plan reads only the 16-byte fingerprint parquet
+    (asserted in tests/test_incremental_dedup.py::
+    test_day2_plan_never_rescans_corpus). Semantics stay EXACT
+    NOT-EXISTS — the same oracle shape as novel_docs_incremental — and
+    the state's single bloom broadcast is reused across calls (the
+    ADVICE-r5 broadcast-leak fix)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
+        load_corpus_state,
+        novel_documents_against_state,
+        save_corpus_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _DEDUP_STATE_CACHE:
+        state_dir = _scratch_dir("dedup_state_")
+        save_corpus_state(
+            docs.filter(F.col("doc_id") % 5 != 0), state_dir, fpp=0.01
+        )
+        _DEDUP_STATE_CACHE[sf_dir] = state_dir
+    state = load_corpus_state(spark, _DEDUP_STATE_CACHE[sf_dir])
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0)
+    return novel_documents_against_state(batch2, state)
 
 
 def _q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,10 +1396,8 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderpriority), cached per sf_dir so repeated calls in one process
     reuse the same materialization. This is the layout the medallion sink
     (sources/files.write_partitioned_parquet) produces at scale."""
-    import tempfile
-
     if sf_dir not in _DPP_FACT_CACHE:
-        tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+        tmp = _scratch_dir("dpp_orders_")
         load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(tmp)
@@ -1702,6 +1747,7 @@ QUERIES: dict[str, QueryFn] = {
     # the 6 displaced stale greens keep their r3 rows and rotate back
     # next round) ---
     "novel_docs_incremental": _q_novel_docs_incremental,
+    "novel_docs_day2": _q_novel_docs_day2,
     "gopher_quality_docs": _q_gopher_quality_docs,
     "chunk_documents_rag": _q_chunk_documents_rag,
     "heavy_hitter_tokens": _q_heavy_hitter_tokens,
@@ -1994,6 +2040,16 @@ ORACLES: dict[str, str] = {
         SELECT b.doc_id, md5(b.text) AS fingerprint
         FROM documents b
         WHERE b.doc_id % 2 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents c
+              WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)
+          )
+        ORDER BY b.doc_id
+    """,
+    "novel_docs_day2": """
+        SELECT b.doc_id, md5(b.text) AS fingerprint
+        FROM documents b
+        WHERE b.doc_id % 3 = 0
           AND NOT EXISTS (
               SELECT 1 FROM documents c
               WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)

@@ -30,11 +30,14 @@ surface.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from collections.abc import Iterator
+from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -95,23 +98,29 @@ def build_bloom(
 
 
 def split_by_bloom(
-    df: DataFrame, hash_col: str, bitmap: bytes, n_bits: int, k: int
+    df: DataFrame,
+    hash_col: str,
+    bitmap: bytes,
+    n_bits: int,
+    k: int,
+    bloom_bc=None,
 ) -> DataFrame:
     """Adds ``__bloom_hit int`` (1 = possibly in corpus, 0 = definitely
     novel) via a broadcast bitmap probe — Arrow-batched, numpy, no JVM
-    round-trips per row."""
+    round-trips per row.
+
+    Pass ``bloom_bc`` (a ``Broadcast[bytes]`` of the same bitmap, e.g.
+    from ``CorpusState.bloom_broadcast``) to reuse one broadcast across
+    many batches in a long-lived session instead of allocating a fresh
+    one per call — the daily-ingest shape. Without it, one broadcast of
+    ``n_bits/8`` bytes is created per call (bounded by the filter, never
+    the data) and released at session end."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
 
     spark = df.sparkSession
-    # Driver-side contract: one broadcast of the bitmap per call, released
-    # at session end (Spark has no post-action hook to unpersist a lazily
-    # consumed broadcast). Size is bounded by the filter (n_bits/8 bytes),
-    # never the data; long-lived sessions issuing many calls should reuse
-    # one (bitmap, n_bits, k) across batches — that reuse is the intended
-    # daily-ingest shape anyway.
-    bc = spark.sparkContext.broadcast(bitmap)
+    bc = bloom_bc if bloom_bc is not None else spark.sparkContext.broadcast(bitmap)
     # fresh StructType: StructType.add would MUTATE df's live schema object
     out_schema = StructType(
         list(df.schema.fields) + [StructField("__bloom_hit", IntegerType())]
@@ -143,39 +152,137 @@ def split_by_bloom(
     return df.mapInPandas(probe, out_schema)
 
 
-def novel_documents(
-    batch: DataFrame,
+@dataclass
+class CorpusState:
+    """The persisted identity of a corpus for incremental dedup: its
+    distinct md5 fingerprint table (exact-confirm side) plus the bloom
+    bitmap over the xxhash64 fingerprints (prefilter side).
+
+    The whole point of this object is that day-N ingest never touches the
+    corpus again: ``fingerprints`` is a small parquet table (16-byte hex
+    per distinct document) and ``bitmap`` is sized by the filter, so the
+    daily job's cost is O(batch), not O(corpus). ``bloom_broadcast``
+    caches ONE Spark broadcast of the bitmap for reuse across batches
+    (the ADVICE-r5 leak fix: wrappers used to allocate a fresh broadcast
+    per call with no reuse path); call ``unpersist`` when retiring the
+    state."""
+
+    fingerprints: DataFrame  # columns: fingerprint (md5 hex), h (xxhash64)
+    bitmap: bytes
+    n_bits: int
+    k: int
+    _bc: object | None = field(default=None, repr=False, compare=False)
+
+    def bloom_broadcast(self, spark: SparkSession):
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(self.bitmap)
+        return self._bc
+
+    def unpersist(self) -> None:
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+
+
+def _fingerprint_cols(text_col: str) -> tuple:
+    return F.md5(F.col(text_col)), F.xxhash64(F.col(text_col))
+
+
+def build_corpus_state(
     corpus: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     expected_items: int | None = None,
     fpp: float = 0.01,
-) -> DataFrame:
-    """Rows of ``batch`` whose ``text_col`` does NOT appear in ``corpus``
-    — exact anti-join semantics, bloom-accelerated.
-
-    Output: (id_col, fingerprint md5-hex) ordered by id. The md5
-    fingerprint (not raw text) is both the join key (16 bytes through the
-    shuffle instead of documents) and the oracle-checkable output."""
+) -> CorpusState:
+    """One-time (or per-compaction) corpus pass: distinct fingerprint
+    table + bloom bitmap. In-memory variant; ``save_corpus_state`` is the
+    durable one."""
     if expected_items is None:
         # one corpus pass; at known scale pass the inventory in instead
         expected_items = corpus.count() or 1
-    fp = F.md5(F.col(text_col))
-    h = F.xxhash64(F.col(text_col))
-    corpus_hashes = corpus.select(h.alias("__h"), fp.alias("__fp"))
-    bitmap, n_bits, k = build_bloom(corpus_hashes, "__h", expected_items, fpp)
+    fp, h = _fingerprint_cols(text_col)
+    fingerprints = corpus.select(
+        fp.alias("fingerprint"), h.alias("h")
+    ).distinct()
+    bitmap, n_bits, k = build_bloom(fingerprints, "h", expected_items, fpp)
+    return CorpusState(fingerprints, bitmap, n_bits, k)
 
+
+def save_corpus_state(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> CorpusState:
+    """Materialize the corpus dedup state under ``path``:
+
+    - ``{path}/fingerprints/`` — parquet (fingerprint md5-hex, h xxhash64),
+      distinct; the exact-confirm side of every future batch.
+    - ``{path}/bloom.bin`` — the raw bitmap bytes.
+    - ``{path}/meta.json`` — ``{n_bits, k, fpp}`` so the probe is
+      reconstructed exactly.
+
+    The returned state reads fingerprints back FROM THE PARQUET, so the
+    bloom build is the last time the corpus itself is ever scanned.
+    Local-fs writes here; on a cluster the same layout lands on
+    ``abfss://`` via the Hadoop path builders in ``sources/cloudfs.py``."""
+    if expected_items is None:
+        expected_items = corpus.count() or 1
+    spark = corpus.sparkSession
+    fp, h = _fingerprint_cols(text_col)
+    fp_path = os.path.join(path, "fingerprints")
+    corpus.select(fp.alias("fingerprint"), h.alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(fp_path)
+    fingerprints = spark.read.parquet(fp_path)
+    bitmap, n_bits, k = build_bloom(fingerprints, "h", expected_items, fpp)
+    with open(os.path.join(path, "bloom.bin"), "wb") as fh:
+        fh.write(bitmap)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"n_bits": n_bits, "k": k, "fpp": fpp}, fh)
+    return CorpusState(fingerprints, bitmap, n_bits, k)
+
+
+def load_corpus_state(spark: SparkSession, path: str) -> CorpusState:
+    """Load a ``save_corpus_state`` layout. The fingerprint DataFrame is
+    lazy — nothing is scanned until a batch actually probes it — and the
+    bitmap is one bounded local read."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    with open(os.path.join(path, "bloom.bin"), "rb") as fh:
+        bitmap = fh.read()
+    fingerprints = spark.read.parquet(os.path.join(path, "fingerprints"))
+    return CorpusState(fingerprints, bitmap, meta["n_bits"], meta["k"])
+
+
+def novel_documents_against_state(
+    batch: DataFrame,
+    state: CorpusState,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``batch`` not fingerprint-present in the corpus the state
+    was built from — WITHOUT scanning that corpus. Exact NOT-EXISTS
+    semantics: bloom-negative rows are definitely novel (no false
+    negatives); bloom-positive rows exact-confirm via LEFT ANTI against
+    the state's fingerprint table (a parquet scan of 16-byte hashes, not
+    documents). Reuses the state's cached bloom broadcast across calls.
+
+    Output: (id_col, fingerprint md5-hex) ordered by id."""
+    fp, h = _fingerprint_cols(text_col)
     probed = split_by_bloom(
         batch.select(F.col(id_col), fp.alias("fingerprint"), h.alias("__h")),
         "__h",
-        bitmap,
-        n_bits,
-        k,
+        state.bitmap,
+        state.n_bits,
+        state.k,
+        bloom_bc=state.bloom_broadcast(batch.sparkSession),
     )
     definite_novel = probed.filter(F.col("__bloom_hit") == 0)
     # exact-confirm only the bloom positives (true dups + ~fpp FPs)
     confirmed_novel = probed.filter(F.col("__bloom_hit") == 1).join(
-        corpus_hashes.select(F.col("__fp").alias("fingerprint")).distinct(),
+        state.fingerprints.select("fingerprint").distinct(),
         on="fingerprint",
         how="left_anti",
     )
@@ -184,3 +291,28 @@ def novel_documents(
         .unionByName(confirmed_novel.select(id_col, "fingerprint"))
         .orderBy(id_col)
     )
+
+
+def novel_documents(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    state: CorpusState | None = None,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``text_col`` does NOT appear in ``corpus``
+    — exact anti-join semantics, bloom-accelerated.
+
+    Output: (id_col, fingerprint md5-hex) ordered by id. The md5
+    fingerprint (not raw text) is both the join key (16 bytes through the
+    shuffle instead of documents) and the oracle-checkable output.
+
+    Pass a prebuilt ``state`` (from ``build_corpus_state`` /
+    ``load_corpus_state``) to skip the corpus pass AND reuse its single
+    bloom broadcast across batches; otherwise the state is built here
+    (one corpus scan + one fresh broadcast per call)."""
+    if state is None:
+        state = build_corpus_state(corpus, text_col, expected_items, fpp)
+    return novel_documents_against_state(batch, state, text_col, id_col)

@@ -93,19 +93,22 @@ def build_cms(
 
 
 def attach_cms_estimate(
-    df: DataFrame, hash_col: str, sketch: bytes, w: int, d: int
+    df: DataFrame, hash_col: str, sketch: bytes, w: int, d: int, sketch_bc=None
 ) -> DataFrame:
     """Adds ``__cms_est long`` = min over the d counters — the classic CMS
     point estimate (>= true count, always). Driver-side contract: one
     broadcast of the d*w matrix per call, released at session end —
-    bounded by the sketch size; reuse one sketch across calls in
-    long-lived sessions."""
+    bounded by the sketch size. Long-lived sessions probing one sketch
+    repeatedly should broadcast it once and pass ``sketch_bc`` (a
+    ``Broadcast[bytes]``) so every call reuses that single broadcast and
+    can ``unpersist()`` it when done, instead of accumulating one
+    per call."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(sketch)
+    bc = sketch_bc if sketch_bc is not None else spark.sparkContext.broadcast(sketch)
     # fresh StructType: StructType.add would MUTATE df's live schema object
     out_schema = StructType(
         list(df.schema.fields) + [StructField("__cms_est", LongType())]

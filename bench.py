@@ -87,14 +87,18 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump({**headline, "queries": timings}, fh, indent=1)
-    spark.stop()
     # Headline printed FIRST (survives right-truncation) and again LAST
     # (survives the driver's keep-last-2000-chars tail capture); the bulky
     # per-query detail sits between and is mirrored to BENCH_DETAIL.json.
-    # Nothing may print after the final headline line.
-    print(json.dumps(headline), flush=True)
-    print(json.dumps({"queries": timings}), flush=True)
-    print(json.dumps(headline), flush=True)
+    # Nothing may print after the final headline line. spark.stop() runs
+    # inside try/finally so a py4j teardown error can never swallow the
+    # capture contract (it prints nothing to stdout itself).
+    try:
+        spark.stop()
+    finally:
+        print(json.dumps(headline), flush=True)
+        print(json.dumps({"queries": timings}), flush=True)
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,66 @@ def test_bloom_prunes_most_duplicates(spark):
     assert n_positive < n_batch
 
 
+def test_corpus_state_roundtrip_matches_anti_join(spark, tmp_path):
+    """save_corpus_state -> load_corpus_state -> day-2 dedup equals the
+    plain NOT-EXISTS anti-join; the state is the corpus's full identity."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0)
+    incremental.save_corpus_state(corpus, str(tmp_path / "state"), fpp=0.01)
+    state = incremental.load_corpus_state(spark, str(tmp_path / "state"))
+    got = incremental.novel_documents_against_state(batch2, state)
+    expected = batch2.select("doc_id", F.md5("text").alias("fingerprint")).join(
+        corpus.select(F.md5("text").alias("fingerprint")).distinct(),
+        on="fingerprint",
+        how="left_anti",
+    )
+    assert got.count() == expected.count()
+    assert got.join(expected, ["doc_id", "fingerprint"]).count() == expected.count()
+    state.unpersist()
+
+
+def test_day2_plan_never_rescans_corpus(spark, tmp_path):
+    """The whole point of persisted state: the batch-2 job's physical plan
+    scans the 16-byte fingerprint parquet, never the corpus documents.
+    Asserted on the plan string — the corpus parquet path must not appear."""
+    docs = load_table(spark, SF, "documents")
+    corpus_path = str(tmp_path / "corpus_day0")
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    incremental.save_corpus_state(corpus, str(tmp_path / "state"), fpp=0.01)
+
+    state = incremental.load_corpus_state(spark, str(tmp_path / "state"))
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0)
+    out = incremental.novel_documents_against_state(batch2, state)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "corpus_day0" not in plan
+    # the confirm side reads the state's hash column, not documents (long
+    # paths are elided in plan strings, so assert on the pruned ReadSchema)
+    assert "ReadSchema: struct<fingerprint:string>" in plan
+    state.unpersist()
+
+
+def test_state_bloom_broadcast_reused_across_batches(spark, tmp_path):
+    """ADVICE r5: one broadcast per state, not per call. Two batches
+    probed against the same loaded state must share the broadcast id."""
+    docs = load_table(spark, SF, "documents")
+    incremental.save_corpus_state(
+        docs.filter(F.col("doc_id") % 5 != 0), str(tmp_path / "state"), fpp=0.01
+    )
+    state = incremental.load_corpus_state(spark, str(tmp_path / "state"))
+    incremental.novel_documents_against_state(
+        docs.filter(F.col("doc_id") % 3 == 0), state
+    ).count()
+    bc1 = state._bc
+    incremental.novel_documents_against_state(
+        docs.filter(F.col("doc_id") % 2 == 0), state
+    ).count()
+    assert state._bc is bc1  # same broadcast object, no per-call allocation
+    state.unpersist()
+    assert state._bc is None
+
+
 def test_chunking_reassembles_and_overlaps(spark):
     """Chunk invariants: idx contiguous from 0, every chunk <= size
     tokens, consecutive chunks share exactly `overlap` tokens, and
