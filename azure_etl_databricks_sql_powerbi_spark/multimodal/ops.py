@@ -91,15 +91,25 @@ def attach_fake_media(
 
 
 def attach_generated_png(
-    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    vary_height_mod: int | None = None,
+    compress_level: int = 6,
 ) -> DataFrame:
     """REAL media payloads, generated in-plan: each row gets a valid 8-bit
     RGB PNG (``multimodal.png.encode_png``) whose pixels derive
     deterministically from sha256 of the row id — so decode paths can be
     exercised end-to-end on actual compressed images, reproducibly, with
     no binary testdata. Runs as one Arrow-batched ``mapInPandas`` (codec
-    work is per-batch Python, the 100 TB shape for any encode stage)."""
-    n_px = width * height * 3
+    work is per-batch Python, the 100 TB shape for any encode stage).
+
+    ``vary_height_mod=m`` gives row ``i`` height ``height + i % m`` (a
+    per-row image size); with ``compress_level=0`` the byte length is
+    then the exact arithmetic ``png.encoded_png_size(width, h_i)``, which
+    is what lets the metadata oracle verify REAL generated-image sizes in
+    SQL."""
     pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,13 +130,15 @@ def attach_generated_png(
             payloads = []
             for rid in pdf[id_col]:
                 seed = _hashlib.sha256(str(int(rid)).encode()).digest()
+                h = height + (int(rid) % vary_height_mod if vary_height_mod else 0)
+                n_px = width * h * 3
                 # seed-dependent brightness ramp (not raw hash bytes: those
                 # mean-pool to the same ~127.5 gray everywhere, which would
                 # make every decoded embedding identical — a ramp gives each
                 # image a distinct, still deterministic, feature vector)
                 slope = 1 + seed[1] % 7
                 pixels = bytes((seed[0] + i * slope) % 256 for i in range(n_px))
-                payloads.append(encode_png(width, height, pixels))
+                payloads.append(encode_png(width, h, pixels, compress_level))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col].values, "content": payloads}
             )
@@ -490,10 +502,14 @@ def sample_decoded_frames(
             for mid, data in zip(pdf[id_col], pdf[content_col]):
                 width, height, pixels = _decode_rgb(bytes(data))
                 row_bytes = width * 3
-                step = max(1, height // n_frames)
-                for i in range(n_frames):
+                # clamp: a raster shorter than n_frames must not emit
+                # empty trailing bands (zero-byte frames with a valid
+                # sha256 of b'' read as decoded content downstream)
+                k_frames = min(n_frames, height)
+                step = max(1, height // k_frames)
+                for i in range(k_frames):
                     lo = min(i * step, height) * row_bytes
-                    hi = (height if i == n_frames - 1 else min((i + 1) * step, height)) * row_bytes
+                    hi = (height if i == k_frames - 1 else min((i + 1) * step, height)) * row_bytes
                     band = pixels[lo:hi]
                     ids.append(mid)
                     idxs.append(i)

@@ -32,9 +32,14 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+def encode_png(
+    width: int, height: int, rgb: bytes, compress_level: int = 6
+) -> bytes:
     """8-bit RGB PNG, filter 0 every scanline. ``rgb`` is w*h*3 bytes,
-    row-major."""
+    row-major. ``compress_level=0`` emits stored (uncompressed) deflate
+    blocks — still a fully valid PNG, with the property that the total
+    byte length is pure arithmetic (``encoded_png_size``), which lets a
+    SQL oracle verify real generated-image byte sizes."""
     if len(rgb) != width * height * 3:
         raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
@@ -45,9 +50,19 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, compress_level))
         + _chunk(b"IEND", b"")
     )
+
+
+def encoded_png_size(width: int, height: int) -> int:
+    """Exact byte length of ``encode_png(width, height, _,
+    compress_level=0)``: signature 8 + IHDR 25 + IDAT (12 + zlib stored:
+    2 header + 5/block + raw + 4 adler) + IEND 12, raw = height *
+    (1 + 3*width) filtered scanlines."""
+    raw = height * (1 + 3 * width)
+    n_blocks = max(1, (raw + 65534) // 65535)
+    return 8 + 25 + (12 + 2 + 5 * n_blocks + raw + 4) + 12
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:

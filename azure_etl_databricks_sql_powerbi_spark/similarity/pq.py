@@ -44,6 +44,24 @@ from pyspark.sql.functions import pandas_udf
 from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
+def bounded_query_pandas(
+    queries: DataFrame, cols: list[str], max_queries: int
+) -> pd.DataFrame:
+    """Collect the query set to the driver with a LOUD bound: ADC search
+    materializes per-query distance tables driver-side, so a corpus-sized
+    ``queries`` frame must fail with ValueError instead of OOMing the
+    driver (the snapshot-sink cap pattern, sources/sinks.py). Reads at
+    most ``max_queries + 1`` rows — the overflow probe itself is bounded."""
+    qp = queries.select(*cols).limit(max_queries + 1).toPandas()
+    if len(qp) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; ADC search "
+            "collects queries driver-side — batch the queries or raise "
+            "max_queries deliberately"
+        )
+    return qp
+
+
 def _sample_matrix(
     df: DataFrame, vec_col: str, sample_size: int, sample_fraction: float, seed: int
 ) -> np.ndarray:
@@ -131,10 +149,13 @@ def pq_cosine_topk(
     n_centroids: int = 16,
     sample_size: int = 2048,
     seed: int = 42,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate top-k neighbors by asymmetric-distance (ADC) scan of the
     PQ codes. Output schema matches ``bruteforce.cosine_topk``
     (query_id, rank, neighbor_id, adc_score) so recall is a plain join.
+    The query set is driver-collected and hard-capped at ``max_queries``
+    (ValueError beyond it) — tables are O(queries * m * k) doubles.
     """
     books = train_pq_codebooks(
         corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size, seed=seed
@@ -143,7 +164,7 @@ def pq_cosine_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), books, vec_col
     ).select("neighbor_id", "pq_code")
 
-    qp = queries.select(id_col, vec_col).toPandas()
+    qp = bounded_query_pandas(queries, [id_col, vec_col], max_queries)
     q_ids = qp[id_col].to_numpy()
     qx = np.array([np.asarray(v, dtype=np.float64) for v in qp[vec_col]])
     qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)

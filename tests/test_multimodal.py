@@ -325,3 +325,39 @@ def test_audio_features_end_to_end(spark):
         assert r.spectral_centroid_hz == pytest.approx(freq, rel=0.05)
     again = {r.media_id: r for r in audio_features(media).collect()}
     assert {m: tuple(r) for m, r in rows.items()} == {m: tuple(r) for m, r in again.items()}
+
+
+def test_encoded_png_size_formula():
+    """encoded_png_size is exact for stored-deflate PNGs — the arithmetic
+    the media_metadata oracle relies on — across sizes incl. multi-block."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.png import (
+        encode_png,
+        encoded_png_size,
+    )
+
+    for w, h in [(1, 1), (16, 8), (16, 16), (16, 17), (300, 80)]:
+        rgb = bytes(i % 256 for i in range(w * h * 3))
+        assert len(encode_png(w, h, rgb, compress_level=0)) == encoded_png_size(w, h)
+    # 300x80 raw = 80*901 = 72080 > 65535 -> exercises the 2-block branch
+    assert 80 * (1 + 3 * 300) > 65535
+
+
+def test_sample_decoded_frames_clamps_short_rasters(spark):
+    """ADVICE r5: height < n_frames must yield height bands, not empty
+    trailing frames hashing b''."""
+    import hashlib as _hl
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    media = ops.attach_generated_png(docs, width=4, height=2)
+    out = ops.sample_decoded_frames(media, n_frames=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    empty_sha = _hl.sha256(b"").hexdigest()
+    for mid, rs in by_id.items():
+        assert len(rs) == 2  # clamped to height
+        for r in rs:
+            assert len(r.frame_bytes) > 0
+            assert r.frame_sha256 != empty_sha
