@@ -1047,6 +1047,51 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join under a real streaming
+    drain (streaming/structured.stream_stream_interval_join, unit-only
+    since r3 — VERDICT-r5 item 8): events re-landed as arrival files,
+    views and clicks streamed as two sources, clicks attributed to views
+    on the same user within 1 hour, drained availableNow into a memory
+    sink. The inner interval join emits rows when both sides match and
+    the bounded condition lets Spark GC buffered state past the
+    watermark; a full single-drain emits exactly the batch join's rows
+    (tests/test_streaming.py::test_stream_stream_interval_join_equals_batch),
+    so unlike sessionize this streaming query gets a FULL SQL oracle."""
+    import os
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+
+    tmp = _scratch_dir("ssj_contract_")
+    src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    events.write.parquet(src_dir)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    views = structured.stream_files(spark, src_dir, schema).where(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "event_id")
+    clicks = structured.stream_files(spark, src_dir, schema).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    joined = structured.stream_stream_interval_join(
+        views, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        within="1 hour", watermark="2 hours",
+    )
+    table = os.path.basename(tmp)  # unique per run: memory sink names collide
+    structured.run_to_memory(joined, table, checkpoint=ck)
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("r_event_id").alias("click_id"),
+        )
+        .orderBy("user_id", "view_id", "click_id")
+    )
+
+
 def _q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill + forward fill over the event stream
     (operators/timeseries.resample_daily_ffill): the spine-side global
@@ -1196,6 +1241,22 @@ def _q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[v.alias(k) for k, v in flags.items()]
     ).orderBy("doc_id")
+
+
+def _q_unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram quality (functions/text.unigram_logprob_scores):
+    mean token log-probability under the corpus top-1000 unigram LM —
+    the model-based companion to the rule-based Gopher gate. Per-token
+    logprobs are quantized to integer micro-nats over the broadcast vocab
+    so the per-doc aggregation is an exact integer SUM (no float
+    accumulation-order divergence) and the score is one raw IEEE
+    division — hash-exact vs the same vocab CTE in DuckDB."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, vocab_size=1000).orderBy("doc_id")
 
 
 def _q_chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,7 +1829,9 @@ QUERIES: dict[str, QueryFn] = {
     # next round) ---
     "novel_docs_incremental": _q_novel_docs_incremental,
     "novel_docs_day2": _q_novel_docs_day2,
+    "interval_join_stream": _q_interval_join_stream,
     "gopher_quality_docs": _q_gopher_quality_docs,
+    "unigram_quality_docs": _q_unigram_quality_docs,
     "chunk_documents_rag": _q_chunk_documents_rag,
     "heavy_hitter_tokens": _q_heavy_hitter_tokens,
     "leakage_safe_split": _q_leakage_safe_split,
@@ -2077,6 +2140,42 @@ ORACLES: dict[str, str] = {
           )
         ORDER BY b.doc_id
     """,
+    "unigram_quality_docs": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents
+            WHERE length(TRIM(text)) > 0
+        ),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts),
+        vocab AS (
+            SELECT token,
+                   CAST(FLOOR(ln(cnt / CAST((SELECT t FROM total) AS DOUBLE))
+                              * 1000000) AS BIGINT) AS logp_m
+            FROM counts
+            ORDER BY cnt DESC, token ASC
+            LIMIT 1000
+        ),
+        per_doc AS (
+            SELECT tk.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   CAST(SUM(COALESCE(v.logp_m,
+                        CAST(FLOOR(ln(1.0 / CAST((SELECT t FROM total) AS DOUBLE))
+                                   * 1000000) AS BIGINT))) AS BIGINT) AS sum_m
+            FROM toks tk LEFT JOIN vocab v USING (token)
+            GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               CASE WHEN p.n_tokens > 0
+                    THEN p.sum_m / (1000000.0 * p.n_tokens)
+                    ELSE 0.0 END AS mean_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "gopher_quality_docs": r"""
         WITH t AS (
             SELECT doc_id,
@@ -2180,6 +2279,20 @@ ORACLES: dict[str, str] = {
                    ELSE list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
               END >= 0.4
+    """,
+    "interval_join_stream": """
+        WITH e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events
+        )
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id
+        FROM e v JOIN e c
+          ON v.event_type = 'view' AND c.event_type = 'click'
+         AND c.user_id = v.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v.user_id, view_id, click_id
     """,
     "events_tumbling_daily": """
         WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)

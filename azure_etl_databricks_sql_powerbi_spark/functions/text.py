@@ -232,3 +232,73 @@ def top_ngram_share(df, n: int = 2, text_col: str = "text", id_col: str = "doc_i
         F.round(F.max("c") / F.sum("c"), 6).alias(f"top_{n}gram_share"),
         F.sum("c").alias(f"n_{n}grams"),
     )
+
+
+def unigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+):
+    """CCNet-style unigram quality score (Wenzek et al. 2020 §4.3,
+    adapted: corpus-derived unigram LM instead of a pretrained one): each
+    document scores the mean log-probability of its tokens under the
+    corpus's top-``vocab_size`` unigram distribution; low scores flag
+    boilerplate/garbage, high scores flag fluent head-vocabulary text.
+
+    Cross-engine-exact by construction: per-token log-probabilities are
+    quantized ONCE to integer micro-nats (``floor(ln(cnt/total)*1e6)`` as
+    BIGINT, computed over the tiny vocab relation), so the per-document
+    aggregation is an exact integer SUM — immune to float summation-order
+    divergence between engines — and the final score is a single raw IEEE
+    division of exact integers (the ``gopher_quality_docs`` precedent:
+    never round a computed float, never accumulate doubles).
+
+    Scale shape: one explode+groupBy builds the corpus counts (the only
+    corpus-sized shuffle); the vocab is a TakeOrdered of ``vocab_size``
+    rows broadcast to the scoring join; OOV tokens take the
+    ``ln(1/total)`` floor penalty. The corpus ``total`` is one bounded
+    1-row aggregate collect (QC-agg contract, operators/qc.py:100).
+
+    Returns (id_col, n_tokens, n_oov, mean_logprob) — one row per input
+    row; token-less docs get (0, 0, 0.0).
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # documented bounded collect: a single scalar off a 1-row aggregate
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
+    logp_m = F.floor(F.ln(F.col("cnt") / F.lit(float(total))) * 1e6).cast("long")
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", logp_m.alias("logp_m"))
+    )
+    oov_m = F.floor(F.ln(F.lit(1.0) / F.lit(float(total))) * 1e6).cast("long")
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("logp_m").isNull().cast("long")).alias("n_oov"),
+            F.sum(F.coalesce(F.col("logp_m"), oov_m)).alias("sum_m"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("sum_m") / (F.lit(1e6) * F.col("n_tokens")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_logprob"),
+        )
+    )
