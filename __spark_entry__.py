@@ -1764,86 +1764,44 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the DuckDB oracle at sf0.01. The window rotates each round so
 # every declared query keeps fresh driver evidence (rotation history is
 # tracked in tools/rotation_manifest.json and guarded by
-# tests/test_properties.py::test_every_query_has_driver_evidence).
-# Round-5 window: the 4 round-4 red rows (decimal-edge fixes, kept in the
-# window to prove them green), audio_features (the one query with no
-# driver row in rounds 1-4), the reworked real-decode media_frames +
-# media_decode_features, the new sessionize_stream contract query, and
-# the 42 stalest green queries (last verified in round 3) for regression
-# cover. Deferred past position 50: the 45 queries verified green in
-# round 4 plus 5 rows-only LSH/minhash queries (unit-covered; no oracle
-# exists for them by design, so a re-run adds no information). Every
-# query keeps its oracle regardless of position;
-# `tests/test_oracle_parity.py` checks ALL of them at sf0.001 on every
-# pytest run.
+# tests/test_rotation.py). Round-6 window: 5 new/changed queries, the 11
+# r3-era stale greens (oldest evidence first), the 6 round-5 newcomers
+# for a second consecutive green, and the first 28 of the 45-query
+# round-4-evidence cohort (the cohort's remaining 17 lead the round-7
+# queue; see the dict comments below). Every query keeps its oracle
+# regardless of position; tests/test_oracle_parity.py checks ALL of them
+# at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-4 red rows, fixed this round (decimal output edge) ---
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    # --- zero driver evidence in rounds 1-4 / changed this round ---
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "sessionize_stream": _q_sessionize_stream,
-    # --- stalest greens (last verified round 3) for regression cover ---
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "media_metadata": _q_media_metadata,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    # --- round-5 additions (new operators need first driver evidence;
-    # the 6 displaced stale greens keep their r3 rows and rotate back
-    # next round) ---
-    "novel_docs_incremental": _q_novel_docs_incremental,
+    # --- new or contract-changed in round 6 (first driver evidence:
+    # persisted-state dedup, streaming interval join w/ full oracle,
+    # CCNet unigram quality, IVF-PQ, media_metadata on real PNG sizes) ---
     "novel_docs_day2": _q_novel_docs_day2,
     "interval_join_stream": _q_interval_join_stream,
-    "gopher_quality_docs": _q_gopher_quality_docs,
     "unigram_quality_docs": _q_unigram_quality_docs,
-    "chunk_documents_rag": _q_chunk_documents_rag,
-    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-    "leakage_safe_split": _q_leakage_safe_split,
-    "pretraining_prep": _q_pretraining_prep,
-    # ================= end of the 50-entry driver window =================
+    "ann_ivfpq_topk": _q_ann_ivfpq,
+    "media_metadata": _q_media_metadata,
+    # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
+    # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
     "customer_cohorts_setops": _q_customer_cohorts_setops,
     "unpivot_status_revenue": _q_unpivot_status_revenue,
     "order_extremes_by_customer": _q_order_extremes,
     "conditional_agg_orders": _q_conditional_agg,
     "small_qty_part_revenue": _q_small_qty_part_revenue,
-    # --- verified green in round 4 (CORRECTNESS_r04.json) ---
+    "minhash_near_dup": _q_minhash_near_dup,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    # --- round-5 newcomers kept for a second consecutive green ---
+    "novel_docs_incremental": _q_novel_docs_incremental,
+    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+    "leakage_safe_split": _q_leakage_safe_split,
+    "chunk_documents_rag": _q_chunk_documents_rag,
+    "pretraining_prep": _q_pretraining_prep,
+    "sessionize_stream": _q_sessionize_stream,
+    # --- round-4-evidence cohort, first 28 of 45 (the remaining
+    # 17 lead the round-7 queue; see tools/rotation_manifest.json) ---
     "order_priority_exists": _q_order_priority_exists,
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
@@ -1872,6 +1830,8 @@ QUERIES: dict[str, QueryFn] = {
     "market_share_q8": _q_market_share,
     "large_quantity_orders_q18": _q_large_quantity_orders,
     "bracket_revenue_q19": _q_bracket_revenue,
+    # ================= end of the 50-entry driver window =================
+    # --- round-4-evidence remainder: FIRST IN LINE for the r7 window ---
     "sole_return_supplier_q21": _q_sole_return_supplier,
     "vocab_top100": _q_vocab_top100,
     "price_histogram": _q_price_histogram,
@@ -1889,13 +1849,50 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # --- rows-only by design (no oracle; recall/bounds unit-tested) ---
-    "minhash_near_dup": _q_minhash_near_dup,
-    "simhash_near_dup": _q_simhash_near_dup,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "ann_ivfpq_topk": _q_ann_ivfpq,
-    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    # --- verified green in round 5 (CORRECTNESS_r05.json) — freshest ---
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "gopher_quality_docs": _q_gopher_quality_docs,
 }
 
 

@@ -79,6 +79,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "simhash_near_dup",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivfpq_topk",
         "ann_pq_topk",
         "embedding_near_pairs_lsh",
         "semantic_dedup_embeddings",
