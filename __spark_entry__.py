@@ -1645,13 +1645,16 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted copy lands in its original's k-means cell (it is a tiny
     perturbation), pairs above threshold, and — having the higher id —
     is dropped; the near-orthogonal rest of the corpus survives. Cell
-    populations bound the quadratic, so candidate pairs stay a small
-    fraction of corpus² (asserted in tests/test_ext.py)."""
+    count auto-sizes with the corpus (dedup/semantic.auto_nlist) so
+    per-cell population — and the within-cell quadratic — stays constant
+    as data grows: total pair work is linear in corpus size (the fixed
+    nlist=16 this replaced measured 13.5x wall-clock at 10x data,
+    BENCH_SF1.md)."""
     from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dedup
 
     emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
     return (
-        semantic_dedup(emb, threshold=0.92, nlist=16)
+        semantic_dedup(emb, threshold=0.92)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

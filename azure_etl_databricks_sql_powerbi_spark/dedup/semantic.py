@@ -106,12 +106,30 @@ def semantic_dup_pairs(
     )
 
 
+def auto_nlist(
+    n_rows: int,
+    target_cell: int = 128,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Number of k-means cells that keeps PER-CELL population (and so
+    per-cell quadratic pair work) constant as the corpus grows: cells
+    proportional to N means total pair work cells * pop^2 / 2 = N *
+    target_cell / 2 — LINEAR in N. A fixed nlist makes pop grow with N
+    and pair work grow with N^2 (measured: 13.5x wall-clock at 10x data
+    in BENCH_SF1.md before this fix). ``hi`` bounds the driver-side
+    k-means GEMM (sample * nlist * dim per iteration); past that point a
+    distributed trainer (e.g. pyspark.ml KMeans) is the 100 TB path and
+    ``max_cell`` remains the backstop."""
+    return min(hi, max(lo, -(-n_rows // target_cell)))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = 16,
+    nlist: int | None = None,
     sample_size: int = 2048,
     seed: int = 42,
     max_cell: int = 10_000,
@@ -121,9 +139,17 @@ def semantic_dedup(
     columns), having dropped every vector that is a semantic duplicate
     (cosine >= threshold, same cell) of a lower-id vector.
 
+    ``nlist=None`` (the default) sizes the cell count from the corpus
+    via ``auto_nlist`` — constant cell population, linear total pair
+    work — at the cost of one count() job; pass an explicit ``nlist``
+    to skip the count when the corpus size is known.
+
     ``observation`` (optional) surfaces the ``max_cell`` guard's dropped
     cell/row counts — see ``semantic_dup_pairs``.
     """
+    if nlist is None:
+        nlist = auto_nlist(df.count())
+        sample_size = max(sample_size, 8 * nlist)
     cents = train_centroids(
         df, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
     )

@@ -408,6 +408,31 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, vectors):
     assert all(r.id_a // 5 == r.id_b // 5 for r in pairs)
 
 
+def test_auto_nlist_linear_pair_work():
+    """auto_nlist keeps per-cell population (so per-cell quadratic pair
+    work) constant as the corpus grows: total candidate pairs scale
+    LINEARLY with N, not quadratically (the fixed-nlist failure measured
+    in BENCH_SF1.md). Also pins the clamps."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import auto_nlist
+
+    # clamps
+    assert auto_nlist(0) == 16
+    assert auto_nlist(100) == 16  # lo
+    assert auto_nlist(10**9) == 4096  # hi bounds driver k-means
+    # ceil division
+    assert auto_nlist(129, target_cell=128, lo=1) == 2
+
+    def pair_work(n: int) -> float:
+        cells = auto_nlist(n)
+        pop = n / cells
+        return cells * pop * (pop - 1) / 2
+
+    # 10x the corpus inside the unclamped regime -> ~10x the pair work
+    # (fixed nlist would give ~100x)
+    ratio = pair_work(200_000) / pair_work(20_000)
+    assert 8 <= ratio <= 13, ratio
+
+
 def test_contract_queries_realistic_operating_point(spark):
     """The embedding contract queries run with planted near-dups at a
     realistic >=0.92 threshold (round-3 directive): LSH must recover every
