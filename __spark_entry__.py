@@ -1259,6 +1259,25 @@ def _q_unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs, vocab_size=1000).orderBy("doc_id")
 
 
+def _q_bigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality (functions/text.bigram_logprob_scores):
+    mean token log-probability under a Jelinek-Mercer bigram model
+    (0.7 * P(cur|prev) + 0.3 * P_uni(cur), top-4000 bigrams / top-1000
+    unigrams, unigram first token, backoff + OOV floors) — the rung
+    above the CCNet unigram score toward KenLM-style filtering: shuffled
+    text with fluent unigrams drops to the backoff tier. Same
+    hash-exactness contract: integer micro-nat quantization over the
+    vocab relations, exact integer per-doc SUM, one raw IEEE division;
+    the interpolation complement is the literal 0.3 on both sides (the
+    computed 1-0.7 differs in IEEE and would hash-mismatch)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs).orderBy("doc_id")
+
+
 def _q_chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping token-window chunking
     (operators/chunking.chunk_documents): 8-token windows, 2-token
@@ -1781,6 +1800,7 @@ QUERIES: dict[str, QueryFn] = {
     "novel_docs_day2": _q_novel_docs_day2,
     "interval_join_stream": _q_interval_join_stream,
     "unigram_quality_docs": _q_unigram_quality_docs,
+    "bigram_quality_docs": _q_bigram_quality_docs,
     "ann_ivfpq_topk": _q_ann_ivfpq,
     "media_metadata": _q_media_metadata,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
@@ -2170,6 +2190,83 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id,
                COALESCE(p.n_tokens, 0) AS n_tokens,
                COALESCE(p.n_oov, 0) AS n_oov,
+               CASE WHEN p.n_tokens > 0
+                    THEN p.sum_m / (1000000.0 * p.n_tokens)
+                    ELSE 0.0 END AS mean_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "bigram_quality_docs": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS toks
+            FROM documents
+        ),
+        pt AS (
+            SELECT doc_id,
+                   unnest(toks) AS token,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM t
+        ),
+        uni AS (SELECT token, COUNT(*) AS cnt FROM pt GROUP BY token),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uni),
+        big AS (
+            SELECT a.token AS prev, b.token AS cur, COUNT(*) AS c_pc
+            FROM pt a JOIN pt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+        ),
+        bigv AS (
+            SELECT bc.prev, bc.cur,
+                   CAST(FLOOR(ln(0.7 * (bc.c_pc / CAST(up.cnt AS DOUBLE))
+                                 + 0.3 * (uc.cnt / CAST((SELECT t FROM total) AS DOUBLE)))
+                              * 1000000) AS BIGINT) AS big_m
+            FROM (SELECT * FROM big
+                  ORDER BY c_pc DESC, prev ASC, cur ASC LIMIT 4000) bc
+            JOIN uni up ON up.token = bc.prev
+            JOIN uni uc ON uc.token = bc.cur
+        ),
+        univ AS (
+            SELECT token,
+                   CAST(FLOOR(ln(cnt / CAST((SELECT t FROM total) AS DOUBLE))
+                              * 1000000) AS BIGINT) AS uni0_m,
+                   CAST(FLOOR(ln(0.3 * (cnt / CAST((SELECT t FROM total) AS DOUBLE)))
+                              * 1000000) AS BIGINT) AS fb_m
+            FROM uni ORDER BY cnt DESC, token ASC LIMIT 1000
+        ),
+        first_s AS (
+            SELECT pt.doc_id,
+                   COALESCE(v.uni0_m,
+                        CAST(FLOOR(ln(1.0 / CAST((SELECT t FROM total) AS DOUBLE))
+                                   * 1000000) AS BIGINT)) AS m,
+                   CAST(0 AS BIGINT) AS hit
+            FROM pt LEFT JOIN univ v USING (token)
+            WHERE pt.pos = 1
+        ),
+        rest_s AS (
+            SELECT a.doc_id,
+                   COALESCE(bv.big_m, v.fb_m,
+                        CAST(FLOOR(ln(0.3 * (1.0 / CAST((SELECT t FROM total) AS DOUBLE)))
+                                   * 1000000) AS BIGINT)) AS m,
+                   CASE WHEN bv.big_m IS NOT NULL
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit
+            FROM pt a
+            JOIN pt p ON p.doc_id = a.doc_id AND p.pos = a.pos - 1
+            LEFT JOIN bigv bv ON bv.prev = p.token AND bv.cur = a.token
+            LEFT JOIN univ v ON v.token = a.token
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(hit) AS BIGINT) AS n_bigram_hits,
+                   CAST(SUM(m) AS BIGINT) AS sum_m
+            FROM (SELECT * FROM first_s UNION ALL SELECT * FROM rest_s)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_bigram_hits, 0) AS n_bigram_hits,
                CASE WHEN p.n_tokens > 0
                     THEN p.sum_m / (1000000.0 * p.n_tokens)
                     ELSE 0.0 END AS mean_logprob

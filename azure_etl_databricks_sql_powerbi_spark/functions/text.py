@@ -302,3 +302,159 @@ def unigram_logprob_scores(
             .alias("mean_logprob"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    bigram_vocab_size: int = 4000,
+    lam: float = 0.7,
+    lam_c: float = 0.3,
+):
+    """Interpolated bigram LM quality score — the next rung above
+    ``unigram_logprob_scores`` toward CCNet's KenLM 5-gram filter
+    (Wenzek et al. 2020 §4.3): each document scores the mean token
+    log-probability under a Jelinek-Mercer-interpolated bigram model
+
+        P(cur | prev) = lam * cnt(prev,cur)/cnt(prev)
+                      + lam_c * cnt(cur)/total
+
+    with the first token scored by the pure unigram, unseen bigrams
+    backing off to ``lam_c * P_uni(cur)``, and OOV tokens taking the
+    ``1/total`` floor. Fluent text rides the bigram head (high
+    ``n_bigram_hits``); shuffled/garbage text with plausible unigrams
+    drops to the backoff tier — exactly the failure mode a unigram
+    score cannot see.
+
+    ``lam_c`` is passed EXPLICITLY rather than computed as ``1 - lam``:
+    the score must be bit-identical to the DuckDB oracle, and the IEEE
+    double ``1 - 0.7`` (0.30000000000000004) differs from the literal
+    ``0.3`` an oracle query would naturally write.
+
+    Cross-engine-exact the same way as the unigram score: every
+    log-probability is quantized ONCE to integer micro-nats over the
+    small vocab relations (top-``bigram_vocab_size`` bigrams joined to
+    full unigram context counts; top-``vocab_size`` unigrams), per-doc
+    aggregation is an exact integer SUM, and the final score is one raw
+    IEEE division.
+
+    Scale shape: two corpus-sized explode+groupBy shuffles (unigram and
+    bigram counts — bigrams come from an in-array ``transform``, no
+    positional self-join), TakeOrdered vocabs broadcast to the scoring
+    joins, one groupBy(id) shuffle for the doc aggregate. Linear in
+    corpus size; vocab state is bounded by the two K knobs.
+
+    Returns (id_col, n_tokens, n_bigram_hits, mean_logprob).
+    """
+    t = tokens(text_col)
+    base = df.select(F.col(id_col), t.alias("__toks"))
+    # consecutive (prev, cur) pairs via in-array transform: pairs[i] =
+    # (toks[i], toks[i+1]); the out-of-bounds last struct has cur NULL
+    # and is filtered — zero joins, stays inside the scan stage.
+    pair_col = F.expr(
+        "filter(transform(__toks, (x, i) -> struct(x AS prev, get(__toks, i + 1) AS cur)),"
+        " p -> p.cur IS NOT NULL)"
+    )
+
+    uni = (
+        base.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # documented bounded collect: a single scalar off a 1-row aggregate
+    total = float(uni.agg(F.sum("cnt")).collect()[0][0] or 1)
+
+    big = (
+        base.select(F.explode(pair_col).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_pc"))
+    )
+    big_vocab = (
+        big.orderBy(F.col("c_pc").desc(), F.col("prev").asc(), F.col("cur").asc())
+        .limit(bigram_vocab_size)
+        .join(uni.select(F.col("token").alias("prev"), F.col("cnt").alias("c_prev")), "prev")
+        .join(uni.select(F.col("token").alias("cur"), F.col("cnt").alias("c_cur")), "cur")
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.ln(
+                    F.lit(lam) * (F.col("c_pc") / F.col("c_prev").cast("double"))
+                    + F.lit(lam_c) * (F.col("c_cur") / F.lit(total))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("big_m"),
+        )
+    )
+    uni_vocab = (
+        uni.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.floor(F.ln(F.col("cnt") / F.lit(total)) * F.lit(1e6))
+            .cast("long")
+            .alias("uni0_m"),
+            F.floor(F.ln(F.lit(lam_c) * (F.col("cnt") / F.lit(total))) * F.lit(1e6))
+            .cast("long")
+            .alias("fb_m"),
+        )
+    )
+    oov0_m = F.floor(F.ln(F.lit(1.0) / F.lit(total)) * F.lit(1e6)).cast("long")
+    oov_fb_m = F.floor(
+        F.ln(F.lit(lam_c) * (F.lit(1.0) / F.lit(total))) * F.lit(1e6)
+    ).cast("long")
+
+    first_s = (
+        base.where(F.size("__toks") > 0)
+        .select(F.col(id_col), F.col("__toks")[0].alias("token"))
+        .join(F.broadcast(uni_vocab), "token", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("uni0_m", oov0_m).alias("m"),
+            F.lit(0).cast("long").alias("hit"),
+        )
+    )
+    rest_s = (
+        base.select(F.col(id_col), F.explode(pair_col).alias("p"))
+        .select(F.col(id_col), F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .join(F.broadcast(big_vocab), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(uni_vocab.select(F.col("token").alias("cur"), "fb_m")),
+            "cur",
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("big_m", "fb_m", oov_fb_m).alias("m"),
+            F.col("big_m").isNotNull().cast("long").alias("hit"),
+        )
+    )
+    per_doc = (
+        first_s.unionByName(rest_s)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("hit").alias("n_bigram_hits"),
+            F.sum("m").alias("sum_m"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_bigram_hits", F.lit(0)).cast("long").alias("n_bigram_hits"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("sum_m") / (F.lit(1e6) * F.col("n_tokens")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_logprob"),
+        )
+    )

@@ -67,6 +67,35 @@ def test_quality_and_lang(spark, docs):
     assert 0 <= rows[5][0] <= 1 and rows[0][0] > rows[5][0]
 
 
+def test_bigram_logprob_discriminates_shuffled_text(spark):
+    """The interpolated bigram LM must rank fluent text (whose bigrams
+    ride the corpus head) above the SAME tokens shuffled (fluent
+    unigrams, unseen bigrams) — the failure mode a unigram score cannot
+    see. Also pins the n_bigram_hits accounting and the empty-doc row."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)]  # corpus head: fluent bigrams
+    rows.append((10, "mat the on sat cat the"))  # same unigrams, shuffled
+    rows.append((11, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        # bigram vocab of 5 = exactly the fluent doc's 5 bigrams (count 10
+        # each); the shuffled doc's singleton bigrams miss the cut
+        for r in bigram_logprob_scores(df, vocab_size=50, bigram_vocab_size=5).collect()
+    }
+    assert out[11].n_tokens == 0 and out[11].mean_logprob == 0.0
+    assert out[0].n_tokens == 6
+    # every consecutive pair of the fluent doc is in the bigram head
+    assert out[0].n_bigram_hits == 5
+    # the shuffled doc falls off the bigram head and scores strictly lower
+    assert out[10].n_bigram_hits == 0
+    assert out[10].mean_logprob < out[0].mean_logprob
+
+
 def test_word_ngrams(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
     out = df.select(T.word_ngrams("text", 3).alias("g")).collect()
