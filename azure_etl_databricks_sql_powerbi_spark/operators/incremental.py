@@ -50,3 +50,60 @@ def relative_watermark(df: DataFrame, ts_col: str, days: int) -> DataFrame:
         .filter(F.col(ts_col) >= F.col("__cutoff"))
         .drop("__cutoff")
     )
+
+
+def aggregate_state(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, Column | str],
+) -> DataFrame:
+    """Per-key ALGEBRAIC aggregate partials — the mergeable state of an
+    incrementally-maintained rollup: ``n_rows`` plus ``<m>_sum`` /
+    ``<m>_min`` / ``<m>_max`` per measure. COUNT/SUM/MIN/MAX are the
+    classic merge-safe (commutative-monoid) aggregates; AVG is derived
+    at ``finalize_state``. Persist this state once per day with
+    ``df.write.parquet`` and tomorrow's refresh touches only the new
+    batch — the 100 TB point is that history is NEVER re-scanned, the
+    same shape as ``dedup/incremental``'s persisted corpus state.
+
+    Sums accumulate in whatever type the caller passes — cast money
+    measures to DecimalType for cross-engine-exact totals (the round-4
+    half-cent lesson)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for name, c in measures.items():
+        c = F.col(c) if isinstance(c, str) else c
+        aggs.append(F.sum(c).alias(f"{name}_sum"))
+        aggs.append(F.min(c).alias(f"{name}_min"))
+        aggs.append(F.max(c).alias(f"{name}_max"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_states(
+    states: list[DataFrame], keys: list[str], measure_names: list[str]
+) -> DataFrame:
+    """Merge any number of aggregate-state frames into one: counts and
+    sums add, mins min, maxes max — one union + one keyed shuffle whose
+    input is STATE-sized (distinct keys per state), not data-sized."""
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for m in measure_names:
+        aggs.append(F.sum(f"{m}_sum").alias(f"{m}_sum"))
+        aggs.append(F.min(f"{m}_min").alias(f"{m}_min"))
+        aggs.append(F.max(f"{m}_max").alias(f"{m}_max"))
+    return unioned.groupBy(*keys).agg(*aggs)
+
+
+def finalize_state(state: DataFrame, measure_names: list[str]) -> DataFrame:
+    """Derive the non-mergeable outputs from merged partials: per
+    measure, ``<m>_avg`` = exact-sum cast to double, divided by count —
+    ONE raw IEEE division (never accumulate doubles, never round a
+    computed float — the hash-exactness contract)."""
+    out = state
+    for m in measure_names:
+        out = out.withColumn(
+            f"{m}_avg",
+            F.col(f"{m}_sum").cast("double") / F.col("n_rows"),
+        )
+    return out

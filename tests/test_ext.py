@@ -637,3 +637,59 @@ def test_lsh_near_pairs_max_bucket_cap_is_observed(spark):
     assert pairs == {(10, 11)}  # 5-member buckets over cap; 2-member survives
     assert obs.get["dropped_buckets"] > 0
     assert obs.get["dropped_bucket_rows"] == 5 * obs.get["dropped_buckets"]
+
+
+# --------------------------------------------------------------- BPE
+
+
+def test_bpe_learns_paper_merges_and_roundtrips(spark):
+    """Pin the Sennrich et al. (2016) corpus: deterministic merge order
+    (freq desc, lexicographic tie-break) and greedy encode. Tokens must
+    roundtrip: concat(tokens) minus the end-marker == the word."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.bpe import (
+        END,
+        encode_word,
+        learn_merges,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_merges(freqs, 10)
+    assert merges[:4] == [("e", "s"), ("es", "t" + END), ("l", "o"), ("e", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["newest" + END]
+    assert encode_word("low", ranks) == ["low" + END]
+    # unseen word decomposes to learned subwords + chars, never drops text
+    assert encode_word("lowest", ranks) == ["lo", "w", "est" + END]
+    assert encode_word("", ranks) == []
+    for w in ("low", "lowest", "wider", "a", "newestnewest"):
+        toks = encode_word(w, ranks)
+        assert "".join(t.replace(END, "") for t in toks) == w
+
+
+def test_bpe_apply_distributed_roundtrip_and_plan(spark):
+    """apply_bpe tokenizes corpus-side through one Arrow pandas_udf:
+    every doc's token concat reconstructs its whitespace-stripped text,
+    and the plan has ZERO exchanges (scan-stage map, linear at any
+    width). Training twice on the same frame yields identical merges
+    (single-action sample materialization)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.bpe import (
+        END,
+        apply_bpe,
+        train_bpe,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the newest widest cat"),
+        (2, ""),
+        (3, "lower low lowest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=50, sample_size=10)
+    assert merges == train_bpe(df, n_merges=50, sample_size=10)
+    out = apply_bpe(df, merges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for r in out.collect():
+        joined = "".join(t.replace(END, "") for t in r.bpe_tokens)
+        assert joined == "".join(r.text.split())

@@ -357,3 +357,66 @@ def test_pretraining_prep_composition(spark):
         .count()
     )
     assert leaks == 0
+
+
+# ----------------------------------------------- incremental KPI state
+
+
+def test_kpi_state_merge_equals_full_recompute(spark, tmp_path):
+    """merge(aggregate_state(history), aggregate_state(batch)) must equal
+    aggregate_state(full) exactly — counts, decimal sums, min/max, and
+    the finalized avg (one IEEE division of the exact sum)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    keys = ["o_orderstatus"]
+    meas = {"price": F.col("o_totalprice").cast("decimal(18,2)")}
+    cut = F.lit("1997-01-01").cast("timestamp")
+    hist = aggregate_state(orders.filter(F.col("o_orderdate") < cut), keys, meas)
+    batch = aggregate_state(orders.filter(F.col("o_orderdate") >= cut), keys, meas)
+    merged = finalize_state(
+        merge_aggregate_states([hist, batch], keys, ["price"]), ["price"]
+    )
+    full = finalize_state(aggregate_state(orders, keys, meas), ["price"])
+    m = {r.o_orderstatus: r for r in merged.collect()}
+    f = {r.o_orderstatus: r for r in full.collect()}
+    assert set(m) == set(f)
+    for k in f:
+        assert m[k].n_rows == f[k].n_rows
+        assert m[k].price_sum == f[k].price_sum  # exact decimal equality
+        assert m[k].price_min == f[k].price_min
+        assert m[k].price_max == f[k].price_max
+        assert m[k].price_avg == f[k].price_avg  # bit-identical division
+
+
+def test_kpi_day2_plan_never_rescans_history(spark, tmp_path):
+    """The day-2 refresh plan reads the persisted STATE parquet and the
+    date-filtered batch only: the history parquet path must not appear,
+    and the batch-side orders scan must carry the pushed date filter."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    keys = ["o_orderstatus"]
+    meas = {"price": F.col("o_totalprice").cast("decimal(18,2)")}
+    cut = F.lit("1997-01-01").cast("timestamp")
+    hist_path = str(tmp_path / "orders_history")
+    orders.filter(F.col("o_orderdate") < cut).write.parquet(hist_path)
+    state_path = str(tmp_path / "kpi_state")
+    aggregate_state(spark.read.parquet(hist_path), keys, meas).write.parquet(
+        state_path
+    )
+
+    batch = aggregate_state(orders.filter(F.col("o_orderdate") >= cut), keys, meas)
+    merged = merge_aggregate_states(
+        [spark.read.parquet(state_path), batch], keys, ["price"]
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "orders_history" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
