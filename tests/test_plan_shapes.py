@@ -114,6 +114,9 @@ _ALLOWED_FLAGS = {
     "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
     "revenue_change_q6": {"SinglePartitionExchange"},  # one-row result
     "promo_revenue_q14": {"SinglePartitionExchange"},  # one-row result
+    # 1-row global min/max normalization stats broadcast onto the fact
+    # (sources/layout.zorder_key — same scalar-agg shape as events_watermark_7d)
+    "zorder_layout_stats": {"BNLJoin", "SinglePartitionExchange"},
 }
 
 
