@@ -680,6 +680,76 @@ def _q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_referential_integrity_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity QC (operators/qc.referential_orphan_counts):
+    orphan counts across the star's three FK edges in one result row —
+    each edge a LEFT ANTI hash join reduced to a scalar (the dbt
+    'relationships' test engine-side). NULL FKs count as orphans on both
+    sides (anti-join no-match ≡ NOT EXISTS true)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import (
+        referential_orphan_counts,
+    )
+
+    return referential_orphan_counts(
+        [
+            (
+                "lineitem_orders",
+                load_table(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                load_table(spark, sf_dir, "orders"),
+                "o_orderkey",
+            ),
+            (
+                "orders_customer",
+                load_table(spark, sf_dir, "orders"),
+                "o_custkey",
+                load_table(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+            (
+                "customer_nation",
+                load_table(spark, sf_dir, "customer"),
+                "c_nationkey",
+                load_table(spark, sf_dir, "nation"),
+                "n_nationkey",
+            ),
+        ]
+    )
+
+
+def _q_orders_pit_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd2.pit_join) — the consumption
+    side of SCD2: each order row picks up the status version that was
+    valid AT its order date (valid_from <= d < valid_to, open current
+    version matches forward). Equi hash join on the business key with
+    the interval as residual condition — per-key fan-out is versions-
+    per-key (change frequency), so it scales like any keyed fact-dim
+    join; hash-exact vs the same history CTE + BETWEEN join in DuckDB."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.scd2 import (
+        pit_join,
+        scd2_from_snapshots,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = latest_per_key(
+        orders, keys=["o_custkey", "o_orderdate"], order_by=["o_orderkey"], tiebreak=[]
+    ).select("o_custkey", "o_orderdate", "o_orderstatus")
+    dim = scd2_from_snapshots(
+        versions, keys=["o_custkey"], tracked=["o_orderstatus"], ts_col="o_orderdate"
+    )
+    fact = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        pit_join(fact, dim, keys=["o_custkey"], fact_ts="o_orderdate")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_orderstatus").alias("status_at_order"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag/lead analytics (W2): previous/next order date per customer and
     the day gap between consecutive orders."""
@@ -1900,10 +1970,10 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the DuckDB oracle at sf0.01. The window rotates each round so
 # every declared query keeps fresh driver evidence (rotation history is
 # tracked in tools/rotation_manifest.json and guarded by
-# tests/test_rotation.py). Round-6 window: 9 new/changed queries, the 11
+# tests/test_rotation.py). Round-6 window: 11 new/changed queries, the 11
 # r3-era stale greens (oldest evidence first), the 6 round-5 newcomers
-# for a second consecutive green, and the first 24 of the 45-query
-# round-4-evidence cohort (the cohort's remaining 21 lead the round-7
+# for a second consecutive green, and the first 22 of the 45-query
+# round-4-evidence cohort (the cohort's remaining 23 lead the round-7
 # queue; see the dict comments below). Every query keeps its oracle
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
@@ -1919,6 +1989,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_tokenize_docs": _q_bpe_tokenize_docs,
     "zorder_layout_stats": _q_zorder_layout_stats,
     "incremental_kpis_day2": _q_incremental_kpis_day2,
+    "orders_pit_status": _q_orders_pit_status,
+    "referential_integrity_qc": _q_referential_integrity_qc,
     "ann_ivfpq_topk": _q_ann_ivfpq,
     "media_metadata": _q_media_metadata,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
@@ -2838,6 +2910,63 @@ ORACLES: dict[str, str] = {
                LEAD(valid_from) OVER wv IS NULL    AS is_current
         FROM per_run
         WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
+    """,
+    "referential_integrity_qc": """
+        SELECT
+            CAST((SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT) AS orphans_lineitem_orders,
+            CAST((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+                 AS BIGINT) AS orphans_orders_customer,
+            CAST((SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = c.c_nationkey))
+                 AS BIGINT) AS orphans_customer_nation
+    """,
+    "orders_pit_status": """
+        WITH versions AS (
+            SELECT o_custkey, o_orderdate, o_orderstatus
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) = 1
+        ), lagged AS (
+            SELECT *,
+                   LAG(o_orderdate)   OVER w AS prev_ts,
+                   LAG(o_orderstatus) OVER w AS prev_status
+            FROM versions
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        ), runs AS (
+            SELECT *,
+                   SUM(CASE WHEN prev_ts IS NULL
+                             OR o_orderstatus IS DISTINCT FROM prev_status
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS run
+            FROM lagged
+        ), per_run AS (
+            SELECT o_custkey, run,
+                   MIN(o_orderstatus) AS o_orderstatus,
+                   MIN(o_orderdate)   AS valid_from
+            FROM runs GROUP BY o_custkey, run
+        ), hist AS (
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   LEAD(valid_from) OVER wv AS valid_to
+            FROM per_run
+            WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               h.o_orderstatus AS status_at_order
+        FROM orders o
+        LEFT JOIN hist h
+          ON h.o_custkey = o.o_custkey
+         AND o.o_orderdate >= h.valid_from
+         AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+        ORDER BY o.o_orderkey
     """,
     "customer_order_gaps": """
         SELECT o_custkey, o_orderkey, o_orderdate,

@@ -186,3 +186,30 @@ def attach_observed_checks(
         return [results[i] for i in range(len(checks))]
 
     return observed, finish
+
+
+def referential_orphan_counts(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity QC: one row with an orphan count per
+    declared relation ``(name, child, fk_col, parent, pk_col)`` — child
+    rows whose FK value has no matching parent PK (NULL FKs count as
+    orphans: a fact with no dimension linkage is unjoinable either way).
+
+    Each relation is a LEFT ANTI hash join reduced to a 1-row count, and
+    the scalar results cross-join into the single QC row — at 100 TB
+    each anti-join shuffles on its own key (or broadcasts a small
+    parent) independently; the cross joins combine literally one row
+    each. The classic dbt ``relationships`` test, engine-side."""
+    out: DataFrame | None = None
+    for name, child, fk, parent, pk in relations:
+        cnt = (
+            child.join(
+                parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias(f"orphans_{name}"))
+        )
+        out = cnt if out is None else out.crossJoin(cnt)
+    if out is None:
+        raise ValueError("no relations declared")
+    return out

@@ -132,3 +132,53 @@ def scd2_apply(
         F.lit(True).alias("is_current"),
     )
     return past.unionByName(untouched_cur).unionByName(closed).unionByName(opened)
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    dim_cols: list[str] | None = None,
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Point-in-time join — the reason SCD2 history exists: attach to
+    each fact row the dimension version that was valid AT the fact's
+    timestamp (``valid_from <= ts < valid_to``, open current version
+    ``valid_to IS NULL`` matches everything after its start).
+
+    Plan shape: an EQUI hash join on the business keys with the interval
+    predicate evaluated as the join's residual condition — versions per
+    key are few (bounded by change frequency, not data size), so the
+    per-key match fan-out is tiny and the join scales exactly like any
+    keyed fact-dim join: one shuffle on the keys, or zero with
+    ``broadcast_dim=True`` when the dimension fits the broadcast
+    threshold. Facts dated before the key's first version (or with keys
+    absent from the dimension) are kept with NULL dim columns (left
+    join) so coverage gaps are observable rather than silently dropped.
+    """
+    dim_cols = dim_cols or [
+        c
+        for c in dim.columns
+        if c not in keys and c not in ("valid_from", "valid_to", "is_current")
+    ]
+    d = dim.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        "valid_from",
+        "valid_to",
+        *dim_cols,
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__dk_{k}"))
+    ts = F.col(fact_ts)
+    cond = (
+        cond
+        & (ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+    )
+    return fact.join(d, cond, "left").drop(
+        *[f"__dk_{k}" for k in keys], "valid_from", "valid_to"
+    )

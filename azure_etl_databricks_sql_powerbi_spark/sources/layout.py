@@ -97,3 +97,75 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction (the OPTIMIZE/bin-packing half of table
+    maintenance; ``write_zordered`` is the clustering half): rewrite a
+    directory of many small files into ``ceil(total_bytes /
+    target_file_bytes)`` right-sized files.
+
+    Why it matters at 100 TB: streaming sinks and over-parallel writers
+    leave thousands of KB-scale files per partition; every scan then
+    pays one task + one open per file and the NameNode/listing pays the
+    metadata. Compaction is a metadata decision (file count from total
+    bytes — read from the filesystem, no data scan) plus one
+    ``coalesce`` rewrite (coalesce, not repartition: narrowing to fewer
+    partitions needs no shuffle; pass ``sort_cols`` to re-sort while
+    compacting, which then does shuffle via the range write).
+
+    Writes to ``<path>.__compact_tmp``, atomically swaps directories on
+    success, and returns ``{"files_before", "files_after",
+    "bytes_total"}`` for the QC log. Hadoop FS API throughout, so the
+    same code runs on file:/, HDFS, or abfss:// (sources/cloudfs conf).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    src = Path(path)
+    fs = src.getFileSystem(conf)
+
+    def data_files(p):
+        out = []
+        for st in fs.listStatus(p):
+            f = st.getPath()
+            if st.isDirectory():
+                out.extend(data_files(f))
+            elif not f.getName().startswith(("_", ".")):
+                out.append(st)
+        return out
+
+    before = data_files(src)
+    total = sum(st.getLen() for st in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = Path(path.rstrip("/") + ".__compact_tmp")
+    df = spark.read.format(fmt).load(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_out)
+    df.write.format(fmt).mode("overwrite").save(str(tmp))
+
+    after = len(data_files(tmp))
+    old = Path(path.rstrip("/") + ".__compact_old")
+    if not fs.rename(src, old):
+        raise IOError(f"compact_files: cannot stage {path}")
+    if not fs.rename(tmp, src):
+        fs.rename(old, src)  # roll back
+        raise IOError(f"compact_files: swap failed for {path}")
+    fs.delete(old, True)
+    return {
+        "files_before": len(before),
+        "files_after": after,
+        "bytes_total": int(total),
+    }

@@ -71,3 +71,34 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     keyed = zorder_key(df, ["x", "y"], bits=5).repartitionByRange(16, "z_key")
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace(" ", "")
+
+
+def test_compact_files_rewrites_small_files(spark, tmp_path):
+    """64 tiny files -> right-sized file count from total bytes (no data
+    scan for the sizing decision), identical data after the atomic swap,
+    and no staging dirs left behind."""
+    import os
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 64
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_files(spark, path, target_file_bytes=(total // 2) + 1)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 2
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == stats["files_after"]
+    assert not os.path.exists(path + ".__compact_tmp")
+    assert not os.path.exists(path + ".__compact_old")
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))

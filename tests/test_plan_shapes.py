@@ -117,6 +117,9 @@ _ALLOWED_FLAGS = {
     # 1-row global min/max normalization stats broadcast onto the fact
     # (sources/layout.zorder_key — same scalar-agg shape as events_watermark_7d)
     "zorder_layout_stats": {"BNLJoin", "SinglePartitionExchange"},
+    # one QC row: per-edge 1-row anti-join counts cross-joined literally
+    # one row each (operators/qc.referential_orphan_counts)
+    "referential_integrity_qc": {"BNLJoin", "SinglePartitionExchange"},
 }
 
 

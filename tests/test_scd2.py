@@ -109,3 +109,51 @@ def test_apply_late_batch_raises(spark):
     )  # key 1's open row starts 2024-03-01 -> late
     with pytest.raises(SparkRuntimeException, match="late-arriving batch"):
         scd2_apply(hist, late, ["k"], ["status"], "ts").collect()
+
+
+def test_pit_join_picks_version_valid_at_fact_ts(spark):
+    """Facts at interval boundaries, mid-interval, before the first
+    version (NULL), in the open current version, and with an unknown key
+    (NULL) — plus the broadcast-dim plan shape."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.scd2 import pit_join
+
+    hist = scd2_from_snapshots(_snapshots(spark), ["k"], ["status"], "ts")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01")),  # exactly on first valid_from -> a
+            (101, 1, _ts("2024-02-15")),  # mid first interval -> a
+            (102, 1, _ts("2024-03-01")),  # on the change ts -> the NEW version b
+            (103, 1, _ts("2030-01-01")),  # far future, open row -> b
+            (104, 1, _ts("2023-12-31")),  # before any version -> NULL
+            (105, 9, _ts("2024-06-01")),  # unknown key -> NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = pit_join(facts, hist, keys=["k"], fact_ts="ts", broadcast_dim=True)
+    got = {r.fid: r.status for r in out.collect()}
+    assert got == {100: "a", 101: "a", 102: "b", 103: "b", 104: None, 105: None}
+    assert out.count() == 6  # left join: no fact dropped, no fan-out
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_referential_orphan_counts(spark):
+    """Planted orphans: dangling FK, NULL FK (counts as orphan), and a
+    fully-covered edge counting zero."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import (
+        referential_orphan_counts,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 7), (13, None)], "cid long, fk long"
+    )
+    ok_child = spark.createDataFrame([(20, 1)], "cid long, fk long")
+    row = referential_orphan_counts(
+        [
+            ("bad", child, "fk", parent, "pk"),
+            ("good", ok_child, "fk", parent, "pk"),
+        ]
+    ).collect()[0]
+    assert row.orphans_bad == 2  # fk=7 dangling + fk=NULL
+    assert row.orphans_good == 0

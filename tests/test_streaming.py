@@ -267,3 +267,37 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         tuple(r) for r in batch.select("user_id", "event_id", "cid").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rocksdb_state_store_matches_batch(spark, events_dir):
+    """100 TB stateful posture: the default HDFS-backed state store keeps
+    every key's state on the executor HEAP — at web-scale key
+    cardinality that OOMs; RocksDBStateStoreProvider (bundled
+    rocksdbjni) spills state to local disk with changelog checkpointing.
+    Run the same windowed aggregate under RocksDB: results must equal
+    the batch answer bit-for-bit and the state operator's metrics must
+    prove RocksDB actually held the state."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = load_table(spark, SF, "events")
+        expected = {
+            tuple(r) for r in windows.tumbling_kpis(batch, "1 day").collect()
+        }
+        stream = windows.tumbling_kpis(_stream(spark, events_dir), "1 day")
+        q = structured.run_to_memory(
+            stream, "tumbling_rocksdb", output_mode="complete"
+        )
+        got = {tuple(r) for r in spark.table("tumbling_rocksdb").collect()}
+        assert got == expected
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
