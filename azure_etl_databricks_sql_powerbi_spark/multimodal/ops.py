@@ -525,3 +525,45 @@ def sample_decoded_frames(
             )
 
     return spread(df).mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ------------------------------------------------ file landing / ingestion
+
+
+def land_media_files(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    ext: str = "png",
+) -> int:
+    """Write each row's payload as an individual ``<id>.<ext>`` file under
+    ``out_dir`` — the landing half of the binary-file ingestion loop
+    (``sources.files.read_binary_files`` is the scan half).
+
+    Executor-side: one ``mapInPandas`` pass writes files in parallel and
+    emits one count row per batch; the driver sees only the summed count
+    (never the payloads). In local mode ``out_dir`` is a local path; on a
+    cluster it must be a shared filesystem (the same contract as any
+    Hadoop-FS sink). Deterministic names make re-landing idempotent."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        n = 0
+        for pdf in it:
+            for rid, payload in zip(pdf[id_col], pdf[content_col]):
+                tmp_name = _os.path.join(out_dir, f".{int(rid)}.{ext}.tmp")
+                final = _os.path.join(out_dir, f"{int(rid)}.{ext}")
+                with open(tmp_name, "wb") as fh:
+                    fh.write(bytes(payload))
+                _os.replace(tmp_name, final)  # atomic publish, idempotent
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.select(id_col, content_col).mapInPandas(write_batches, "n bigint")
+    # bounded collect: one row per task
+    return int(sum(r["n"] for r in counts.collect()))

@@ -167,3 +167,25 @@ def write_partitioned_parquet(
     if cols:
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque binary-file scan (S-EXT): Spark's built-in ``binaryFile``
+    source — the native way to ingest an image/audio corpus laid out as
+    one object per file. Yields (path, modificationTime, length, content)
+    with reads parallelized across files; ``glob`` pushes a
+    pathGlobFilter into file listing (prunes before any byte is read).
+    ``max_bytes`` guards executors against pathological objects via
+    ``spark.sql.sources.binaryFile.maxLength``. Pair with
+    ``multimodal.ops.land_media_files`` for the landing half."""
+    if max_bytes is not None:
+        spark.conf.set("spark.sql.sources.binaryFile.maxLength", str(max_bytes))
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -361,3 +361,38 @@ def test_sample_decoded_frames_clamps_short_rasters(spark):
         for r in rs:
             assert len(r.frame_bytes) > 0
             assert r.frame_sha256 != empty_sha
+
+
+def test_binary_file_landing_roundtrip(spark, tmp_path):
+    """land_media_files -> binaryFile scan roundtrip: every payload comes
+    back byte-identical (content join on id), the glob filter prunes
+    foreign files, and re-landing is idempotent (atomic replace)."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import read_binary_files
+
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    media = ops.attach_generated_png(docs, width=4, height=3, compress_level=0)
+    out = str(tmp_path / "land")
+    assert ops.land_media_files(media, out) == 8
+    (tmp_path / "land" / "stray.txt").write_text("not a png")
+
+    bf = read_binary_files(spark, out, glob="*.png")
+    assert bf.count() == 8  # stray.txt pruned at listing time
+
+    import pyspark.sql.functions as F
+
+    got = bf.select(
+        F.regexp_extract("path", r"(\d+)\.png$", 1).cast("bigint").alias("media_id"),
+        "content",
+        "length",
+    )
+    joined = got.join(media, on="media_id")
+    rows = joined.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert bytes(r["content"]) == bytes(r[media.columns[1]])
+        assert r["length"] == len(bytes(r["content"]))
+
+    # idempotent re-land: same names, same bytes, same count
+    assert ops.land_media_files(media, out) == 8
+    assert read_binary_files(spark, out, glob="*.png").count() == 8

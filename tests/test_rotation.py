@@ -90,6 +90,9 @@ def test_every_query_has_oracle_or_documented_exemption():
         # greedy iterative merge replay is not SQL-expressible; paper
         # corpus + roundtrip + zero-shuffle plan unit-tested
         "bpe_tokenize_docs",
+        # iterative k-means is not SQL-expressible; convergence,
+        # determinism, planted-recovery and partials-bound unit-tested
+        "kmeans_clusters_embeddings",
     }
     oracles = set(entry.oracle_sql().keys())
     for name in entry.QUERIES:

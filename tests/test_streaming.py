@@ -301,3 +301,97 @@ def test_rocksdb_state_store_matches_batch(spark, events_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs protobuf "
+    "(not in this container); the wiring/plan surface is covered by "
+    "test_tws_plan_builds_without_execution",
+)
+def test_tws_running_totals_matches_batch_and_3x_tier(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4.x named-state API, RocksDB
+    provider) drained totals == batch GROUP BY == the 3.x
+    applyInPandasWithState tier — the two stateful APIs are contract-
+    identical on the same input."""
+    from azure_etl_databricks_sql_powerbi_spark.streaming.tws import (
+        rocksdb_conf,
+        running_totals_tws,
+    )
+
+    with rocksdb_conf(spark):
+        src = _stream(spark, events_dir, max_files_per_trigger=2)
+        out = running_totals_tws(src)
+        structured.run_to_memory(
+            out, "tws_totals", output_mode="update", checkpoint=str(tmp_path / "ck")
+        )
+    final = (
+        spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    expected = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_tws_plan_builds_without_execution(spark, events_dir):
+    """The TWS surface that IS verifiable without protobuf: the processor
+    protocol (init/handleInputRows against a fake handle/state) and the
+    streaming plan wiring (groupBy -> transformWithStateInPandas analyzes
+    and carries the declared output schema)."""
+    import pandas as pd
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming.tws import (
+        RunningTotalsProcessor,
+        running_totals_tws,
+    )
+
+    # plan wiring: analysis succeeds, schema is the declared contract
+    src = _stream(spark, events_dir)
+    out = running_totals_tws(src)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value"]
+
+    # processor fold logic against a minimal fake state
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeState()
+
+    p = RunningTotalsProcessor()
+    p.init(FakeHandle())
+    b1 = pd.DataFrame({"user_id": [7, 7], "value": [1.5, None]})
+    b2 = pd.DataFrame({"user_id": [7], "value": [2.0]})
+    (out1,) = list(p.handleInputRows((7,), iter([b1]), None))
+    (out2,) = list(p.handleInputRows((7,), iter([b2]), None))
+    assert out1.iloc[0].tolist() == [7, 2, 1.5]
+    assert out2.iloc[0].tolist() == [7, 3, 3.5]
