@@ -586,6 +586,40 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+def _q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (operators/windows.rolling_range_agg —
+    the W2 surface's interval-frame member, distinct from every
+    rows-frame query): per-customer trailing-7-day order count and
+    revenue at each order. Revenue accumulates in DECIMAL(18,2) inside
+    the frame (running-frame float addition is order-dependent across
+    engines) and casts to double only at the output edge — the
+    hash-exactness contract from the r4 postmortem."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import (
+        rolling_range_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    out = rolling_range_agg(
+        orders,
+        partition_by=["o_custkey"],
+        ts_col="o_orderdate",
+        value_col="price_dec",
+        days=7,
+        keys=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("rolling_n").cast("long").alias("n_7d"),
+        F.col("rolling_sum").cast("double").alias("revenue_7d"),
+    )
+
+
 def _q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (graph/pagerank.py) over the undirected
     supplier↔part co-occurrence graph from lineitem: entity importance
@@ -2097,6 +2131,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngrams_udtf_docs": _q_ngrams_udtf_docs,
     "media_binaryfile_scan": _q_media_binaryfile_scan,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
+    "rolling_7d_revenue": _q_rolling_7d_revenue,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2136,9 +2171,9 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": _q_funnel_conversion,
     "salient_terms": _q_salient_terms,
     "decontaminate_docs": _q_decontaminate_docs,
-    "min_cost_supplier": _q_min_cost_supplier,
     # ================= end of the 50-entry driver window =================
     # --- round-4-evidence remainder: FIRST IN LINE for the r7 window ---
+    "min_cost_supplier": _q_min_cost_supplier,
     "important_suppliers": _q_important_suppliers,
     "top_quarter_shippers": _q_top_quarter_shippers,
     "part_supplier_breadth": _q_part_supplier_breadth,
@@ -2479,6 +2514,20 @@ ORACLES: dict[str, str] = {
         ORDER BY b.doc_id
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
+    "rolling_7d_revenue": """
+        -- RANGE frame over epoch seconds (identical numeric frame to the
+        -- Spark rangeBetween); decimal accumulation, double at the edge
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS revenue_7d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+        )
+    """,
     "media_binaryfile_scan": """
         -- files landed as <doc_id>.png then scanned via binaryFile; the
         -- stored-deflate PNG size is exact arithmetic (media_metadata

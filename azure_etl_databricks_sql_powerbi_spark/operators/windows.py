@@ -110,3 +110,41 @@ def rank_distribution(
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    days: int,
+    keys: Sequence[str] = (),
+    out_prefix: str = "rolling",
+) -> DataFrame:
+    """Time-RANGE window frame (W2 completion): per-key aggregates over
+    the trailing ``days``-day interval of EVENT TIME — `RANGE BETWEEN
+    INTERVAL n DAYS PRECEDING AND CURRENT ROW`, not a row-count frame
+    (two orders on the same key and day see the same trailing revenue
+    regardless of row order; a rows-frame would not).
+
+    Implementation: ``rangeBetween`` over epoch seconds — Spark's RANGE
+    frames take numeric bounds, so the timestamp is projected to
+    ``unix_timestamp`` once and the frame is ``[-days*86400, 0]``
+    seconds, which is exactly the SQL interval frame on second-precision
+    data. One shuffle on the partition key; the frame scan is a local
+    per-partition sliding aggregate (Spark keeps a running frame, not a
+    per-row rescan)."""
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(epoch)
+        .rangeBetween(-days * 86400, 0)
+    )
+    return df.select(
+        *keys,
+        *partition_by,
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias(f"{out_prefix}_n"),
+        F.sum(value_col).over(w).alias(f"{out_prefix}_sum"),
+    )

@@ -124,7 +124,11 @@ def kmeans_fit(
         max_sim = np.maximum(max_sim, x0 @ x0[nxt])
     cents = x0[chosen].copy()
 
-    frozen = spread(df.select(vec_col))
+    # persist across supersteps: every iteration re-reads the corpus, so
+    # caching the projected vector column trades memory for iters-1 scans
+    # (the standard iterative-ML shape; MEMORY_AND_DISK so a 100 TB corpus
+    # degrades to spill, not OOM). Unpersisted before return.
+    frozen = spread(df.select(vec_col)).persist()
     history: list[float] = []
     prev = None
     for _ in range(iters):
@@ -144,6 +148,7 @@ def kmeans_fit(
         if prev is not None and abs(prev - inertia) <= tol * max(prev, 1.0):
             break
         prev = inertia
+    frozen.unpersist()
     return cents, history
 
 

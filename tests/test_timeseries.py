@@ -114,3 +114,33 @@ def test_read_csv_roundtrip_with_schema(spark, tmp_path):
     got = {r["id"]: r for r in df.collect()}
     assert got[1]["name"] == "ann" and got[2]["amount"] == 3.25
     assert dict(df.dtypes) == {"id": "bigint", "name": "string", "amount": "double"}
+
+
+def test_rolling_range_agg_is_event_time_not_row_frame(spark):
+    """RANGE-frame semantics: two same-timestamp rows for one key get the
+    SAME trailing aggregate (both inside each other's frame); rows beyond
+    the interval fall out. A rows-frame would violate both."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import (
+        rolling_range_agg,
+    )
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 100.0),
+        (2, 10, "2024-01-05 00:00:00", 10.0),
+        (3, 10, "2024-01-05 00:00:00", 1.0),   # same instant as row 2
+        (4, 10, "2024-01-20 00:00:00", 7.0),   # outside 7d of the rest
+        (5, 99, "2024-01-05 00:00:00", 50.0),  # other key: isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "order_id long, cust long, ts string, price double"
+    ).select("order_id", "cust", F.col("ts").cast("timestamp").alias("ts"), "price")
+    out = {
+        r["order_id"]: (r["rolling_n"], r["rolling_sum"])
+        for r in rolling_range_agg(
+            df, ["cust"], "ts", "price", days=7, keys=["order_id"]
+        ).collect()
+    }
+    assert out[1] == (1, 100.0)
+    assert out[2] == out[3] == (3, 111.0)  # same frame for the tied instant
+    assert out[4] == (1, 7.0)              # 15 days later: everything aged out
+    assert out[5] == (1, 50.0)             # partition isolation
