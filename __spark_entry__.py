@@ -586,6 +586,69 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under a real streaming drain, with a SQL
+    oracle: events re-landed as arrival files and STREAMED, joined per
+    micro-batch against the STATIC broadcast customer dimension (the
+    canonical streaming-ETL enrich shape — the static side is planned as
+    a fresh broadcast per micro-batch, no state), then aggregated per
+    (segment, event_type) in complete mode. Drained result ≡ the batch
+    join+GROUP BY, which is exactly what the DuckDB oracle computes."""
+    import os
+
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+
+    tmp = _scratch_dir("st_enrich_")
+    src_dir, ck = f"{tmp}/in", f"{tmp}/ck"
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    events.repartition(4).write.parquet(src_dir)
+    stream = structured.stream_files(
+        spark,
+        src_dir,
+        "event_id bigint, user_id bigint, value double",
+        max_files_per_trigger=2,
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), on="user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    table = os.path.basename(tmp)
+    structured.run_to_memory(agg, table, output_mode="complete", checkpoint=ck)
+    return spark.table(table)
+
+
+def _q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/diff.table_diff): orders
+    vs a deterministically perturbed day-2 snapshot (keys %101 removed,
+    %97 repriced +1.00, %89 cloned under shifted keys) -> one
+    (key, added|removed|changed) row per difference. Spark classifies by
+    map-side md5 row digest (the shuffle carries key+digest, plan-
+    tested); the oracle classifies the same snapshot semantically with
+    IS DISTINCT FROM — digests never cross the engine boundary, so
+    double-to-string formatting differences can't bite."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.diff import table_diff
+
+    old = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    changed_price = F.when(
+        key % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+    ).otherwise(F.col("o_totalprice"))
+    new = (
+        old.filter(key % 101 != 0)
+        .withColumn("o_totalprice", changed_price)
+        .unionByName(
+            old.filter(key % 89 == 0).withColumn(
+                "o_orderkey", key + F.lit(10_000_000)
+            )
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
 def _q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (operators/windows.rolling_range_agg —
     the W2 surface's interval-frame member, distinct from every
@@ -2132,6 +2195,8 @@ QUERIES: dict[str, QueryFn] = {
     "media_binaryfile_scan": _q_media_binaryfile_scan,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "rolling_7d_revenue": _q_rolling_7d_revenue,
+    "snapshot_diff_orders": _q_snapshot_diff_orders,
+    "stream_static_enrich": _q_stream_static_enrich,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2514,6 +2579,42 @@ ORACLES: dict[str, str] = {
         ORDER BY b.doc_id
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
+    "stream_static_enrich": """
+        SELECT c.c_mktsegment,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(e.value), 2) AS total_value
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+    """,
+    "snapshot_diff_orders": """
+        -- same perturbed snapshot, classified semantically (IS DISTINCT
+        -- FROM) instead of by row digest — engine-neutral equivalence
+        WITH newsnap AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 101 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 89 = 0
+        ),
+        classified AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN (o.o_custkey      IS DISTINCT FROM n.o_custkey)
+                          OR (o.o_orderstatus  IS DISTINCT FROM n.o_orderstatus)
+                          OR (o.o_totalprice   IS DISTINCT FROM n.o_totalprice)
+                          OR (o.o_orderdate    IS DISTINCT FROM n.o_orderdate)
+                          OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                        THEN 'changed' END AS change
+            FROM orders o FULL JOIN newsnap n ON n.o_orderkey = o.o_orderkey
+        )
+        SELECT o_orderkey, change FROM classified WHERE change IS NOT NULL
+    """,
     "rolling_7d_revenue": """
         -- RANGE frame over epoch seconds (identical numeric frame to the
         -- Spark rangeBetween); decimal accumulation, double at the edge

@@ -46,6 +46,10 @@ REPS = 2
 
 
 def main() -> None:
+    # argv selects a subset (round-6 additions pattern); default = full list
+    global QUERIES
+    if len(sys.argv) > 1:
+        QUERIES = sys.argv[1:]
     if not os.path.exists(os.path.join(SF_BIG, "documents.parquet")):
         raise SystemExit("run tools/gen_sf1.py first")
     spark = get_spark(app_name="bench-sf1")

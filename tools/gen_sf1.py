@@ -139,6 +139,47 @@ def gen_events(rng: np.random.Generator) -> None:
     pq.write_table(table, f"{OUT}/events.parquet")
 
 
+def gen_lineitem(rng: np.random.Generator) -> None:
+    """10x sf0.1's (supplier, part) co-occurrence shape for the graph
+    tier: 6M rows, 10,000 suppliers x 200,000 parts, uniform pairing
+    (matches the TPC-H generator's uniform l_suppkey/l_partkey draw)."""
+    n = 6_000_000
+    table = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(1, 1_500_001, size=n), pa.int64()),
+            "l_partkey": pa.array(rng.integers(1, 200_001, size=n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, 10_001, size=n), pa.int64()),
+            "l_quantity": pa.array(rng.integers(1, 51, size=n).astype("float64")),
+            "l_extendedprice": pa.array(rng.uniform(900, 105000, size=n).round(2)),
+        }
+    )
+    pq.write_table(table, f"{OUT}/lineitem.parquet")
+
+
+def gen_orders(rng: np.random.Generator) -> None:
+    """10x sf0.1 orders for the window tier: 1.5M rows, 150k customers,
+    the same 1995-2001 date span and price range."""
+    n = 1_500_000
+    start = np.datetime64("1995-01-01T00:00:00", "us")
+    span_us = int((np.datetime64("2001-08-01") - np.datetime64("1995-01-01")).astype("timedelta64[D]").astype(int)) * 86400 * 1_000_000
+    statuses = np.array(["O", "F", "P"])
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, 150_001, size=n), pa.int64()),
+            "o_orderstatus": pa.array(statuses[rng.integers(0, 3, size=n)]),
+            "o_totalprice": pa.array(rng.uniform(1000, 500000, size=n).round(2)),
+            "o_orderdate": pa.array(
+                start + rng.integers(0, span_us, size=n).astype("timedelta64[us]"),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(prios[rng.integers(0, 5, size=n)]),
+        }
+    )
+    pq.write_table(table, f"{OUT}/orders.parquet")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -146,6 +187,8 @@ def main() -> None:
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("events", gen_events),
+        ("lineitem", gen_lineitem),
+        ("orders", gen_orders),
     ]:
         path = f"{OUT}/{name}.parquet"
         if os.path.exists(path):
