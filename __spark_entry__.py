@@ -1493,6 +1493,7 @@ def _q_novel_docs_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KPI_STATE_CACHE: dict[str, str] = {}
+_DISTINCT_STATE_CACHE: dict[str, str] = {}
 
 
 def _q_incremental_kpis_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1538,47 @@ def _q_incremental_kpis_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_min").cast("double").alias("price_min"),
             F.col("price_max").cast("double").alias("price_max"),
             F.col("price_avg"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def _q_incremental_distinct_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DISTINCT-count state (operators/incremental.
+    {distinct_state,merge_distinct_states,finalize_distinct}) — the
+    COUNT DISTINCT companion to incremental_kpis_day2, which algebraic
+    partials cannot express: per-status customer reach tracked as
+    persisted HLL sketches (Apache DataSketches via hll_sketch_agg),
+    history sketched ONCE to parquet, day-2 batch sketched and UNIONED
+    losslessly. Rows-only by design (HLL estimate has no SQL oracle);
+    units pin merge-of-parts ≡ whole-corpus exactly, <5% error vs true
+    distinct, and KB-bounded state rows."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+
+    keys = ["o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    if sf_dir not in _DISTINCT_STATE_CACHE:
+        state_dir = _scratch_dir("hll_state_")
+        distinct_state(
+            orders.filter(F.col("o_orderdate") < cut), keys, ["o_custkey"]
+        ).write.mode("overwrite").parquet(state_dir)
+        _DISTINCT_STATE_CACHE[sf_dir] = state_dir
+    history = spark.read.parquet(_DISTINCT_STATE_CACHE[sf_dir])
+    batch = distinct_state(
+        orders.filter(F.col("o_orderdate") >= cut), keys, ["o_custkey"]
+    )
+    merged = merge_distinct_states([history, batch], keys, ["o_custkey"])
+    return (
+        finalize_distinct(merged, ["o_custkey"])
+        .select(
+            *keys,
+            F.col("n_rows").alias("n_orders"),
+            F.col("o_custkey_distinct_est").alias("distinct_customers_est"),
         )
         .orderBy(*keys)
     )
@@ -2197,6 +2239,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_7d_revenue": _q_rolling_7d_revenue,
     "snapshot_diff_orders": _q_snapshot_diff_orders,
     "stream_static_enrich": _q_stream_static_enrich,
+    "incremental_distinct_day2": _q_incremental_distinct_day2,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,

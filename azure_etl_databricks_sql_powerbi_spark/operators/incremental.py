@@ -107,3 +107,50 @@ def finalize_state(state: DataFrame, measure_names: list[str]) -> DataFrame:
             F.col(f"{m}_sum").cast("double") / F.col("n_rows"),
         )
     return out
+
+
+def distinct_state(
+    df: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key MERGEABLE distinct-count state — the DISTINCT companion to
+    ``aggregate_state`` (COUNT/SUM/MIN/MAX merge trivially; COUNT
+    DISTINCT does not). Each tracked column becomes an Apache
+    DataSketches HLL sketch (``hll_sketch_agg``, binary, ~2^lg_k bytes
+    cap) that unions losslessly across batches: persist today's sketches,
+    union tomorrow's — history is never re-scanned, and the state row is
+    KBs per (key, col) regardless of data volume. Sketches are
+    deterministic for a given input SET, so merge-of-parts equals
+    whole-corpus exactly (unit-tested), while the estimate carries the
+    usual ~1.6%/sqrt(2^lg_k) HLL error vs true distinct."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"{c}_hll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_distinct_states(
+    states: list[DataFrame], keys: list[str], cols: list[str]
+) -> DataFrame:
+    """Union distinct-count states: counts add, sketches HLL-union —
+    state-sized shuffle, lossless with respect to the final estimate."""
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.hll_union_agg(F.col(f"{c}_hll")).alias(f"{c}_hll"))
+    return unioned.groupBy(*keys).agg(*aggs)
+
+
+def finalize_distinct(state: DataFrame, cols: list[str]) -> DataFrame:
+    """Resolve sketches to estimates: ``<col>_distinct_est`` (long)."""
+    out = state
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_distinct_est",
+            F.hll_sketch_estimate(F.col(f"{c}_hll")).cast("long"),
+        ).drop(f"{c}_hll")
+    return out

@@ -420,3 +420,55 @@ def test_kpi_day2_plan_never_rescans_history(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "orders_history" not in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_hll_distinct_state_merge_equals_whole(spark):
+    """Mergeable distinct state: day-split sketches unioned == the
+    whole-corpus sketch EXACTLY (sketches are deterministic per input
+    set), and the estimate sits within HLL error of true distinct."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 4_096).alias("v"),  # true distinct per g bounded
+    )
+    day1, day2 = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = finalize_distinct(
+        merge_distinct_states(
+            [distinct_state(day1, ["g"], ["v"]), distinct_state(day2, ["g"], ["v"])],
+            ["g"],
+            ["v"],
+        ),
+        ["v"],
+    )
+    whole = finalize_distinct(distinct_state(df, ["g"], ["v"]), ["v"])
+    m = {r["g"]: (r["n_rows"], r["v_distinct_est"]) for r in merged.collect()}
+    w = {r["g"]: (r["n_rows"], r["v_distinct_est"]) for r in whole.collect()}
+    assert m == w  # lossless union
+    truth = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    for g, (_, est) in m.items():
+        assert abs(est - truth[g]) / truth[g] < 0.05, (g, est, truth[g])
+
+
+def test_hll_state_row_is_model_sized(spark):
+    """The persisted state must be KBs per (key, col) regardless of rows:
+    sketch binary length is bounded by the lg_k register budget."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.incremental import (
+        distinct_state,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        F.lit(0).alias("g"), F.col("id").alias("v")
+    )
+    state = distinct_state(df, ["g"], ["v"], lg_k=12)
+    n_bytes = state.select(F.octet_length("v_hll").alias("b")).collect()[0]["b"]
+    assert n_bytes < 64 * 1024, n_bytes

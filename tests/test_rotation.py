@@ -93,6 +93,9 @@ def test_every_query_has_oracle_or_documented_exemption():
         # iterative k-means is not SQL-expressible; convergence,
         # determinism, planted-recovery and partials-bound unit-tested
         "kmeans_clusters_embeddings",
+        # HLL estimate has no SQL oracle; merge-lossless + error-bound
+        # + state-size units in tests/test_incremental_dedup.py
+        "incremental_distinct_day2",
     }
     oracles = set(entry.oracle_sql().keys())
     for name in entry.QUERIES:
