@@ -586,6 +586,48 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+def _q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators/fuzzy.blocked_fuzzy_pairs):
+    near-identical customer names within a nation block, edit distance
+    <= 2. Blocking bounds the quadratic (per-nation groups), a length
+    band prunes before levenshtein, and the verify predicate is the
+    JVM built-in — identically defined in DuckDB, so the whole fuzzy
+    join is hash-exact against the straightforward SQL self-join."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cust, ["c_nationkey"], "c_name", "c_custkey", max_distance=2
+    )
+
+
+def _q_events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: events.props parsed ONCE into a
+    variant column (parse_json — binary semi-structured encoding, the
+    engine-native replacement for repeated get_json_object string
+    parses), fields extracted with variant_get and aggregated per
+    event_type. Oracle: DuckDB json_extract on the same path."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.variant_get("p", "$.k", "int").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment under a real streaming drain, with a SQL
     oracle: events re-landed as arrival files and STREAMED, joined per
@@ -2240,6 +2282,8 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff_orders": _q_snapshot_diff_orders,
     "stream_static_enrich": _q_stream_static_enrich,
     "incremental_distinct_day2": _q_incremental_distinct_day2,
+    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+    "events_variant_kpis": _q_events_variant_kpis,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2622,6 +2666,25 @@ ORACLES: dict[str, str] = {
         ORDER BY b.doc_id
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
+    "fuzzy_customer_pairs": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "events_variant_kpis": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS k_max
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "stream_static_enrich": """
         SELECT c.c_mktsegment,
                COUNT(*)             AS n_events,

@@ -693,3 +693,27 @@ def test_bpe_apply_distributed_roundtrip_and_plan(spark):
     for r in out.collect():
         joined = "".join(t.replace(END, "") for t in r.bpe_tokens)
         assert joined == "".join(r.text.split())
+
+
+def test_blocked_fuzzy_pairs_planted_typos(spark):
+    """Blocking + length-band + levenshtein verify: planted one-edit
+    typos inside a block are found, cross-block twins are not (blocking
+    contract), and the band never drops a true match."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, 1, "jonathan smith"),
+        (2, 1, "jonathan smyth"),   # 1 edit, same block -> pair
+        (3, 1, "completely other"),
+        (4, 2, "jonathan smith"),   # identical text, DIFFERENT block -> no pair
+        (5, 1, "jonathan smithers"),  # 4 edits from #1 -> pruned
+        (6, 1, "jonathan  smith"),  # 1 insert (double space) -> pair w/ 1
+    ]
+    df = spark.createDataFrame(rows, "id long, block int, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in blocked_fuzzy_pairs(df, ["block"], "name", "id", 2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 6): 1, (2, 6): 2}
