@@ -586,6 +586,41 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+_KHOP_SQL = """
+WITH RECURSIVE reach(node, dist) AS (
+  SELECT 'S1' AS node, 0 AS dist
+  UNION ALL
+  SELECT DISTINCT e.dst, r.dist + 1
+  FROM reach r
+  JOIN (
+    SELECT 'S' || CAST(l_suppkey AS {str_t}) AS src,
+           'P' || CAST(l_partkey AS {str_t}) AS dst FROM {li}
+    UNION ALL
+    SELECT 'P' || CAST(l_partkey AS {str_t}),
+           'S' || CAST(l_suppkey AS {str_t}) FROM {li}
+  ) e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT dist, COUNT(*) AS n_nodes
+FROM (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+def _q_khop_reach_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE surface (SPARK-24497): depth-bounded BFS
+    over the supplier↔part graph — nodes within 3 hops of supplier S1,
+    counted per first-reached distance. The recursive term joins only
+    the PREVIOUS step (SQL-standard working-table semantics) and
+    applies DISTINCT per step, so the frontier is node-bounded and the
+    path explosion a naive closure would hit never materializes; the
+    dist < 3 guard bounds recursion depth unconditionally. The SAME SQL
+    text (modulo VARCHAR/STRING spelling) runs in DuckDB as the oracle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__khop_li")
+    return spark.sql(_KHOP_SQL.format(str_t="STRING", li="__khop_li"))
+
+
 def _q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join (operators/fuzzy.blocked_fuzzy_pairs):
     near-identical customer names within a nation block, edit distance
@@ -2284,6 +2319,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_distinct_day2": _q_incremental_distinct_day2,
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "events_variant_kpis": _q_events_variant_kpis,
+    "khop_reach_supplier": _q_khop_reach_supplier,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2666,6 +2702,7 @@ ORACLES: dict[str, str] = {
         ORDER BY b.doc_id
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
+    "khop_reach_supplier": _KHOP_SQL.format(str_t="VARCHAR", li="lineitem"),
     "fuzzy_customer_pairs": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
