@@ -586,6 +586,62 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+def _q_median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF surface (§2.10, functions/udafs.py): per-(status,
+    priority) median and midrange of order totals through Arrow grouped-
+    agg UDAFs. Exact-median definition matches DuckDB's MEDIAN on
+    doubles, midrange is two IEEE ops — both hash-exact. The built-in
+    F.median equivalence is unit-pinned; this query keeps the UDAF API
+    path driver-verified."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.udafs import (
+        median_udaf,
+        midrange_udaf,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            median_udaf("o_totalprice").alias("median_price"),
+            midrange_udaf("o_totalprice").alias("midrange_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _q_orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 built-in from_xml): order rows serialized to
+    XML in-plan, parsed back with an explicit schema, typed fields
+    returned. Self-oracle: parsing what we serialized must return the
+    original columns, so the oracle just selects them directly — the
+    parse either reproduces them (green) or it doesn't."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<order><custkey>"),
+            F.col("o_custkey").cast("string"),
+            F.lit("</custkey><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><price>"),
+            F.col("o_totalprice").cast("string"),
+            F.lit("</price></order>"),
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml(
+            "payload", "custkey BIGINT, status STRING, price DOUBLE"
+        ).alias("x"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.custkey").alias("o_custkey"),
+        F.col("x.status").alias("o_orderstatus"),
+        F.col("x.price").alias("o_totalprice"),
+    )
+
+
 _KHOP_SQL = """
 WITH RECURSIVE reach(node, dist) AS (
   SELECT 'S1' AS node, 0 AS dist
@@ -2320,6 +2376,8 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "events_variant_kpis": _q_events_variant_kpis,
     "khop_reach_supplier": _q_khop_reach_supplier,
+    "median_price_by_status": _q_median_price_udaf,
+    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2703,6 +2761,20 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
     "khop_reach_supplier": _KHOP_SQL.format(str_t="VARCHAR", li="lineitem"),
+    "median_price_by_status": """
+        SELECT o_orderstatus, o_orderpriority,
+               MEDIAN(o_totalprice) AS median_price,
+               (MIN(o_totalprice) + MAX(o_totalprice)) / 2.0 AS midrange_price
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "orders_xml_roundtrip": """
+        -- self-oracle: parsing the in-plan serialization must reproduce
+        -- the source columns exactly
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    """,
     "fuzzy_customer_pairs": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance

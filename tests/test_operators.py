@@ -293,3 +293,26 @@ def test_observed_qc_all_missing_columns(spark):
     assert out is df  # no observation attached when nothing is live
     [r] = finish()
     assert not r.passed and "missing" in r.detail
+
+
+def test_pandas_udaf_median_equals_builtin(spark):
+    """§2.10 UDAF surface: the Arrow grouped-agg median UDAF must agree
+    with the built-in F.median on every group — the built-in stays the
+    documented fast path."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.udafs import median_udaf
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in range(4) for v in range(g + 3)],
+        "g int, v double",
+    )
+    via_udaf = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(median_udaf("v").alias("m")).collect()
+    }
+    builtin = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.median("v").alias("m")).collect()
+    }
+    assert via_udaf == builtin
