@@ -586,6 +586,37 @@ def _q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "hash", "vector", "stream"], top_n=25)
 
 
+def _q_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy tier (operators/privacy.py): customer name/phone-ish
+    identifiers replaced by keyed sha256 pseudonyms (deterministic, so
+    joins still line up after masking), plus the k-anonymity violation
+    report over (nation, segment) quasi-identifiers appended as a QC
+    relation would consume it. Hash-exact: Spark sha2 ≡ DuckDB sha256
+    on identical salted input."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.privacy import (
+        k_anonymity_violations,
+        pseudonymize,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    masked = pseudonymize(cust, ["c_name"], salt="unit-test-salt").select(
+        "c_custkey", F.col("c_name").alias("name_token"), "c_nationkey", "c_mktsegment"
+    )
+    viol = k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
+    # one relation: masked rows LEFT JOIN their group's violation flag
+    return masked.join(
+        viol.select("c_nationkey", "c_mktsegment", F.lit(1).alias("reidentifiable")),
+        on=["c_nationkey", "c_mktsegment"],
+        how="left",
+    ).select(
+        "c_custkey",
+        "name_token",
+        "c_nationkey",
+        "c_mktsegment",
+        F.coalesce("reidentifiable", F.lit(0)).cast("int").alias("reidentifiable"),
+    )
+
+
 def _q_median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas UDAF surface (§2.10, functions/udafs.py): per-(status,
     priority) median and midrange of order totals through Arrow grouped-
@@ -2378,6 +2409,7 @@ QUERIES: dict[str, QueryFn] = {
     "khop_reach_supplier": _q_khop_reach_supplier,
     "median_price_by_status": _q_median_price_udaf,
     "orders_xml_roundtrip": _q_orders_xml_roundtrip,
+    "pseudonymize_customers": _q_pseudonymize_customers,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
     "customer_revenue_quartiles": _q_customer_revenue_quartiles,
@@ -2761,6 +2793,24 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_supplier_part": _pagerank_oracle(),
     "khop_reach_supplier": _KHOP_SQL.format(str_t="VARCHAR", li="lineitem"),
+    "pseudonymize_customers": """
+        WITH viol AS (
+            SELECT c_nationkey, c_mktsegment
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING COUNT(*) < 10
+        )
+        SELECT c.c_custkey,
+               CASE WHEN c.c_name IS NOT NULL
+                    THEN substr(lower(sha256('unit-test-salt' || c.c_name)), 1, 16)
+               END AS name_token,
+               c.c_nationkey, c.c_mktsegment,
+               CAST(CASE WHEN v.c_nationkey IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS reidentifiable
+        FROM customer c
+        LEFT JOIN viol v
+          ON v.c_nationkey = c.c_nationkey AND v.c_mktsegment = c.c_mktsegment
+    """,
     "median_price_by_status": """
         SELECT o_orderstatus, o_orderpriority,
                MEDIAN(o_totalprice) AS median_price,

@@ -316,3 +316,36 @@ def test_pandas_udaf_median_equals_builtin(spark):
         for r in df.groupBy("g").agg(F.median("v").alias("m")).collect()
     }
     assert via_udaf == builtin
+
+
+def test_pseudonymize_preserves_joinability_and_nulls(spark):
+    """Keyed masking: identical values get identical tokens (joins still
+    line up), different salts re-key the space, NULLs stay NULL, raw
+    values never appear in the output."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.privacy import pseudonymize
+
+    a = spark.createDataFrame([(1, "alice"), (2, "bob"), (3, None)], "id long, name string")
+    b = spark.createDataFrame([(9, "alice")], "id long, name string")
+    ma = pseudonymize(a, ["name"], salt="s1").collect()
+    mb = pseudonymize(b, ["name"], salt="s1").collect()
+    tok = {r["id"]: r["name"] for r in ma}
+    assert tok[3] is None
+    assert tok[1] == mb[0]["name"]          # joinability across tables
+    assert tok[1] != tok[2]
+    assert "alice" not in (tok[1] or "")    # raw value gone
+    rekeyed = pseudonymize(a, ["name"], salt="s2").collect()[0]["name"]
+    assert rekeyed != tok[1]                # salt rotation re-keys
+
+
+def test_k_anonymity_violations_flags_small_groups(spark):
+    from azure_etl_databricks_sql_powerbi_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    rows = [("us", "A")] * 5 + [("us", "B")] * 2 + [("de", "A")]
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = {
+        (r["country"], r["seg"]): r["n_rows"]
+        for r in k_anonymity_violations(df, ["country", "seg"], k=3).collect()
+    }
+    assert got == {("us", "B"): 2, ("de", "A"): 1}
