@@ -213,3 +213,75 @@ def test_chunking_arithmetic_properties(spark, n_tokens, chunk_tokens, overlap_f
             assert prev[-overlap:] == ctoks[:overlap] if overlap else True
             rebuilt.extend(ctoks[overlap:])
     assert rebuilt == text.split()
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=500),   # ts seconds
+        st.integers(min_value=-50, max_value=50),  # payload
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    left_rows=asof_rows,
+    right_rows=asof_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 30, 120]),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, left_rows, right_rows, direction, tolerance
+):
+    """The engine's union+window as-of join must agree with pandas
+    merge_asof (per key, both directions, with/without tolerance) on
+    arbitrary small timelines — the external-reference property the
+    point tests can't give. Duplicate (key, ts) right rows are dropped
+    to one (merge_asof requires and the engine resolves ties
+    deterministically; dedup makes both sides' resolution identical)."""
+    import pandas as pd
+
+    epoch = dt.datetime(2024, 1, 1)
+    l_pdf = pd.DataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), v) for k, s, v in left_rows],
+        columns=["k", "ts", "lv"],
+    ).drop_duplicates(["k", "ts"]).sort_values(["ts", "k"]).reset_index(drop=True)
+    r_pdf = pd.DataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), v) for k, s, v in right_rows],
+        columns=["k", "rts", "rv"],
+    ).drop_duplicates(["k", "rts"]).sort_values(["rts", "k"]).reset_index(drop=True)
+
+    expected = pd.merge_asof(
+        l_pdf.sort_values("ts"),
+        r_pdf.rename(columns={"rts": "ts"}).sort_values("ts"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    )
+    exp = {
+        (r.k, r.ts): (None if pd.isna(r.rv) else int(r.rv))
+        for r in expected.itertuples()
+    }
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(l_pdf, "k long, ts timestamp, lv long")
+    right = spark.createDataFrame(
+        r_pdf, "k long, rts timestamp, rv long"
+    )
+    got_rows = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=["rv"],
+        direction=direction,
+        tolerance_seconds=tolerance,
+    ).collect()
+    got = {(r["k"], r["ts"]): r["rv"] for r in got_rows}
+    assert got == exp
