@@ -117,9 +117,10 @@ def rolling_range_agg(
     partition_by: Sequence[str],
     ts_col: str,
     value_col: str,
-    days: int,
+    days: int | None = None,
     keys: Sequence[str] = (),
     out_prefix: str = "rolling",
+    seconds: int | None = None,
 ) -> DataFrame:
     """Time-RANGE window frame (W2 completion): per-key aggregates over
     the trailing ``days``-day interval of EVENT TIME — `RANGE BETWEEN
@@ -134,11 +135,14 @@ def rolling_range_agg(
     data. One shuffle on the partition key; the frame scan is a local
     per-partition sliding aggregate (Spark keeps a running frame, not a
     per-row rescan)."""
+    if (days is None) == (seconds is None):
+        raise ValueError("pass exactly one of days / seconds")
+    span = seconds if seconds is not None else days * 86400
     epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(epoch)
-        .rangeBetween(-days * 86400, 0)
+        .rangeBetween(-span, 0)
     )
     return df.select(
         *keys,

@@ -285,3 +285,50 @@ def test_asof_join_matches_pandas_merge_asof(
     ).collect()
     got = {(r["k"], r["ts"]): r["rv"] for r in got_rows}
     assert got == exp
+
+
+rolling_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=2000),   # ts seconds
+        st.integers(min_value=-20, max_value=20),   # value
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # pandas resolves ts ties
+    # positionally, Spark's RANGE frame set-wise — compare on tie-free data
+)
+
+
+@given(rows=rolling_rows, window_s=st.sampled_from([60, 300, 1200]))
+@settings(**SETTINGS)
+def test_rolling_range_agg_matches_pandas(spark, rows, window_s):
+    """The RANGE-frame trailing aggregate must agree with pandas
+    time-based rolling (closed='both' == Spark's inclusive bounds) per
+    key on arbitrary tie-free timelines."""
+    import pandas as pd
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import (
+        rolling_range_agg,
+    )
+
+    epoch = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+        columns=["k", "ts", "v"],
+    )
+    exp = {}
+    for k, g in pdf.sort_values("ts").groupby("k"):
+        r = g.rolling(pd.Timedelta(seconds=window_s), on="ts", closed="both")
+        for (_, row), n, s in zip(g.iterrows(), r["v"].count(), r["v"].sum()):
+            exp[(k, row.ts)] = (int(n), float(s))
+
+    df = spark.createDataFrame(pdf, "k long, ts timestamp, v double")
+    got_rows = rolling_range_agg(
+        df, ["k"], "ts", "v", seconds=window_s
+    ).collect()
+    got = {
+        (r["k"], r["ts"]): (r["rolling_n"], float(r["rolling_sum"]))
+        for r in got_rows
+    }
+    assert got == exp
