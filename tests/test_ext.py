@@ -717,3 +717,36 @@ def test_blocked_fuzzy_pairs_planted_typos(spark):
         for r in blocked_fuzzy_pairs(df, ["block"], "name", "id", 2).collect()
     }
     assert got == {(1, 2): 1, (1, 6): 1, (2, 6): 2}
+
+
+def test_hashed_features_sparse_dense_agree(spark):
+    """Feature hashing: dense assembly == sparse triples, total mass ==
+    token count (nothing lost to hashing), buckets within [0, dim),
+    identical tokens land in identical buckets across documents."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.features import (
+        dense_features,
+        hashed_text_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a d"), (3, "")], "doc_id long, text string"
+    )
+    sparse = hashed_text_features(df, dim=8)
+    rows = sparse.collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    assert sum(r["tf"] for r in rows) == 6  # total token mass preserved
+    # same token -> same bucket everywhere: doc1's 'a' bucket == doc2's
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["tf"]
+    a_bucket = [b for b, tf in by_doc[1].items() if tf == 2]  # 'a' twice in doc1
+    assert len(a_bucket) == 1 and a_bucket[0] in by_doc[2]
+
+    dense = {r["doc_id"]: r["features"] for r in dense_features(sparse, dim=8).collect()}
+    for doc, buckets in by_doc.items():
+        vec = dense[doc]
+        assert len(vec) == 8
+        for b in range(8):
+            assert vec[b] == buckets.get(b, 0)
