@@ -202,3 +202,68 @@ def pretraining_prep(
         chunk_tokens=chunk_tokens,
         overlap=overlap,
     )
+
+
+def rag_ingest(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_words: int = 200,
+    chunk_tokens: int = 8,
+    overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG ingestion chain — the retrieval-side composition (the
+    pre-training twin is ``pretraining_prep``):
+
+        raw docs
+          -> Gopher quality gate                 [fused into scan]
+          -> exact doc dedup (min-id per md5)    [1 fp shuffle]
+          -> overlapping chunking               [explode, 0 shuffle]
+          -> CHUNK-level dedup                  [1 chunk-text shuffle]
+
+    The last stage is what RAG pipelines add over pre-training prep:
+    boilerplate chunks shared across documents (headers, footers,
+    licenses) collapse to ONE indexed chunk with provenance — the
+    chunk-store dedup that keeps a vector index from drowning in
+    repeated spans. Output per unique chunk:
+    ``(chunk_id md5, n_tokens, n_occurrences, first_doc, chunk_text)``.
+
+    Every stage is individually oracle-checked by its contract query
+    (gopher_quality_docs, dedup_exact_docs, chunk_documents_rag); the
+    driver query oracle-checks the COMPOSITION, chunk dedup included.
+    """
+    from azure_etl_databricks_sql_powerbi_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    flags = T.gopher_quality_flags(text_col, min_words=min_words, max_words=max_words)
+    gated = spread(docs).select(id_col, text_col).filter(flags["keep"] == 1)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, text_col)
+    )
+    chunks = chunk_documents(
+        deduped,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .select(
+            F.md5("chunk_text").alias("chunk_id"),
+            "n_tokens",
+            "n_occurrences",
+            "first_doc",
+            "chunk_text",
+        )
+    )
