@@ -313,3 +313,57 @@ def test_heavy_hitters_single_agg_exchange(spark, entry):
     # one hash exchange for the exact groupBy; the orderBy adds a range
     # exchange after the aggregate, never a second hash shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fuzzy_join_is_equi_join_not_cartesian(spark):
+    """The blocked fuzzy join must plan as a hash equi-join on the
+    blocking key (levenshtein as a post-join filter), never a
+    CartesianProduct / BroadcastNestedLoopJoin — the blocking IS the
+    scale design."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    df = load_table(spark, SF_SMOKE, "customer")
+    plan = (
+        blocked_fuzzy_pairs(df, ["c_nationkey"], "c_name", "c_custkey", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "levenshtein" in plan
+
+
+def test_rag_ingest_is_one_bounded_plan(spark):
+    """The composed RAG chain (gate -> doc dedup -> chunk -> chunk
+    dedup) must stay ONE lazy plan with at most 3 exchanges: the
+    fingerprint window shuffle and the chunk-dedup aggregate pair; the
+    quality gate and the chunk explode add none."""
+    from azure_etl_databricks_sql_powerbi_spark.plans.curation import rag_ingest
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        rag_ingest(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_hashed_features_bucket_is_map_side(spark):
+    """Feature hashing: the bucket projection (md5/conv arithmetic) must
+    sit BELOW the aggregation exchange, so the shuffle carries (id,
+    bucket), never tokens."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.features import (
+        hashed_text_features,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        hashed_text_features(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert plan.find("md5", first_exchange) > first_exchange  # md5 below it
