@@ -332,3 +332,41 @@ def test_rolling_range_agg_matches_pandas(spark, rows, window_s):
         for r in got_rows
     }
     assert got == exp
+
+
+snap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),               # key
+        st.one_of(st.none(), st.integers(-5, 5)),            # a
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),   # b
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old_rows=snap_rows, new_rows=snap_rows)
+@settings(**SETTINGS)
+def test_table_diff_matches_dict_reference(spark, old_rows, new_rows):
+    """Snapshot diff vs the obvious dict comparison on arbitrary keyed
+    snapshots with NULLs: added/removed/changed classification and the
+    drop-unchanged contract must agree exactly."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.diff import table_diff
+
+    schema = "k long, a long, b string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+
+    o = {k: (a, b) for k, a, b in old_rows}
+    n = {k: (a, b) for k, a, b in new_rows}
+    exp = {}
+    for k in o.keys() | n.keys():
+        if k not in n:
+            exp[k] = "removed"
+        elif k not in o:
+            exp[k] = "added"
+        elif o[k] != n[k]:
+            exp[k] = "changed"
+    assert got == exp
