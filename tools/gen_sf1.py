@@ -180,6 +180,23 @@ def gen_orders(rng: np.random.Generator) -> None:
     pq.write_table(table, f"{OUT}/orders.parquet")
 
 
+def gen_customer(rng: np.random.Generator) -> None:
+    """10x sf0.1 customers: 150k rows, TPC-H name shape, 25 nations,
+    5 segments."""
+    n = 150_000
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])
+    table = pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, size=n), pa.int64()),
+            "c_acctbal": pa.array(rng.uniform(-999, 9999, size=n).round(2)),
+            "c_mktsegment": pa.array(segs[rng.integers(0, 5, size=n)]),
+        }
+    )
+    pq.write_table(table, f"{OUT}/customer.parquet")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -189,6 +206,7 @@ def main() -> None:
         ("events", gen_events),
         ("lineitem", gen_lineitem),
         ("orders", gen_orders),
+        ("customer", gen_customer),
     ]:
         path = f"{OUT}/{name}.parquet"
         if os.path.exists(path):
