@@ -760,6 +760,24 @@ def _q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snm_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (operators/fuzzy.
+    sorted_neighborhood_pairs) — the LINEAR-candidates scale path
+    (N×window pairs for ANY corpus, no blocking key needed; see the
+    BENCH_SF1 fuzzy-join analysis). Distributed global rank via range
+    partitioning + bucket-adjacency join. Oracle: the identical
+    rank-window semantics in DuckDB (ROW_NUMBER self-join) — hash-exact
+    because the sort is a total order (name, id)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, "c_name", "c_custkey", window=10, max_distance=2
+    )
+
+
 def _q_events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType surface: events.props parsed ONCE into a
     variant column (parse_json — binary semi-structured encoding, the
@@ -2440,6 +2458,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_static_enrich": _q_stream_static_enrich,
     "incremental_distinct_day2": _q_incremental_distinct_day2,
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+    "snm_customer_pairs": _q_snm_customer_pairs,
     "events_variant_kpis": _q_events_variant_kpis,
     "khop_reach_supplier": _q_khop_reach_supplier,
     "median_price_by_status": _q_median_price_udaf,
@@ -2943,6 +2962,22 @@ ORACLES: dict[str, str] = {
           ON a.c_nationkey = b.c_nationkey
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "snm_customer_pairs": """
+        WITH ranked AS (
+            SELECT c_custkey, c_name,
+                   ROW_NUMBER() OVER (ORDER BY c_name ASC, c_custkey ASC) - 1
+                       AS r
+            FROM customer
+        )
+        SELECT LEAST(a.c_custkey, b.c_custkey)    AS id_a,
+               GREATEST(a.c_custkey, b.c_custkey) AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+        FROM ranked a
+        JOIN ranked b
+          ON b.r > a.r AND b.r - a.r <= 10
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
     """,
     "events_variant_kpis": """
         SELECT event_type,

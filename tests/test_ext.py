@@ -750,3 +750,30 @@ def test_hashed_features_sparse_dense_agree(spark):
         assert len(vec) == 8
         for b in range(8):
             assert vec[b] == buckets.get(b, 0)
+
+
+def test_sorted_neighborhood_pairs_linear_candidates(spark):
+    """SNM: planted mid/late-string typos are found without any blocking
+    key, every reported distance is correct, pairs are unique and
+    canonical (id_a < id_b), and the global rank machinery survives
+    multi-partition range repartitioning."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"record number {i:04d} common tail") for i in range(40)]
+    rows += [
+        (100, "record number 0007 common tail"),   # exact dup of id 7
+        (101, "record number 0013 commn tail"),    # 1 deletion vs id 13
+        (102, "zzz totally elsewhere"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = sorted_neighborhood_pairs(df, "name", "id", window=5, partitions=4)
+    got = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in out.collect()}
+    assert got[(7, 100)] == 0
+    assert got[(13, 101)] == 1
+    assert all(a < b for a, b in got)
+    assert len(got) == len(set(got))
+    # consecutive serials differ by >=1 edit; window keeps candidates
+    # N*w-bounded, and nothing pairs with the far-away outlier
+    assert not any(102 in p for p in got)
