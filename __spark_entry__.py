@@ -834,7 +834,9 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     table = os.path.basename(tmp)
-    structured.run_to_memory(agg, table, output_mode="complete", checkpoint=ck)
+    structured.run_to_memory(
+        agg, table, output_mode="complete", checkpoint=ck, shuffle_partitions=8
+    )
     return spark.table(table)
 
 
@@ -1444,7 +1446,11 @@ def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = stream.union(stream)  # simulate overlap re-extract duplicates
     deduped = structured.dedup_within_watermark(doubled, ["event_id"], delay="30 days")
     structured.run_foreach_batch_upsert(
-        deduped.drop("ts"), target, keys=["event_id"], checkpoint=ck
+        deduped.drop("ts"),
+        target,
+        keys=["event_id"],
+        checkpoint=ck,
+        shuffle_partitions=8,
     )
     return spark.read.parquet(target)
 
@@ -1477,7 +1483,11 @@ def _q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = os.path.basename(tmp)  # unique per run: memory sink names collide
     structured.run_to_memory(
-        running_totals(stream), table, output_mode="update", checkpoint=ck
+        running_totals(stream),
+        table,
+        output_mode="update",
+        checkpoint=ck,
+        shuffle_partitions=8,
     )
     return (
         spark.table(table)
@@ -1524,6 +1534,7 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         table,
         output_mode="append",
         checkpoint=ck,
+        shuffle_partitions=8,
     )
     return spark.table(table).select(
         "user_id", "session_start", "session_end", "n_events"
@@ -1563,7 +1574,7 @@ def _q_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="1 hour", watermark="2 hours",
     )
     table = os.path.basename(tmp)  # unique per run: memory sink names collide
-    structured.run_to_memory(joined, table, checkpoint=ck)
+    structured.run_to_memory(joined, table, checkpoint=ck, shuffle_partitions=8)
     return (
         spark.table(table)
         .select(

