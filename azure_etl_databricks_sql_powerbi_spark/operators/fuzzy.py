@@ -123,6 +123,7 @@ def sorted_neighborhood_pairs(
     window: int = 10,
     max_distance: int = 2,
     partitions: int = 32,
+    sort_key=None,
 ) -> DataFrame:
     """Sorted-neighborhood entity resolution (Hernández & Stolfo 1995) —
     the SCALE path where a natural blocking key is missing or too
@@ -143,9 +144,13 @@ def sorted_neighborhood_pairs(
     far from its twin. Production runs multi-pass with rotated sort keys;
     the single-pass recall contract is unit-tested on planted mid/late
     typos."""
-    ranked = _global_sorted_rank(
-        df.select(id_col, text_col), [text_col, id_col], partitions
-    )
+    base = df.select(id_col, text_col)
+    if sort_key is not None:
+        base = base.withColumn("__sortkey", sort_key)
+        sort_cols = ["__sortkey", id_col]
+    else:
+        sort_cols = [text_col, id_col]
+    ranked = _global_sorted_rank(base, sort_cols, partitions).drop("__sortkey")
     bucket = F.floor(F.col("__rank") / window)
     a = ranked.select(
         F.col(id_col).alias("id_a"),
@@ -182,3 +187,36 @@ def sorted_neighborhood_pairs(
             (F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance)
         )
     )
+
+
+def multi_pass_snm_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    max_distance: int = 2,
+    partitions: int = 32,
+) -> DataFrame:
+    """Multi-pass sorted neighborhood — the production SNM shape: one
+    pass sorted on the text, one on its REVERSE. A single pass misses
+    twins whose difference is in the leading characters (they sort far
+    apart); under the reversed key those same twins become sort
+    neighbors. Any pair within ``max_distance`` differs in at most
+    ``max_distance`` positions, so it is adjacent-ish under at least one
+    of the two keys unless edits hit both extremes — each extra pass
+    multiplies candidates by a constant, keeping the total linear.
+    Pairs are unioned and deduplicated (same canonical id order and
+    distance from both passes)."""
+    fwd = sorted_neighborhood_pairs(
+        df, text_col, id_col, window, max_distance, partitions
+    )
+    rev = sorted_neighborhood_pairs(
+        df,
+        text_col,
+        id_col,
+        window,
+        max_distance,
+        partitions,
+        sort_key=F.reverse(F.col(text_col)),
+    )
+    return fwd.unionByName(rev).dropDuplicates(["id_a", "id_b"])

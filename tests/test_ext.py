@@ -777,3 +777,34 @@ def test_sorted_neighborhood_pairs_linear_candidates(spark):
     # consecutive serials differ by >=1 edit; window keeps candidates
     # N*w-bounded, and nothing pairs with the far-away outlier
     assert not any(102 in p for p in got)
+
+
+def test_multi_pass_snm_catches_leading_typos(spark):
+    """Single-pass SNM misses twins differing in the LEADING character
+    (they sort apart); the reversed-key pass finds them. Multi-pass =
+    union of both, deduplicated."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        multi_pass_snm_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"{c}armichael road 42") for i, c in enumerate("abdefghijklmnop")]
+    rows += [(100, "carmichael road 42")]  # 1 sub at position 0 vs id 2 ('d'...)
+    # under forward sort, 'c...' sits >window away from nothing? ensure
+    # distance: interleave distractors so forward-adjacent strings differ
+    rows += [(200 + i, f"{c}zzzz unrelated {i:03d}") for i, c in enumerate("abcdefghij")]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    multi = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in multi_pass_snm_pairs(df, "name", "id", window=2).collect()
+    }
+    # every "Xarmichael road 42" pair differs only at position 0 ->
+    # distance 1; the reversed pass makes them ALL mutual neighbors
+    twins = [(a, b) for (a, b), d in multi.items() if d == 1]
+    assert len(twins) >= 10, multi
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "name", "id", window=2).collect()
+    }
+    assert set(multi) > single  # strictly more recall than one pass
