@@ -599,6 +599,43 @@ def _q_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_ingest(docs, chunk_tokens=8, overlap=2)
 
 
+def _q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: corpus ordered by model-based quality (the
+    hash-exact unigram LM score) and cut into 10 rank bands — the
+    quality-ordered schedule a curriculum-learning data loader consumes.
+    Scalable shape: the global order comes from the distributed rank
+    (operators/fuzzy._global_sorted_rank — range partitioning + bounded
+    offsets), NOT a single-partition ntile window; band assignment is a
+    map-side expression. Output per decile: population and the score
+    range (min/max are selections of already-hash-exact doubles, so no
+    float accumulation enters the oracle compare)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
+        _global_sorted_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs, vocab_size=1000).select(
+        "doc_id", "mean_logprob"
+    )
+    n = scored.count()  # bounded: one scalar
+    ranked = _global_sorted_rank(scored, ["mean_logprob", "doc_id"])
+    return (
+        ranked.withColumn(
+            "decile", F.floor(F.col("__rank") * 10 / F.lit(n)).cast("int")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("mean_logprob").alias("min_score"),
+            F.max("mean_logprob").alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
 def _q_hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing (functions/features.py — the vocabulary-free
     fixed-dim featurizer): sparse (doc, bucket, tf) triples over a
@@ -2476,6 +2513,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_xml_roundtrip": _q_orders_xml_roundtrip,
     "pseudonymize_customers": _q_pseudonymize_customers,
     "hashed_features_docs": _q_hashed_features_docs,
+    "curriculum_quality_deciles": _q_curriculum_deciles,
     "rag_ingest_chunks": _q_rag_ingest,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
@@ -4725,6 +4763,29 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
 }
+
+# curriculum deciles reuse the unigram-LM score oracle verbatim as a
+# subquery, so Spark and DuckDB derive the ORDER from the SAME
+# hash-exact score definition (single source of truth)
+ORACLES["curriculum_quality_deciles"] = f"""
+    WITH scores AS (
+        SELECT doc_id, mean_logprob FROM ({ORACLES["unigram_quality_docs"]})
+    ),
+    ranked AS (
+        SELECT doc_id, mean_logprob,
+               ROW_NUMBER() OVER (ORDER BY mean_logprob ASC, doc_id ASC) - 1
+                   AS r,
+               (SELECT COUNT(*) FROM scores) AS n
+        FROM scores
+    )
+    SELECT CAST(FLOOR(r * 10 / n) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           MIN(mean_logprob)              AS min_score,
+           MAX(mean_logprob)              AS max_score
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
