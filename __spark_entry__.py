@@ -599,6 +599,23 @@ def _q_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_ingest(docs, chunk_tokens=8, overlap=2)
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    operators/sampling.weighted_sample): 100 documents drawn with
+    inclusion probability ∝ length (n_chars) — importance sampling for
+    curation mixes. md5-derived uniforms + micro-quantized keys make the
+    draw a pure function of the data, so the SAME rows win in DuckDB:
+    hash-exact, and re-runs/retries are reproducible by construction."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=100, salt="r6").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: corpus ordered by model-based quality (the
     hash-exact unigram LM score) and cut into 10 rank bands — the
@@ -2514,6 +2531,7 @@ QUERIES: dict[str, QueryFn] = {
     "pseudonymize_customers": _q_pseudonymize_customers,
     "hashed_features_docs": _q_hashed_features_docs,
     "curriculum_quality_deciles": _q_curriculum_deciles,
+    "weighted_sample_docs": _q_weighted_sample_docs,
     "rag_ingest_chunks": _q_rag_ingest,
     # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
     # round-3 rows, displaced since the round-4/5 windows ---
@@ -2956,6 +2974,21 @@ ORACLES: dict[str, str] = {
                chunk_text
         FROM ch
         GROUP BY chunk_text
+    """,
+    "weighted_sample_docs": """
+        -- A-ES keys from the same md5-uniform + micro-quantization
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(FLOOR(((-ln((CAST(('0x' || substr(md5('r6' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                                     / 4294967296.0))
+                               / CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS key_m
+            FROM documents
+            WHERE n_chars > 0
+        )
+        ORDER BY key_m ASC, doc_id ASC
+        LIMIT 100
     """,
     "hashed_features_docs": r"""
         WITH toks AS (

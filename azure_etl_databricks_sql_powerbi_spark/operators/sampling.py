@@ -136,3 +136,44 @@ def pack_sequences(
     return df.withColumn(offset_col, cum - F.col(token_col)).withColumn(
         bin_col, (F.col(offset_col) / ctx_len).cast("long")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws key ``-ln(u) / w`` from a
+    pseudo-uniform u and the k SMALLEST keys win — inclusion probability
+    proportional to weight, one pass, no replacement bookkeeping.
+
+    Spark-exact and oracle-exact by construction:
+
+    - u derives from md5(salt || id) — the same hex-prefix arithmetic as
+      feature hashing (``functions/features.hash_bucket``), identical in
+      DuckDB, so the "randomness" is a pure function of the row (re-runs
+      and retries sample the SAME rows — the md5-split determinism
+      contract of ``deterministic_split``).
+    - the key is floor-quantized to integer micro-units with an id
+      tiebreak, so the top-k boundary can never flip on a 1-ulp ln
+      divergence between engines.
+    - top-k by (key_m, id) plans as TakeOrderedAndProject — no global
+      sort at 100 TB.
+
+    Rows with non-positive weight are excluded (zero mass)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    u32 = F.conv(hex8, 16, 10).cast("long")
+    # u in (0, 1]: (int + 1) / 2^32 — one IEEE division of exact integers
+    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key_m = F.floor(((-F.ln(u)) / w.cast("double")) * F.lit(1e6)).cast("long")
+    return (
+        df.filter(w > 0)
+        .withColumn("__key_m", key_m)
+        .orderBy(F.col("__key_m").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key_m")
+    )

@@ -808,3 +808,34 @@ def test_multi_pass_snm_catches_leading_typos(spark):
         for r in sorted_neighborhood_pairs(df, "name", "id", window=2).collect()
     }
     assert set(multi) > single  # strictly more recall than one pass
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-ES weighted sampling: same seed -> identical sample (pure
+    function of the data), heavier rows overrepresented vs uniform,
+    zero-weight rows never drawn, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50) + 10 zero-weight
+    df = spark.range(610).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 600, 0)
+        .when(F.col("id") >= 500, 50)
+        .otherwise(1)
+        .alias("w"),
+    )
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, salt="t").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, salt="t").collect())
+    assert s1 == s2 and len(s1) == len(set(s1)) == 100
+    assert all(i < 600 for i in s1)  # zero-weight excluded
+    heavy = sum(1 for i in s1 if i >= 500)
+    # heavy rows are 1/6 of the population but 50x the mass: expect a
+    # strong majority of the sample (exact count is deterministic)
+    assert heavy > 60, heavy
+    # a different salt re-draws
+    s3 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, salt="u").collect())
+    assert s3 != s1
