@@ -1149,6 +1149,43 @@ def _q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dbt_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt generic-test quartet in ONE single-pass QC report
+    (operators/qc: unique_key + non_null + accepted_values; the fourth —
+    relationships — is referential_integrity_qc): measured values for
+    every check off one aggregate over orders, zero extra scans. The
+    deliberately-impossible status domain makes accepted_values a
+    NON-vacuous count (real violations > 0 at every sf), so the oracle
+    verifies the measurement, not just a zero."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import (
+        check_accepted_values,
+        check_non_null,
+        check_unique_key,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    uniq = check_unique_key("o_orderkey")
+    nn = check_non_null("o_custkey")
+    acc = check_accepted_values("o_orderstatus", ["O", "F"])  # 'P' counts
+    row = orders.agg(
+        uniq.agg.cast("double").alias("dup_orderkeys"),
+        nn.agg.cast("double").alias("null_custkey_rate"),
+        acc.agg.cast("double").alias("bad_status_rows"),
+    )
+    return row.select(
+        "dup_orderkeys",
+        "null_custkey_rate",
+        "bad_status_rows",
+        (
+            (F.col("dup_orderkeys") <= uniq.threshold)
+            & (F.col("null_custkey_rate") <= nn.threshold)
+            & (F.col("bad_status_rows") <= acc.threshold)
+        )
+        .cast("int")
+        .alias("all_passed"),
+    )
+
+
 def _q_referential_integrity_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key integrity QC (operators/qc.referential_orphan_counts):
     orphan counts across the star's three FK edges in one result row —
@@ -2511,6 +2548,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_kpis_day2": _q_incremental_kpis_day2,
     "orders_pit_status": _q_orders_pit_status,
     "referential_integrity_qc": _q_referential_integrity_qc,
+    "dbt_qc_report_orders": _q_dbt_qc_report,
     "ann_ivfpq_topk": _q_ann_ivfpq,
     "media_metadata": _q_media_metadata,
     "kmeans_clusters_embeddings": _q_kmeans_clusters,
@@ -2974,6 +3012,22 @@ ORACLES: dict[str, str] = {
                chunk_text
         FROM ch
         GROUP BY chunk_text
+    """,
+    "dbt_qc_report_orders": """
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                   AS dup_orderkeys,
+               AVG(CAST(o_custkey IS NULL AS INT)) AS null_custkey_rate,
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F')
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status_rows,
+               CAST(
+                   (COUNT(*) - COUNT(DISTINCT o_orderkey) <= 0)
+                   AND (AVG(CAST(o_custkey IS NULL AS INT)) <= 0.0)
+                   AND (SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O', 'F')
+                                 THEN 1 ELSE 0 END) <= 0)
+               AS INT) AS all_passed
+        FROM orders
     """,
     "weighted_sample_docs": """
         -- A-ES keys from the same md5-uniform + micro-quantization

@@ -62,6 +62,22 @@ def check_unique_key(*cols: str) -> _AggCheck:
     )
 
 
+def check_accepted_values(col: str, allowed: list) -> _AggCheck:
+    """Extension (dbt `accepted_values`): count of rows whose ``col``
+    holds a value OUTSIDE the allowed domain (NULL is not a violation —
+    pair with check_non_null to forbid it). Completes the dbt generic
+    quartet with check_unique_key / check_non_null /
+    referential_orphan_counts."""
+    return _AggCheck(
+        f"accepted_values:{col}",
+        F.sum(
+            (F.col(col).isNotNull() & ~F.col(col).isin(list(allowed))).cast("long")
+        ).cast("double"),
+        "max_value",
+        0.0,
+    )
+
+
 def check_freshness(ts_col: str, max_age_days: int) -> _AggCheck:
     """Extension: newest ``ts_col`` within ``max_age_days`` of now."""
     return _AggCheck(

@@ -349,3 +349,20 @@ def test_k_anonymity_violations_flags_small_groups(spark):
         for r in k_anonymity_violations(df, ["country", "seg"], k=3).collect()
     }
     assert got == {("us", "B"): 2, ("de", "A"): 1}
+
+
+def test_accepted_values_check(spark):
+    """dbt accepted_values semantics: out-of-domain non-NULL values
+    count as violations, NULL does not (pair with check_non_null)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.qc import (
+        check_accepted_values,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",), (None,), ("b",)], "status string"
+    )
+    (res,) = run_checks(df, [check_accepted_values("status", ["a", "b"])])
+    assert not res.passed  # one 'zzz'
+    (ok,) = run_checks(df, [check_accepted_values("status", ["a", "b", "zzz"])])
+    assert ok.passed
