@@ -92,6 +92,7 @@ def test_watermark_filter_pushes_down(spark, entry):
 _ALLOWED_FLAGS = {
     "events_watermark_7d": {"BNLJoin", "SinglePartitionExchange"},  # scalar max(ts)
     "qc_metrics_orders": {"SinglePartitionExchange"},  # one-row result
+    "dbt_qc_report_orders": {"SinglePartitionExchange"},  # one-row QC report
     "approx_distinct_orders": {"SinglePartitionExchange"},  # one-row result
     "token_jaccard_pairs": {"BNLJoin"},  # bounded exact ground truth (id<100)
     "ann_cosine_topk": {"BNLJoin"},  # brute-force baseline by design
