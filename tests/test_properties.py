@@ -370,3 +370,44 @@ def test_table_diff_matches_dict_reference(spark, old_rows, new_rows):
         elif o[k] != n[k]:
             exp[k] = "changed"
     assert got == exp
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(edges=edge_strategy, iters=st.sampled_from([1, 2, 3]))
+@settings(**SETTINGS)
+def test_pagerank_exact_on_arbitrary_graphs(spark, edges, iters):
+    """The integer micro-unit PageRank must equal the pure-python
+    recurrence on ARBITRARY directed graphs (dangling nodes, cycles,
+    multi-edges collapse via distinct) for any iteration count — the
+    generalization of the fixed star-graph point test."""
+    import math
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import MICRO, pagerank
+
+    d = 0.85
+    dedup = sorted(set(edges))
+    nodes = sorted({x for e in dedup for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in dedup:
+        out[s] = out.get(s, 0) + 1
+    r = {v: MICRO // n for v in nodes}
+    base = math.floor((1.0 - d) * MICRO / n)
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, t in dedup:
+            nxt[t] += math.floor((r[s] * d) / out[s])
+        r = nxt
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["node"]: row["rank_m"]
+        for row in pagerank(df, damping=d, iterations=iters).collect()
+    }
+    assert got == r
