@@ -411,3 +411,28 @@ def test_pagerank_exact_on_arbitrary_graphs(spark, edges, iters):
         for row in pagerank(df, damping=d, iterations=iters).collect()
     }
     assert got == r
+
+
+@given(
+    weights=st.lists(st.integers(1, 40), min_size=6, max_size=12),
+    boost_idx=st.integers(0, 5),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_monotone_in_weight(spark, weights, boost_idx):
+    """A-ES invariant: with everyone else's weight and the uniforms
+    fixed, RAISING one row's weight can only improve its key — a row in
+    the sample stays in the sample after a weight boost."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    k = max(2, len(weights) // 2)
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    before = {r["doc_id"] for r in weighted_sample(df, "w", k, salt="m").collect()}
+
+    boosted = [(i, w * 10 if i == boost_idx else w) for i, w in rows]
+    df2 = spark.createDataFrame(boosted, "doc_id long, w long")
+    after = {r["doc_id"] for r in weighted_sample(df2, "w", k, salt="m").collect()}
+    if boost_idx in before:
+        assert boost_idx in after
