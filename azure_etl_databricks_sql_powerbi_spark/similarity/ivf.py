@@ -148,3 +148,24 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("__cos", 4).alias("cosine_sim"))
     )
+
+
+def train_centroids_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Full-corpus alternative to ``train_centroids`` (which fits on a
+    bounded sample): Lloyd's over every vector via
+    ``similarity.kmeans.kmeans_fit`` — per-iteration one shuffle-free
+    scan, ≤ nlist partial rows per task, model-sized driver reduce.
+    Use when the sample trainer misplaces small-but-important cells
+    (skewed corpora) and the extra scans are acceptable; both trainers
+    return the same (nlist, dim) spherical centroid contract, so
+    ``assign_cells``/``ivf_cosine_topk`` compose with either."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.kmeans import kmeans_fit
+
+    cents, _ = kmeans_fit(df, vec_col=vec_col, k=nlist, iters=iters, seed=seed)
+    return cents
