@@ -84,9 +84,19 @@ def pagerank(
             # enormous plan (CC operator precedent)
             .localCheckpoint(eager=False)
         )
-    return ranks.select(
+    out = ranks.select(
         "node", "rank_m", (F.col("rank_m") / F.lit(float(MICRO))).alias("rank")
     )
+    # Materialize the result (node-sized) so the cached edge/node relations
+    # can be released NOW: without the eager checkpoint, unpersisting here
+    # would force every superstep's join to recompute the distinct edge
+    # shuffle at collect time, and leaving them cached accumulates executor
+    # memory across a long bench session (ADVICE r6). The checkpoint blocks
+    # are the result itself and are GC'd with the returned frame.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def pagerank_sql_unrolled(
@@ -98,7 +108,12 @@ def pagerank_sql_unrolled(
     iteration unrolled as a CTE chain over the same integer micro-unit
     arithmetic. ``edges_cte`` must be a SQL relation named ``e`` with
     columns (src, dst), already DISTINCT."""
-    d = repr(damping)
+    # CAST the damping literal to DOUBLE: a bare 0.85 types as
+    # DECIMAL(3,2) in DuckDB, which would multiply rank_m in exact
+    # decimal while Spark does an IEEE double multiply — the products
+    # can differ by 1 ulp near a floor boundary (ADVICE r6). With the
+    # cast both engines run the identical IEEE arithmetic.
+    d = f"CAST({damping!r} AS DOUBLE)"
     sql = [
         f"WITH e AS ({edges_cte}),",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",

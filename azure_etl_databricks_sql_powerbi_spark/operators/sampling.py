@@ -158,8 +158,13 @@ def weighted_sample(
       and retries sample the SAME rows — the md5-split determinism
       contract of ``deterministic_split``).
     - the key is floor-quantized to integer micro-units with an id
-      tiebreak, so the top-k boundary can never flip on a 1-ulp ln
-      divergence between engines.
+      tiebreak. Quantization plus the tiebreak REDUCES boundary
+      sensitivity (a 1-ulp ln divergence only matters when it crosses a
+      micro-unit floor boundary, ~1e-6 of draws, AND that key sits
+      exactly on the top-k cut); it does not eliminate it — cross-engine
+      exactness ultimately rests on Spark and DuckDB libm agreeing on
+      ln() for these inputs, which the driver's hash gate verifies
+      empirically per scale factor.
     - top-k by (key_m, id) plans as TakeOrderedAndProject — no global
       sort at 100 TB.
 

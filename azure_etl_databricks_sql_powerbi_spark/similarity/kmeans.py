@@ -98,8 +98,9 @@ def kmeans_fit(
 ):
     """Full-corpus spherical k-means. Returns ``(centroids, history)``
     where ``centroids`` is (k, dim) float64 and ``history`` is the
-    per-iteration inertia list (monotone non-increasing up to the reseed
-    of empty cells; unit-tested).
+    per-iteration inertia list (monotone non-increasing; cells that go
+    empty KEEP their previous centroid — deterministic, no resample —
+    so monotonicity holds unconditionally; unit-tested).
 
     Deterministic: init is farthest-first traversal over a bounded spread
     sample (Bernoulli sample -> CollectLimit, the ``ivf.train_centroids``
@@ -112,6 +113,10 @@ def kmeans_fit(
     seed_rows = base.sample(fraction=0.25, seed=seed).limit(sample_n).toPandas()
     if len(seed_rows) < min(sample_n, 4 * k):
         seed_rows = base.limit(sample_n).toPandas()
+    if not len(seed_rows):
+        raise ValueError(
+            "kmeans_fit: input corpus is empty — nothing to seed centroids from"
+        )
     x0 = _normalize(
         np.array([np.asarray(v, dtype=np.float64) for v in seed_rows[vec_col]])
     )

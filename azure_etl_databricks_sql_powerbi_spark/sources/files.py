@@ -180,12 +180,19 @@ def read_binary_files(
     one object per file. Yields (path, modificationTime, length, content)
     with reads parallelized across files; ``glob`` pushes a
     pathGlobFilter into file listing (prunes before any byte is read).
-    ``max_bytes`` guards executors against pathological objects via
-    ``spark.sql.sources.binaryFile.maxLength``. Pair with
+    ``max_bytes`` guards executors against pathological objects with a
+    filter on the source's ``length`` metadata column — binaryFile pushes
+    path/length/modificationTime predicates into the listing, so
+    oversized objects are SKIPPED before any byte is read. (Previously
+    this set ``spark.sql.sources.binaryFile.maxLength`` session-wide,
+    which leaked the cap to every later binaryFile scan because the conf
+    is only consulted lazily at execution — ADVICE r6; the pushed filter
+    is per-scan and shows up in PushedFilters.) Pair with
     ``multimodal.ops.land_media_files`` for the landing half."""
-    if max_bytes is not None:
-        spark.conf.set("spark.sql.sources.binaryFile.maxLength", str(max_bytes))
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return reader.load(path)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
