@@ -36,7 +36,16 @@ def blocked_fuzzy_pairs(
     max_distance: int = 2,
 ) -> DataFrame:
     """All intra-block pairs with ``levenshtein(text_a, text_b) <=
-    max_distance``. Returns (id_a, id_b, edit_distance), id_a < id_b."""
+    max_distance``. Returns (id_a, id_b, edit_distance), id_a < id_b.
+
+    Scale contract: per-block work is quadratic in block size, so the
+    block key's cardinality must grow with N (zip+name-prefix, composite
+    keys) — a CONSTANT-cardinality key (e.g. nation alone) makes total
+    work ~N²/cardinality and is wrong at the 100 TB design point. The
+    declared fuzzy-ER contract query therefore runs
+    ``multi_pass_snm_pairs`` (linear candidates for any corpus); this
+    operator remains the blocked-ER surface for corpora with a genuinely
+    fine blocking key, unit-tested on planted typos."""
     block_cols = list(block_cols)
     # spread the probe side: a small single-file input would otherwise
     # run the ENTIRE quadratic verify in one task (measured at sf0.1:
@@ -92,10 +101,14 @@ def _global_sorted_rank(
     partition's offset (the scalable zipWithIndex shape — the offsets
     collect is bounded by the partition count, never the data)."""
     d = df.repartitionByRange(partitions, *[F.col(c) for c in sort_cols])
-    # persist BEFORE the counts action: the offsets below and the final
-    # plan must see the SAME partition boundaries (range sampling may
-    # resample on recompute, which would corrupt every offset)
-    d = d.withColumn("__pid", F.spark_partition_id()).persist()
+    # eager localCheckpoint (not persist) BEFORE the counts action: the
+    # offsets below and the final plan must see the SAME partition
+    # boundaries (range sampling may resample on recompute, which would
+    # corrupt every offset). Checkpointing freezes the boundaries even
+    # under memory pressure AND releases the blocks via the context
+    # cleaner when the frame is GC'd — persist here leaked one cached
+    # relation per call with no caller-reachable unpersist (ADVICE r6).
+    d = d.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     # bounded collect: one row per partition
     counts = {
         r["__pid"]: r["n"]
