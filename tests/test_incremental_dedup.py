@@ -275,6 +275,69 @@ def test_cms_estimate_never_underestimates(spark):
     assert bad == 0
 
 
+def test_cms_state_broadcast_reused_across_batches(spark, tmp_path):
+    """VERDICT r6 directive 4 (the CorpusState precedent): two probe
+    batches against one CmsState share a single sketch broadcast, the
+    state save/load roundtrips exactly, and unpersist releases the
+    handle deterministically."""
+    from azure_etl_databricks_sql_powerbi_spark.sketches import cms
+
+    df = spark.range(1000).select((F.col("id") % 20).alias("key")).withColumn(
+        "__h", F.xxhash64("key")
+    )
+    state = cms.build_cms_state(df, "__h", eps=0.01)
+    cms.save_cms_state(state, str(tmp_path / "cms"))
+    loaded = cms.load_cms_state(str(tmp_path / "cms"))
+    assert (loaded.sketch, loaded.w, loaded.d, loaded.total) == (
+        state.sketch,
+        state.w,
+        state.d,
+        state.total,
+    )
+
+    batch1 = df.filter(F.col("key") < 10)
+    batch2 = df.filter(F.col("key") >= 10)
+    est1 = cms.attach_cms_estimate(
+        batch1, "__h", loaded.sketch, loaded.w, loaded.d,
+        sketch_bc=loaded.sketch_broadcast(spark),
+    )
+    bc1 = loaded._bc
+    assert bc1 is not None
+    est2 = cms.attach_cms_estimate(
+        batch2, "__h", loaded.sketch, loaded.w, loaded.d,
+        sketch_bc=loaded.sketch_broadcast(spark),
+    )
+    assert loaded._bc is bc1  # same broadcast object, no per-call allocation
+    # both probes still produce valid (never-underestimating) counts
+    assert est1.filter(F.col("__cms_est") < 50).count() == 0
+    assert est2.filter(F.col("__cms_est") < 50).count() == 0
+    loaded.unpersist()
+    assert loaded._bc is None
+
+    # the prebuilt-state path through heavy_hitter_tokens skips the
+    # build pass and matches the built-inline result
+    docs = spark.createDataFrame(
+        [(i, "hot hot hot cold" + str(i)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+
+    occ = docs.select(F.explode(tokens("text")).alias("token")).withColumn(
+        "__h", F.xxhash64("token")
+    )
+    st = cms.build_cms_state(occ, "__h", eps=0.01)
+    with_state = {
+        (r["token"], r["n_occurrences"])
+        for r in cms.heavy_hitter_tokens(docs, threshold=100, state=st).collect()
+    }
+    inline = {
+        (r["token"], r["n_occurrences"])
+        for r in cms.heavy_hitter_tokens(docs, threshold=100, eps=0.01).collect()
+    }
+    assert with_state == inline == {("hot", 150)}
+    st.unpersist()
+
+
 def test_leakage_safe_split_clusters_stay_together(spark):
     """Every near-dup cluster lands in exactly one split, isolated docs
     split like deterministic_split, and the assignment is deterministic."""
