@@ -79,7 +79,12 @@ def ivfpq_cosine_topk(
     """Approximate top-k: ADC scan restricted to each query's nprobe
     cells, exact-cosine refinement of the shortlist. Output schema matches
     ``bruteforce.cosine_topk`` (query_id, rank, neighbor_id, cosine_sim)
-    so recall is a plain join."""
+    so recall is a plain join.
+
+    This is the index-once-in-plan variant (train + encode + probe in a
+    single lazy plan); ``similarity.index.save_index``/``load_index``
+    materialize the same model + coded table at rest so day-N probes skip
+    training and prune partitions (VERDICT r6 directive 2)."""
     spark = corpus.sparkSession
     cents = train_centroids(
         corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
@@ -101,6 +106,49 @@ def ivfpq_cosine_topk(
         "c_vec",
     ).select("neighbor_id", "cell", "pq_code")
 
+    def fetch(_union_cells: list[int]) -> DataFrame:
+        # in-plan variant: refine fetches true vectors from the corpus
+        # itself (shortlist broadcast semi-join bounds the read)
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+
+    return _ivfpq_probe(
+        spark,
+        cents,
+        books,
+        coded,
+        fetch,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe,
+        refine_factor=refine_factor,
+        max_queries=max_queries,
+    )
+
+
+def _ivfpq_probe(
+    spark,
+    cents: np.ndarray,
+    books: np.ndarray,
+    coded: DataFrame,
+    fetch_fn,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    refine_factor: int,
+    max_queries: int,
+) -> DataFrame:
+    """Shared IVFADC(+R) probe: ADC-scan ``coded`` (neighbor_id, cell,
+    pq_code) restricted to the union of the queries' nprobe cells, then
+    (optionally) exact-cosine refine over ``fetch_fn(union_cells)`` ->
+    (neighbor_id, c_vec). Both the in-plan ``ivfpq_cosine_topk`` and the
+    persisted-index ``similarity.index.query_index`` run THIS function, so
+    the two paths cannot drift semantically."""
     qp = bounded_query_pandas(queries, [id_col, vec_col], max_queries)
     q_ids = qp[id_col].to_numpy()
     qx = np.array([np.asarray(v, dtype=np.float64) for v in qp[vec_col]])
@@ -177,9 +225,7 @@ def ivfpq_cosine_topk(
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, qx)],
         "query_id long, q_vec array<double>",
     )
-    fetched = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(F.broadcast(shortlist), on="neighbor_id")
+    fetched = fetch_fn(union_cells).join(F.broadcast(shortlist), on="neighbor_id")
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
