@@ -80,6 +80,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
+        "ann_ivfpq_day2",
         "ann_pq_topk",
         "embedding_near_pairs_lsh",
         "semantic_dedup_embeddings",
