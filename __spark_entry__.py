@@ -2585,67 +2585,20 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- new or contract-changed in round 6 (first driver evidence:
-    # persisted-state dedup + KPI rollup, streaming interval join w/ full
-    # oracle, CCNet unigram + bigram LM quality, real BPE, z-order
-    # layout, IVF-PQ, media_metadata on real PNG sizes) ---
-    "novel_docs_day2": _q_novel_docs_day2,
-    "interval_join_stream": _q_interval_join_stream,
-    "unigram_quality_docs": _q_unigram_quality_docs,
-    "bigram_quality_docs": _q_bigram_quality_docs,
-    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
-    "zorder_layout_stats": _q_zorder_layout_stats,
-    "incremental_kpis_day2": _q_incremental_kpis_day2,
-    "orders_pit_status": _q_orders_pit_status,
-    "referential_integrity_qc": _q_referential_integrity_qc,
-    "dbt_qc_report_orders": _q_dbt_qc_report,
-    "ann_ivfpq_topk": _q_ann_ivfpq,
-    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
-    "media_metadata": _q_media_metadata,
-    "kmeans_clusters_embeddings": _q_kmeans_clusters,
-    "bm25_rank_docs": _q_bm25_rank_docs,
-    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
-    "media_binaryfile_scan": _q_media_binaryfile_scan,
-    "pagerank_supplier_part": _q_pagerank_supplier_part,
-    "rolling_7d_revenue": _q_rolling_7d_revenue,
-    "snapshot_diff_orders": _q_snapshot_diff_orders,
-    "stream_static_enrich": _q_stream_static_enrich,
-    "incremental_distinct_day2": _q_incremental_distinct_day2,
+    # --- round-7 window head: queries whose CONTRACT CHANGED this round
+    # (fuzzy-ER promoted to multi-pass SNM; pagerank/bm25 oracle literal
+    # casts; khop edge materialization; SNM rank checkpointing) plus the
+    # new persisted-ANN day-2 query — changed semantics outrank stale
+    # evidence in the queue ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
-    "snm_customer_pairs": _q_snm_customer_pairs,
-    "events_variant_kpis": _q_events_variant_kpis,
+    "pagerank_supplier_part": _q_pagerank_supplier_part,
+    "bm25_rank_docs": _q_bm25_rank_docs,
     "khop_reach_supplier": _q_khop_reach_supplier,
-    "median_price_by_status": _q_median_price_udaf,
-    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
-    "pseudonymize_customers": _q_pseudonymize_customers,
-    "hashed_features_docs": _q_hashed_features_docs,
-    "curriculum_quality_deciles": _q_curriculum_deciles,
-    "weighted_sample_docs": _q_weighted_sample_docs,
-    "rag_ingest_chunks": _q_rag_ingest,
-    # --- oldest evidence first (VERDICT r5 #1): the 11 queries riding on
-    # round-3 rows, displaced since the round-4/5 windows ---
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
-    "order_extremes_by_customer": _q_order_extremes,
-    "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
-    "minhash_near_dup": _q_minhash_near_dup,
-    "simhash_near_dup": _q_simhash_near_dup,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
-    # --- round-5 newcomers kept for a second consecutive green ---
-    "novel_docs_incremental": _q_novel_docs_incremental,
-    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-    "leakage_safe_split": _q_leakage_safe_split,
-    "chunk_documents_rag": _q_chunk_documents_rag,
-    "pretraining_prep": _q_pretraining_prep,
-    "sessionize_stream": _q_sessionize_stream,
-    # --- round-4-evidence cohort: the window holds as many as fit after
-    # the blocks above (the remainder past the 50-mark leads the round-7
-    # queue; see tools/rotation_manifest.json) ---
-    "order_priority_exists": _q_order_priority_exists,
+    "snm_customer_pairs": _q_snm_customer_pairs,
+    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
+    # --- the full round-4-evidence cohort (oldest on the board, VERDICT
+    # r6 directive 3: after this window no query's newest evidence is
+    # older than r5) ---
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
     "dataset_split_summary": _q_dataset_split_summary,
@@ -2661,8 +2614,6 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": _q_funnel_conversion,
     "salient_terms": _q_salient_terms,
     "decontaminate_docs": _q_decontaminate_docs,
-    # ================= end of the 50-entry driver window =================
-    # --- round-4-evidence remainder: FIRST IN LINE for the r7 window ---
     "min_cost_supplier": _q_min_cost_supplier,
     "important_suppliers": _q_important_suppliers,
     "top_quarter_shippers": _q_top_quarter_shippers,
@@ -2692,7 +2643,8 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # --- verified green in round 5 (CORRECTNESS_r05.json) — freshest ---
+    # ================= end of the 50-entry driver window =================
+    # --- round-5-evidence cohort: FIRST IN LINE for the r8 window ---
     "payments_decimal_rollup": _q_payments_decimal_rollup,
     "decimal_star_rollup": _q_decimal_star_rollup,
     "product_profit_q9": _q_product_profit_q9,
@@ -2736,6 +2688,52 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_customer_status": _q_scd2_customer_status,
     "customer_order_gaps": _q_customer_order_gaps,
     "gopher_quality_docs": _q_gopher_quality_docs,
+    # --- round-6-evidence cohort (freshest) ---
+    "novel_docs_day2": _q_novel_docs_day2,
+    "interval_join_stream": _q_interval_join_stream,
+    "unigram_quality_docs": _q_unigram_quality_docs,
+    "bigram_quality_docs": _q_bigram_quality_docs,
+    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
+    "zorder_layout_stats": _q_zorder_layout_stats,
+    "incremental_kpis_day2": _q_incremental_kpis_day2,
+    "orders_pit_status": _q_orders_pit_status,
+    "referential_integrity_qc": _q_referential_integrity_qc,
+    "dbt_qc_report_orders": _q_dbt_qc_report,
+    "ann_ivfpq_topk": _q_ann_ivfpq,
+    "media_metadata": _q_media_metadata,
+    "kmeans_clusters_embeddings": _q_kmeans_clusters,
+    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
+    "media_binaryfile_scan": _q_media_binaryfile_scan,
+    "rolling_7d_revenue": _q_rolling_7d_revenue,
+    "snapshot_diff_orders": _q_snapshot_diff_orders,
+    "stream_static_enrich": _q_stream_static_enrich,
+    "incremental_distinct_day2": _q_incremental_distinct_day2,
+    "events_variant_kpis": _q_events_variant_kpis,
+    "median_price_by_status": _q_median_price_udaf,
+    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
+    "pseudonymize_customers": _q_pseudonymize_customers,
+    "hashed_features_docs": _q_hashed_features_docs,
+    "curriculum_quality_deciles": _q_curriculum_deciles,
+    "weighted_sample_docs": _q_weighted_sample_docs,
+    "rag_ingest_chunks": _q_rag_ingest,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    "minhash_near_dup": _q_minhash_near_dup,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    "novel_docs_incremental": _q_novel_docs_incremental,
+    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+    "leakage_safe_split": _q_leakage_safe_split,
+    "chunk_documents_rag": _q_chunk_documents_rag,
+    "pretraining_prep": _q_pretraining_prep,
+    "sessionize_stream": _q_sessionize_stream,
+    "order_priority_exists": _q_order_priority_exists,
 }
 
 
