@@ -882,6 +882,24 @@ def _q_snm_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled hashed linear quality classifier (functions/classifier.
+    distill_quality_classifier): the rule-based Gopher gate labels the
+    corpus, per-bucket naive-Bayes log-odds + class prior are learned
+    over hash_bucket token features (weight table = 512 rows, model-
+    sized), and every document is scored with an EXACT integer micro-nat
+    logit sum — the fastText-style quality-filter train+apply chain as
+    one lazy plan. Oracle: the identical label/train/score CTE chain in
+    DuckDB (same md5 buckets, same ln quantization); hash-exact incl.
+    float logits."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.classifier import (
+        distill_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distill_quality_classifier(docs, n_buckets=512)
+
+
 def _q_events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType surface: events.props parsed ONCE into a
     variant column (parse_json — binary semi-structured encoding, the
@@ -2587,15 +2605,15 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # --- round-7 window head: queries whose CONTRACT CHANGED this round
     # (fuzzy-ER promoted to multi-pass SNM; pagerank/bm25 oracle literal
-    # casts; khop edge materialization; SNM rank checkpointing) plus the
-    # new persisted-ANN day-2 query — changed semantics outrank stale
-    # evidence in the queue ---
+    # casts; SNM rank checkpointing) plus the two NEW r7 queries
+    # (persisted-ANN day-2, distilled quality classifier) — changed
+    # semantics and first-evidence needs outrank stale evidence ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "bm25_rank_docs": _q_bm25_rank_docs,
-    "khop_reach_supplier": _q_khop_reach_supplier,
     "snm_customer_pairs": _q_snm_customer_pairs,
     "ann_ivfpq_day2": _q_ann_ivfpq_day2,
+    "quality_classifier_docs": _q_quality_classifier_docs,
     # --- the full round-4-evidence cohort (oldest on the board, VERDICT
     # r6 directive 3: after this window no query's newest evidence is
     # older than r5) ---
@@ -2709,6 +2727,11 @@ QUERIES: dict[str, QueryFn] = {
     "stream_static_enrich": _q_stream_static_enrich,
     "incremental_distinct_day2": _q_incremental_distinct_day2,
     "events_variant_kpis": _q_events_variant_kpis,
+    # khop moved out of the r7 window head: its r7 change is plan-only
+    # (edge materialization), result-identical, locally strict-checked
+    # at sf0.01 and hash-EXACT at sf1 — the slot went to the new
+    # quality_classifier_docs
+    "khop_reach_supplier": _q_khop_reach_supplier,
     "median_price_by_status": _q_median_price_udaf,
     "orders_xml_roundtrip": _q_orders_xml_roundtrip,
     "pseudonymize_customers": _q_pseudonymize_customers,
@@ -3187,6 +3210,85 @@ ORACLES: dict[str, str] = {
           ON b.r > a.r AND b.r - a.r <= 10
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
           AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "quality_classifier_docs": r"""
+        -- distill + apply: Gopher label -> per-bucket NB log-odds +
+        -- class prior (micro-nat quantized) -> exact integer logit sums
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(TRIM(text)) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(TRIM(text), '\s+') END AS toks,
+                   text
+            FROM documents
+        ), lab AS (
+            SELECT doc_id, toks,
+                   CAST(len(toks) >= 10 AND len(toks) <= 200
+                        AND length(regexp_replace(text, '\s', '', 'g'))
+                            / GREATEST(len(toks), 1) >= 2.0
+                        AND length(regexp_replace(text, '\s', '', 'g'))
+                            / GREATEST(len(toks), 1) <= 12.0
+                        AND (length(regexp_replace(text, '[^#…]', '', 'g'))
+                             + len(regexp_extract_all(text, '\.\.\.')))
+                            / GREATEST(len(toks), 1) <= 0.1
+                        AND len(list_filter(toks, x -> lower(x) IN
+                            ('the','and','of','to','in','is','you','that','it','for')))
+                            >= 2
+                       AS INTEGER) AS label
+            FROM t
+        ), feats AS (
+            -- hashed tokens + the two per-doc band features (word-count
+            -- decile, stopword-hit level) — functions/classifier.feature_rows
+            SELECT doc_id, label,
+                   CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 512 AS INT)
+                       AS bucket,
+                   1 AS is_tok
+            FROM (SELECT doc_id, label, unnest(toks) AS token FROM lab)
+            UNION ALL
+            SELECT doc_id, label,
+                   CAST(512 + LEAST(len(toks) // 10, 40) AS INT), 0
+            FROM lab
+            UNION ALL
+            SELECT doc_id, label,
+                   CAST(553 + LEAST(len(list_filter(toks, x -> lower(x) IN
+                       ('the','and','of','to','in','is','you','that','it','for'))), 5)
+                       AS INT), 0
+            FROM lab
+        ), wc AS (
+            SELECT bucket,
+                   SUM(label) AS pos, SUM(1 - label) AS neg
+            FROM feats GROUP BY bucket
+        ), tot AS (
+            SELECT SUM(pos) AS pos_tot, SUM(neg) AS neg_tot FROM wc
+        ), w AS (
+            -- multinomial NB: ln(P(bucket|pos)/P(bucket|neg)), add-one
+            -- smoothed, class-mass normalized over the 559-feature space
+            -- (same arithmetic as functions/classifier.train_bucket_log_odds)
+            SELECT bucket,
+                   CAST(FLOOR((ln((pos + 1.0) / ((SELECT pos_tot FROM tot) + 559.0))
+                               - ln((neg + 1.0) / ((SELECT neg_tot FROM tot) + 559.0)))
+                              * 1000000) AS BIGINT) AS w_m
+            FROM wc
+        ), prior AS (
+            SELECT CAST(FLOOR(ln((SUM(label) + 1.0) / (SUM(1 - label) + 1.0))
+                              * 1000000) AS BIGINT) AS prior_m
+            FROM lab
+        ), scored AS (
+            SELECT f.doc_id,
+                   CAST(SUM(f.is_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w.w_m) AS BIGINT) AS sum_m
+            FROM feats f JOIN w USING (bucket)
+            GROUP BY f.doc_id
+        )
+        SELECT l.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               ((SELECT prior_m FROM prior) + COALESCE(s.sum_m, 0)) / 1000000.0
+                   AS logit,
+               CAST(((SELECT prior_m FROM prior) + COALESCE(s.sum_m, 0)) > 0
+                    AS INTEGER) AS predicted_keep,
+               l.label AS rule_keep
+        FROM lab l LEFT JOIN scored s USING (doc_id)
+        ORDER BY doc_id
     """,
     "events_variant_kpis": """
         SELECT event_type,

@@ -1,0 +1,228 @@
+"""Hashed linear quality classifier — train (distill) and apply at scale.
+
+The missing tier between rule-based gates (``functions/text.
+gopher_quality_flags``) and offline-trained models: production pipelines
+apply a LEARNED quality filter (fastText-style linear model over hashed
+token features) to every document. This module does both halves
+Spark-side with exact cross-engine arithmetic:
+
+- **distill (train)**: label each document with the rule-based Gopher
+  ``keep`` flag, then learn per-bucket naive-Bayes log-odds
+  ``ln((pos+1)/(neg+1))`` over ``hash_bucket`` token features plus the
+  class-prior bias — turning the brittle rule set into a smooth,
+  generalizing scorer the way weak supervision distills labelers. The
+  weight table is ``n_buckets`` rows (KBs — model-sized, broadcastable),
+  never vocabulary-sized: the hashing trick needs no vocab state.
+- **apply**: one explode + broadcast join + per-doc integer SUM. Weights
+  are micro-nat quantized (``floor(ln(...)*1e6)`` — the
+  ``unigram_logprob_scores`` contract), so the per-doc logit is an EXACT
+  integer sum: no float accumulation-order divergence, and the whole
+  train+apply chain gets a hash-exact DuckDB oracle.
+
+Scale shape (100 TB): two passes over the token stream — one groupBy
+(bucket) bounded by ``n_buckets`` keys for training, one broadcast join +
+groupBy(doc) for scoring. No vocabulary shuffle, no driver-side state
+beyond the weight table. A model trained elsewhere can be applied by
+passing its (bucket, w_m) frame straight to ``apply_linear_classifier``.
+
+No reference counterpart; north-star text-quality surface (SURVEY §2
+F10-EXT neighborhood), composing `gopher_quality_flags` +
+`features.hash_bucket`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.features import hash_bucket
+from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+    LANG_PROFILES,
+    gopher_quality_flags,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+MICRO = 1_000_000
+# handcrafted bands appended after the hashed-token space: the Gopher
+# teacher's decision is driven by document-level statistics (word count,
+# stopword hits) that a pure bag-of-tokens sum cannot express — giving
+# the linear model the teacher's own input features is the standard
+# distillation move (fastText quality filters ship length/ratio features
+# for the same reason). 41 word-count deciles + 6 stopword-hit levels.
+N_LEN_BANDS = 41
+N_STOP_BANDS = 6
+
+
+def feature_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Feature-occurrence rows (id, bucket, is_tok): one row per token
+    (bucket = md5 hash bucket, is_tok=1) plus two per-document band
+    features (is_tok=0) — word-count decile at ``n_buckets + min(n_words
+    // 10, 40)`` and stopword-hit level at ``n_buckets + 41 +
+    min(stop_hits, 5)``. Pure Column arithmetic, identical in DuckDB."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .select(
+            id_col,
+            hash_bucket("token", n_buckets).alias("bucket"),
+            F.lit(1).alias("is_tok"),
+        )
+    )
+    nb = F.lit(n_buckets)
+    len_band = (
+        nb + F.least(F.floor(token_count(text_col) / F.lit(10)), F.lit(40))
+    ).cast("int")
+    stop_band = (
+        nb
+        + F.lit(N_LEN_BANDS)
+        + F.least(stopword_hits(text_col, LANG_PROFILES["en"]), F.lit(5))
+    ).cast("int")
+    bands = docs.select(
+        F.col(id_col),
+        F.explode(F.array(len_band, stop_band)).alias("bucket"),
+        F.lit(0).alias("is_tok"),
+    )
+    return toks.unionByName(bands)
+
+
+def train_bucket_log_odds(
+    labeled_tokens: DataFrame,
+    label_col: str = "__label",
+    bucket_col: str = "bucket",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Per-bucket multinomial-NB log-likelihood ratios from
+    (bucket, label) occurrence rows:
+
+        w = ln( (pos_b + 1) / (POS_TOTAL + n_buckets) )
+          - ln( (neg_b + 1) / (NEG_TOTAL + n_buckets) )
+
+    i.e. ``ln(P(bucket|pos) / P(bucket|neg))`` with add-one smoothing —
+    the CLASS-MASS NORMALIZATION matters: raw count ratios
+    ``ln((pos+1)/(neg+1))`` inherit whichever class holds more total
+    token mass and push every document's sum positive (observed:
+    all-1 predictions at 51% agreement before normalizing). Class totals
+    are a 1-row aggregate over the bucket table (n_buckets rows — tiny,
+    broadcast in-plan). Micro-nat quantization (floor ×1e6) makes the
+    downstream per-doc sums integer-exact. Output: n_buckets rows."""
+    counts = labeled_tokens.groupBy(bucket_col).agg(
+        F.sum(F.col(label_col)).alias("__pos"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("__neg"),
+    )
+    totals = counts.agg(
+        F.sum("__pos").alias("__pos_tot"), F.sum("__neg").alias("__neg_tot")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        bucket_col,
+        F.floor(
+            (
+                F.ln(
+                    (F.col("__pos") + F.lit(1.0))
+                    / (F.col("__pos_tot") + F.lit(float(n_buckets)))
+                )
+                - F.ln(
+                    (F.col("__neg") + F.lit(1.0))
+                    / (F.col("__neg_tot") + F.lit(float(n_buckets)))
+                )
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("w_m"),
+    )
+
+
+def apply_linear_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Score every document: ``logit_m = prior_m + SUM(w_m per token
+    occurrence)`` (tf-weighted — each occurrence contributes its bucket's
+    weight once). ``weights``: (bucket, w_m); ``prior``: 1-row (prior_m).
+    Every document carries its two band features, so even a token-less
+    doc is scored by its bands (+ prior); ``n_tokens`` counts real tokens
+    only. Returns (id, n_tokens, logit, predicted_keep)."""
+    feats = feature_rows(docs, text_col, id_col, n_buckets)
+    scored = (
+        feats.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("is_tok").cast("long").alias("n_tokens"),
+            F.sum("w_m").alias("__sum_m"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                (F.col("prior_m") + F.coalesce("__sum_m", F.lit(0)))
+                / F.lit(float(MICRO))
+            ).alias("logit"),
+            (
+                (F.col("prior_m") + F.coalesce("__sum_m", F.lit(0))) > 0
+            )
+            .cast("int")
+            .alias("predicted_keep"),
+        )
+    )
+
+
+def distill_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    min_words: int = 10,
+    max_words: int = 200,
+) -> DataFrame:
+    """End-to-end distillation: label with the rule-based Gopher gate,
+    train bucket log-odds + class prior, score every document with the
+    learned model. One lazy plan (label → train → apply); the rule label
+    rides along as ``rule_keep`` so downstream can measure agreement.
+
+    Output: (id, n_tokens, logit, predicted_keep, rule_keep) ordered by
+    id — fully hash-exact vs the same CTE chain in DuckDB."""
+    keep = gopher_quality_flags(
+        text_col, min_words=min_words, max_words=max_words
+    )["keep"]
+    labeled = df.select(F.col(id_col), F.col(text_col), keep.alias("__label"))
+    lfeats = feature_rows(labeled, text_col, id_col, n_buckets).join(
+        labeled.select(id_col, "__label"), on=id_col
+    )
+    n_features = n_buckets + N_LEN_BANDS + N_STOP_BANDS
+    weights = train_bucket_log_odds(lfeats, n_buckets=n_features)
+    # class prior over DOCUMENTS (1-row aggregate, broadcast in-plan —
+    # the pagerank dangling-mass pattern, no driver action)
+    prior = labeled.agg(
+        F.floor(
+            F.ln(
+                (F.sum("__label") + F.lit(1.0))
+                / (F.sum(F.lit(1) - F.col("__label")) + F.lit(1.0))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("prior_m")
+    )
+    scored = apply_linear_classifier(
+        labeled, weights, prior, text_col, id_col, n_buckets
+    )
+    return (
+        scored.join(labeled.select(id_col, F.col("__label").alias("rule_keep")), on=id_col)
+        .select(id_col, "n_tokens", "logit", "predicted_keep", "rule_keep")
+        .orderBy(id_col)
+    )

@@ -130,6 +130,43 @@ def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
     )
 
 
+def append_to_index(
+    index: IvfPqIndex,
+    batch: DataFrame,
+    path: str,
+) -> IvfPqIndex:
+    """Incremental index maintenance — the day-3 operation: encode a NEW
+    batch with the EXISTING model (no retraining; centroids/codebooks are
+    frozen, exactly like FAISS ``add`` after ``train``) and append its
+    coded rows into the same cell-partitioned layout (dynamic append:
+    only the batch's cells gain files). Day-N ingestion cost is one
+    encode pass over the batch — the corpus is never re-scanned and
+    existing partitions are never rewritten. Re-train + full re-index is
+    the compaction-style batch job, needed only when drift degrades
+    recall (monitor via a brute-force sample, the recall-test pattern).
+
+    Returns the re-loaded index (fresh FileIndex picks up the new files).
+    """
+    spark = batch.sparkSession
+    coded = encode_pq(
+        assign_cells(
+            batch.select(
+                F.col(index.id_col).alias("neighbor_id"),
+                F.col(index.vec_col).alias("vec"),
+            ),
+            index.centroids,
+            "vec",
+            nprobe=1,
+        ),
+        index.codebooks,
+        "vec",
+    ).select("neighbor_id", "pq_code", "vec", "cell")
+    coded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "coded")
+    )
+    return load_index(spark, path)
+
+
 def query_index(
     index: IvfPqIndex,
     queries: DataFrame,

@@ -406,6 +406,44 @@ def test_persisted_index_matches_inplan_operator(spark, tmp_path):
     assert len(exact & got) / len(exact) >= 0.9
 
 
+def test_append_to_index_finds_new_vectors_without_retrain(spark, tmp_path):
+    """Day-3 incremental maintenance: a new batch encoded with the FROZEN
+    model and appended into the cell layout is immediately searchable; a
+    planted twin of a query vector surfaces as its top neighbor, the
+    model arrays are untouched, and pre-existing rows still answer."""
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.similarity.index import (
+        append_to_index,
+        load_index,
+        query_index,
+        save_index,
+    )
+
+    corpus = _clustered_corpus(spark)
+    save_index(
+        corpus, str(tmp_path / "idx"), nlist=8, m=4, n_centroids=8, sample_size=200
+    )
+    idx = load_index(spark, str(tmp_path / "idx"))
+    cents_before = idx.centroids.copy()
+
+    # plant a near-twin of vec 0 under a NEW id, plus unrelated new rows
+    v0 = corpus.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    twin = [x + 0.001 for x in v0]
+    batch = spark.createDataFrame(
+        [(10_000, twin), (10_001, [9.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx2 = append_to_index(idx, batch, str(tmp_path / "idx"))
+    assert np.array_equal(idx2.centroids, cents_before)  # no retrain
+
+    qs = corpus.filter(F.col("vec_id") == 0)
+    got = query_index(idx2, qs, k=3, nprobe=2, refine_factor=8).collect()
+    assert got[0].neighbor_id == 10_000  # the appended twin wins rank 1
+    # old corpus rows still present in the same index
+    assert any(r.neighbor_id < 200 for r in got)
+
+
 def test_persisted_index_probe_prunes_cell_partitions(spark, tmp_path):
     """The materialized partition-pruning claim (the r6 gap): the probe's
     scan of the coded table carries PartitionFilters on `cell`, and the

@@ -111,6 +111,9 @@ _ALLOWED_FLAGS = {
     # broadcast scalar (documented in plans/gold.important_suppliers)
     "important_suppliers": {"BNLJoin", "SinglePartitionExchange"},
     "corpus_stats": {"SinglePartitionExchange"},  # one-row data card
+    # 1-row class-prior aggregate broadcast onto the scored docs
+    # (functions/classifier.py — the domain_mix_allocation shape)
+    "quality_classifier_docs": {"BNLJoin", "SinglePartitionExchange"},
     # 1-row global token total broadcast onto #domains rows (operators/mixing)
     "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
     "revenue_change_q6": {"SinglePartitionExchange"},  # one-row result

@@ -141,16 +141,37 @@ def gen_events(rng: np.random.Generator) -> None:
 
 def gen_lineitem(rng: np.random.Generator) -> None:
     """10x sf0.1's (supplier, part) co-occurrence shape for the graph
-    tier: 6M rows, 10,000 suppliers x 200,000 parts, uniform pairing
-    (matches the TPC-H generator's uniform l_suppkey/l_partkey draw)."""
+    tier — 6M rows, 10,000 suppliers x 200,000 parts, uniform pairing
+    (matches the TPC-H generator's uniform l_suppkey/l_partkey draw) —
+    with the FULL sf0.1 column set (r7: the round-6 slim 5-column table
+    broke sf1 strict checks for any query touching discount/flag/date),
+    TPC-H-shaped distributions and identical arrow types."""
     n = 6_000_000
+    base = np.datetime64("1992-01-01")
     table = pa.table(
         {
             "l_orderkey": pa.array(rng.integers(1, 1_500_001, size=n), pa.int64()),
             "l_partkey": pa.array(rng.integers(1, 200_001, size=n), pa.int64()),
             "l_suppkey": pa.array(rng.integers(1, 10_001, size=n), pa.int64()),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, size=n).astype("int32"), pa.int32()
+            ),
             "l_quantity": pa.array(rng.integers(1, 51, size=n).astype("float64")),
             "l_extendedprice": pa.array(rng.uniform(900, 105000, size=n).round(2)),
+            "l_discount": pa.array(
+                (rng.integers(0, 11, size=n) / 100.0)  # 0.00..0.10 step .01
+            ),
+            "l_tax": pa.array((rng.integers(0, 9, size=n) / 100.0)),
+            "l_returnflag": pa.array(
+                np.array(["R", "A", "N"])[rng.integers(0, 3, size=n)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(["O", "F"])[rng.integers(0, 2, size=n)]
+            ),
+            "l_shipdate": pa.array(
+                base + rng.integers(0, 2526, size=n).astype("timedelta64[D]"),
+                pa.timestamp("us"),
+            ),
         }
     )
     pq.write_table(table, f"{OUT}/lineitem.parquet")
