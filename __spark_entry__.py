@@ -900,6 +900,24 @@ def _q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distill_quality_classifier(docs, n_buckets=512)
 
 
+def _q_semantic_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (dedup/decontam.
+    semantic_contamination): per corpus vector, max cosine + argmax id
+    against a broadcast 20-vector benchmark slice — paraphrased leakage
+    that n-gram decontam misses. Map-side broadcast pairing (no corpus
+    shuffle), per-id argmax window; pure-Column cosine fold, so the
+    whole operator is hash-exact vs DuckDB list_dot_product (the
+    ann_cosine_topk precedent)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return semantic_contamination(corpus, bench, threshold=0.4)
+
+
 def _q_events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType surface: events.props parsed ONCE into a
     variant column (parse_json — binary semi-structured encoding, the
@@ -2605,15 +2623,15 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # --- round-7 window head: queries whose CONTRACT CHANGED this round
     # (fuzzy-ER promoted to multi-pass SNM; pagerank/bm25 oracle literal
-    # casts; SNM rank checkpointing) plus the two NEW r7 queries
-    # (persisted-ANN day-2, distilled quality classifier) — changed
+    # casts) plus the three NEW r7 queries (persisted-ANN day-2,
+    # distilled quality classifier, semantic decontamination) — changed
     # semantics and first-evidence needs outrank stale evidence ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "bm25_rank_docs": _q_bm25_rank_docs,
-    "snm_customer_pairs": _q_snm_customer_pairs,
     "ann_ivfpq_day2": _q_ann_ivfpq_day2,
     "quality_classifier_docs": _q_quality_classifier_docs,
+    "semantic_decontam_docs": _q_semantic_decontam_docs,
     # --- the full round-4-evidence cohort (oldest on the board, VERDICT
     # r6 directive 3: after this window no query's newest evidence is
     # older than r5) ---
@@ -2727,11 +2745,13 @@ QUERIES: dict[str, QueryFn] = {
     "stream_static_enrich": _q_stream_static_enrich,
     "incremental_distinct_day2": _q_incremental_distinct_day2,
     "events_variant_kpis": _q_events_variant_kpis,
-    # khop moved out of the r7 window head: its r7 change is plan-only
-    # (edge materialization), result-identical, locally strict-checked
-    # at sf0.01 and hash-EXACT at sf1 — the slot went to the new
-    # quality_classifier_docs
+    # khop + snm moved out of the r7 window head: their r7 changes are
+    # plan-only (edge materialization; rank persist->checkpoint),
+    # result-identical, locally strict-checked at sf0.01 and hash-EXACT
+    # at sf1 — the slots went to the new quality_classifier_docs and
+    # semantic_decontam_docs
     "khop_reach_supplier": _q_khop_reach_supplier,
+    "snm_customer_pairs": _q_snm_customer_pairs,
     "median_price_by_status": _q_median_price_udaf,
     "orders_xml_roundtrip": _q_orders_xml_roundtrip,
     "pseudonymize_customers": _q_pseudonymize_customers,
@@ -3210,6 +3230,31 @@ ORACLES: dict[str, str] = {
           ON b.r > a.r AND b.r - a.r <= 10
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
           AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "semantic_decontam_docs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT * FROM e WHERE vec_id < 20),
+        c AS (SELECT * FROM e WHERE vec_id >= 20),
+        pairs AS (
+            SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+                   CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(c.v, b.v)
+                             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+                   END AS cos
+            FROM c, b
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC
+            ) AS rn FROM pairs
+        )
+        SELECT vec_id,
+               bench_id AS matched_bench_id,
+               ROUND(cos, 4) AS max_cosine,
+               CAST(ROUND(cos, 4) >= 0.4 AS INTEGER) AS contaminated
+        FROM best WHERE rn = 1
+        ORDER BY vec_id
     """,
     "quality_classifier_docs": r"""
         -- distill + apply: Gopher label -> per-bucket NB log-odds +

@@ -115,3 +115,74 @@ def decontaminate(
         train, benchmark, n=n, threshold=threshold, id_col=id_col, text_col=text_col
     ).filter(F.col("contaminated") == 0)
     return train.join(clean.select(id_col), id_col, "left_semi")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic companion
+    to the n-gram ``contamination_scores``: paraphrased or reformatted
+    benchmark leakage shares no 8-grams but sits next to the benchmark in
+    embedding space (the SemDeDup observation applied to decontamination).
+
+    Per corpus vector: max cosine against the benchmark set and the
+    arg-max benchmark id (id-tiebroken), plus ``contaminated`` =
+    round(cos, 4) >= threshold. The benchmark side is broadcast —
+    benchmark suites are thousands of rows vs a corpus of billions, so
+    the pairing is MAP-SIDE (one BroadcastNestedLoopJoin, no corpus
+    shuffle); the only shuffle is the per-corpus-id argmax window. At
+    extreme benchmark sizes, pre-prune with IVF cells
+    (``similarity/ivf.assign_cells`` on both sides, join on cell) before
+    this exact pass — the ANN composition, not a new operator.
+
+    The cosine is the pure-Column fold (``functions/vectors.cosine``) —
+    identical sequential arithmetic in DuckDB's list_dot_product, so the
+    whole operator is oracle-checkable (the ann_cosine_topk precedent)."""
+    from pyspark.sql import Window
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
+
+    b = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__b_vec")
+        )
+    )
+    pairs = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(b).select(
+        F.col(id_col),
+        F.col("bench_id"),
+        cosine(vec_col, "__b_vec").alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("bench_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("bench_id").alias("matched_bench_id"),
+            F.round("__cos", 4).alias("max_cosine"),
+            (F.round("__cos", 4) >= threshold).cast("int").alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows whose max benchmark cosine stays below threshold —
+    the filter form of ``semantic_contamination`` (same left-semi shape
+    as the n-gram ``decontaminate``)."""
+    clean = semantic_contamination(
+        corpus, benchmark, threshold, id_col, vec_col
+    ).filter(F.col("contaminated") == 0)
+    return corpus.join(clean.select(id_col), id_col, "left_semi")

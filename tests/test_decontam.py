@@ -79,3 +79,38 @@ def test_orc_roundtrip(spark, tmp_path):
     # partition pruning works on the discovered layout
     assert back.filter(F.col("part") == 1).count() == 33
     assert set(back.columns) == {"id", "part"}
+
+
+def test_semantic_contamination_flags_embedding_twins(spark):
+    """A corpus vector that is a near-copy of a benchmark vector (no
+    shared n-grams needed) is flagged with the right argmax id; an
+    orthogonal vector is not; the filter form drops exactly the flagged
+    rows. Ties on cosine break to the lowest bench id."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01, 0.0]),   # twin of bench 0 -> contaminated
+            (11, [0.0, 0.0, 1.0]),     # orthogonal -> clean
+            (12, [0.5, 0.5, 0.0]),     # equidistant: tie -> bench 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert got[10].contaminated == 1 and got[10].matched_bench_id == 0
+    assert got[11].contaminated == 0
+    assert got[12].matched_bench_id == 0  # id tiebreak on exact cosine tie
+    clean = semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert {r.vec_id for r in clean.collect()} == {11, 12}

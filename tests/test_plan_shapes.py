@@ -114,6 +114,10 @@ _ALLOWED_FLAGS = {
     # 1-row class-prior aggregate broadcast onto the scored docs
     # (functions/classifier.py — the domain_mix_allocation shape)
     "quality_classifier_docs": {"BNLJoin", "SinglePartitionExchange"},
+    # broadcast benchmark-set pairing is a deliberate map-side cross
+    # (dedup/decontam.semantic_contamination — bench is thousands of
+    # rows vs a corpus of billions; the ann_cosine_topk shape)
+    "semantic_decontam_docs": {"BNLJoin"},
     # 1-row global token total broadcast onto #domains rows (operators/mixing)
     "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
     "revenue_change_q6": {"SinglePartitionExchange"},  # one-row result
