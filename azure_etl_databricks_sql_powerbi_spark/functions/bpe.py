@@ -183,3 +183,31 @@ def strip_word_marker(col: Column | str) -> Column:
     original whitespace-stripped text (the roundtrip unit)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda t: F.regexp_replace(t, END, ""))
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table (the tokenizer's entire trained
+    state — KBs) as ``{path}/merges.json``: day-N jobs tokenize with
+    yesterday's tokenizer instead of re-sampling the corpus, and every
+    pipeline stage sees the IDENTICAL vocabulary (retraining on a
+    different sample would silently shift token boundaries mid-corpus —
+    the tokenizer-version pinning every production pipeline needs). The
+    ``save_corpus_state`` / ``similarity.index.save_index`` persisted-
+    trained-state contract, applied to the last trained operator that
+    lacked it."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "merges.json"), "w") as fh:
+        json.dump([list(p) for p in merges], fh)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a ``save_merges`` table; merge ORDER is the model (ranks are
+    list positions), so the roundtrip preserves it exactly."""
+    import json
+    import os
+
+    with open(os.path.join(path, "merges.json")) as fh:
+        return [tuple(p) for p in json.load(fh)]

@@ -77,17 +77,31 @@ def save_index(
     n_centroids: int = 16,
     sample_size: int = 2048,
     seed: int = 42,
+    trainer: str = "sample",
 ) -> IvfPqIndex:
-    """Train + encode ONCE and land the index under ``path``. The corpus
-    is read exactly twice (two bounded CollectLimit training samples) plus
-    one full encode pass — the last time it is ever scanned; every later
-    probe touches only probed-cell partitions. Returns the loaded index
-    (reading coded back FROM the parquet, the ``save_corpus_state``
-    contract)."""
+    """Train + encode ONCE and land the index under ``path``. With the
+    default ``trainer="sample"`` the corpus is read exactly twice (two
+    bounded CollectLimit training samples) plus one full encode pass —
+    the last time it is ever scanned; every later probe touches only
+    probed-cell partitions. ``trainer="full"`` fits the coarse centroids
+    with distributed full-corpus Lloyd's instead
+    (``ivf.train_centroids_distributed`` — for skewed corpora where a
+    bounded sample misplaces minority cells; indexing is a one-time cost,
+    so the extra scans amortize). Returns the loaded index (reading coded
+    back FROM the parquet, the ``save_corpus_state`` contract)."""
     spark = corpus.sparkSession
-    cents = train_centroids(
-        corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
-    )
+    if trainer == "full":
+        from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+            train_centroids_distributed,
+        )
+
+        cents = train_centroids_distributed(corpus, vec_col, nlist=nlist, seed=seed)
+    elif trainer == "sample":
+        cents = train_centroids(
+            corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+        )
+    else:
+        raise ValueError(f"trainer must be 'sample' or 'full', got {trainer!r}")
     books = train_pq_codebooks(
         corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size, seed=seed
     )

@@ -444,6 +444,32 @@ def test_append_to_index_finds_new_vectors_without_retrain(spark, tmp_path):
     assert any(r.neighbor_id < 200 for r in got)
 
 
+def test_save_index_full_trainer_contract(spark, tmp_path):
+    """trainer='full' (distributed Lloyd's coarse centroids) produces the
+    same index layout and a queryable, high-recall index; bad trainer
+    names fail loudly."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.index import (
+        query_index,
+        save_index,
+    )
+
+    corpus = _clustered_corpus(spark)
+    idx = save_index(
+        corpus, str(tmp_path / "idxf"), nlist=8, m=4, n_centroids=8,
+        sample_size=200, trainer="full",
+    )
+    assert idx.centroids.shape == (8, 8)
+    qs = corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in query_index(idx, qs, k=4, nprobe=2, refine_factor=8).collect()
+    }
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, qs, k=4).collect()}
+    assert len(exact & got) / len(exact) >= 0.9
+    with pytest.raises(ValueError, match="trainer"):
+        save_index(corpus, str(tmp_path / "idxbad"), trainer="nope")
+
+
 def test_persisted_index_probe_prunes_cell_partitions(spark, tmp_path):
     """The materialized partition-pruning claim (the r6 gap): the probe's
     scan of the coded table carries PartitionFilters on `cell`, and the
@@ -788,6 +814,31 @@ def test_lsh_near_pairs_max_bucket_cap_is_observed(spark):
 
 
 # --------------------------------------------------------------- BPE
+
+
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    """Tokenizer-state persistence: save/load preserves the merge table
+    EXACTLY (order = ranks = the model), and applying the loaded table
+    tokenizes identically to the in-memory one — day-N jobs pin the
+    tokenizer version instead of re-sampling."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.bpe import (
+        apply_bpe,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newest widest new") for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=20, sample_size=30)
+    save_merges(merges, str(tmp_path / "tok"))
+    loaded = load_merges(str(tmp_path / "tok"))
+    assert loaded == merges  # order-exact: ranks are list positions
+    a = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, loaded).collect()}
+    assert a == b
 
 
 def test_bpe_learns_paper_merges_and_roundtrips(spark):
