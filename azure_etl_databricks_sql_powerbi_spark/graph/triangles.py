@@ -1,0 +1,129 @@
+"""Triangle counting with degree orientation — the second iterative-free
+graph operator next to PageRank (``graph/pagerank.py``) and the
+connected-components clusterer (``dedup/cluster.py``).
+
+Why it matters at 100 TB: the naive 3-way edge self-join enumerates every
+wedge (path of length 2), and wedge count is Σ deg(v)² — a single hub
+with 10M neighbors creates 10¹⁴ wedges. The standard fix (Schank &
+Wagner 2005's *forward* algorithm; also the GraphX/Cohen MapReduce
+formulation) ORIENTS each undirected edge from its lower-(degree, id)
+endpoint to its higher one: every node's ORIENTED out-degree is bounded
+by ~√|E|, so oriented wedge count is Σ outdeg(v)² ≤ |E|^1.5 — the hub's
+10M edges all point INTO it and generate zero wedges. Each triangle then
+has exactly ONE node with oriented edges to the other two (its minimum
+vertex under the total order), so it is found exactly once — no /3
+correction, no double counting.
+
+Spark shape: canonicalize + distinct the edge list, one degree aggregate,
+two broadcast-or-shuffle hash joins (wedge build on the shared lower
+vertex, closure check against the oriented edge set). Everything is
+integer arithmetic on ids — the whole operator is hash-exact against the
+identical SQL in DuckDB (the pagerank-oracle discipline without even a
+micro-unit quantization, since no floats appear).
+
+No reference counterpart; north-star graph-analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical (a < b) distinct undirected edge list; self-loops drop
+    (a triangle needs three distinct vertices)."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+
+
+def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Orient each undirected edge low->high under the (degree, id) total
+    order. Output: (lo, hi) where (deg(lo), lo) < (deg(hi), hi)."""
+    e = undirected_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return withdeg.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle membership count: (node, n_triangles), only
+    nodes in >= 1 triangle. Wedges form at each triangle's minimum
+    vertex (two oriented out-edges, id-ordered to count each unordered
+    pair once); the closing edge is confirmed against the oriented set,
+    so every triangle materializes exactly once, then credits its three
+    corners via one explode."""
+    o = oriented_edges(edges, src, dst)
+    w1 = o.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = o.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    # x < y dedups the unordered out-neighbor pair; the closing edge
+    # between two out-neighbors is oriented by the same global order,
+    # but not necessarily as (x, y) — check both directions
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).unionAll(
+        o.select(F.col("hi").alias("x"), F.col("lo").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"])
+    return (
+        tris.select(
+            F.explode(F.array("pivot", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``triangle_counts`` over a SQL relation named by
+    ``edges_cte`` with columns (src, dst) — the pagerank_sql_unrolled
+    discipline: ONE module owns both the operator and its oracle text,
+    and the arithmetic is pure integers, so the compare is exact."""
+    return f"""
+        WITH raw AS ({edges_cte}),
+        e AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS lo,
+                   CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS hi
+            FROM e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+        ),
+        closing AS (
+            SELECT lo AS x, hi AS y FROM o
+            UNION ALL SELECT hi, lo FROM o
+        ),
+        tris AS (
+            -- 'pv' not 'pivot': PIVOT is a DuckDB reserved word
+            SELECT w1.lo AS pv, w1.hi AS x, w2.hi AS y
+            FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+            JOIN closing c ON c.x = w1.hi AND c.y = w2.hi
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT pv AS node FROM tris
+            UNION ALL SELECT x FROM tris
+            UNION ALL SELECT y FROM tris
+        ) GROUP BY node
+    """
