@@ -88,11 +88,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
-def triangle_sql(edges_cte: str) -> str:
-    """DuckDB twin of ``triangle_counts`` over a SQL relation named by
-    ``edges_cte`` with columns (src, dst) — the pagerank_sql_unrolled
-    discipline: ONE module owns both the operator and its oracle text,
-    and the arithmetic is pure integers, so the compare is exact."""
+def _triangle_ctes(edges_cte: str) -> str:
+    """The shared CTE chain (raw -> e -> deg -> o -> closing -> tris ->
+    tri_counts); ``triangle_sql`` and ``clustering_sql`` both finish it."""
     return f"""
         WITH raw AS ({edges_cte}),
         e AS (
@@ -120,10 +118,71 @@ def triangle_sql(edges_cte: str) -> str:
             SELECT w1.lo AS pv, w1.hi AS x, w2.hi AS y
             FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
             JOIN closing c ON c.x = w1.hi AND c.y = w2.hi
+        ),
+        tri_counts AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                SELECT pv AS node FROM tris
+                UNION ALL SELECT x FROM tris
+                UNION ALL SELECT y FROM tris
+            ) GROUP BY node
+        )"""
+
+
+def triangle_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``triangle_counts`` over a SQL relation named by
+    ``edges_cte`` with columns (src, dst) — the pagerank_sql_unrolled
+    discipline: ONE module owns both the operator and its oracle text,
+    and the arithmetic is pure integers, so the compare is exact."""
+    return _triangle_ctes(edges_cte) + "\nSELECT node, n_triangles FROM tri_counts"
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2*T(v) / (deg(v) *
+    (deg(v)-1))`` — how close a node's neighborhood is to a clique, the
+    standard community-structure signal on top of triangle counts.
+
+    Integer numerator/denominator (exact), ONE raw IEEE division at the
+    output edge (the mean_word_len contract) — so the operator stays
+    hash-exact cross-engine. Degree-1 nodes have an undefined coefficient
+    (0 possible wedges) and report 0.0 by convention; nodes in zero
+    triangles report 0.0. Output: (node, deg, n_triangles, clustering)."""
+    e = undirected_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return deg.join(tri, on="node", how="left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
+            / (F.col("deg") * (F.col("deg") - F.lit(1))),
         )
-        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-            SELECT pv AS node FROM tris
-            UNION ALL SELECT x FROM tris
-            UNION ALL SELECT y FROM tris
-        ) GROUP BY node
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def clustering_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``clustering_coefficients`` (same CTE chain as
+    ``triangle_sql``, plus the degree join and one raw division)."""
+    return (
+        _triangle_ctes(edges_cte)
+        + """
+        SELECT deg.node,
+               deg.deg,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN deg.deg >= 2
+                    THEN (2 * COALESCE(t.n_triangles, 0))
+                         / (deg.deg * (deg.deg - 1))
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN tri_counts t ON t.node = deg.node
     """
+    )

@@ -221,3 +221,39 @@ def test_triangle_counts_known_graph_and_oracle(spark):
     sgot = {r.node: r.n_triangles for r in triangle_counts(sedges).collect()}
     assert sgot == {int(k): int(v) for k, v in oracle.items()}
     assert len(sgot) > 0  # the co-order graph actually has triangles
+
+
+def test_clustering_coefficients_exact(spark):
+    """Local clustering coefficient: K4 nodes are fully clustered (1.0),
+    a pendant node reports the 0.0 convention, and the DuckDB twin
+    reproduces Spark bit-for-bit (one raw IEEE division per row)."""
+    import duckdb
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        clustering_coefficients,
+        clustering_sql,
+    )
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = k4 + [(3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.deg, r.n_triangles, r.clustering)
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[0] == (3, 3, 1.0) and got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[3][0] == 4 and got[3][1] == 3 and abs(got[3][2] - 0.5) < 1e-12
+    assert got[4] == (1, 0, 0.0)  # degree-1: 0.0 by convention
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t})" for s, t in edges)
+    )
+    oracle = {
+        int(n): (int(d), int(t), float(c))
+        for n, d, t, c in con.execute(
+            clustering_sql("SELECT src, dst FROM el")
+        ).fetchall()
+    }
+    assert got == oracle
