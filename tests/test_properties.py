@@ -436,3 +436,42 @@ def test_weighted_sample_monotone_in_weight(spark, weights, boost_idx):
     after = {r["doc_id"] for r in weighted_sample(df2, "w", k, salt="m").collect()}
     if boost_idx in before:
         assert boost_idx in after
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented triangle counting equals brute-force enumeration
+    on ARBITRARY random multigraphs (self-loops, duplicate and reversed
+    edges included): per-node counts identical, and total triangle
+    credit is divisible by 3 (each triangle credits exactly 3 corners —
+    the exactly-once materialization invariant)."""
+    import itertools
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in eset for x in e})
+    expected: dict[int, int] = {}
+    for trio in itertools.combinations(nodes, 3):
+        a, b, c = trio
+        if {(a, b), (a, c), (b, c)} <= eset:
+            for v in trio:
+                expected[v] = expected.get(v, 0) + 1
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
+    assert sum(got.values()) % 3 == 0
