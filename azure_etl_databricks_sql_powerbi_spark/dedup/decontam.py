@@ -186,3 +186,75 @@ def semantic_decontaminate(
         corpus, benchmark, threshold, id_col, vec_col
     ).filter(F.col("contaminated") == 0)
     return corpus.join(clean.select(id_col), id_col, "left_semi")
+
+
+def semantic_contamination_pruned(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """The materialized scale path for ``semantic_contamination`` (not a
+    docstring promise — the r6 IVF-PQ lesson): when the benchmark union
+    is too large to broadcast-score against every corpus vector, prune
+    with IVF cells first. Centroids are trained ON THE BENCHMARK (its
+    neighborhoods are the only ones that matter for contamination); each
+    benchmark vector gets its 1 nearest cell, each corpus vector probes
+    its ``nprobe`` nearest, candidates come from the cell equi-join —
+    pair work drops from |corpus| x |bench| to ~|corpus| x |bench| x
+    nprobe / nlist — then the EXACT cosine + per-id argmax runs on
+    candidates only.
+
+    Approximation contract (unit-tested at the operating point): a
+    contaminated doc is missed only if its nearest benchmark vector sits
+    in none of the doc's nprobe probed cells — for the near-dup cosines
+    decontamination targets, doc and match co-locate, so recall at the
+    planted-twin operating point is 1.0 while candidate pairs stay a
+    strict fraction of the cross product. Output: flagged docs only
+    (id, matched_bench_id, max_cosine) with max_cosine >= threshold —
+    the worklist form (the brute variant reports every doc)."""
+    from pyspark.sql import Window
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = train_centroids(
+        benchmark, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    b = assign_cells(
+        benchmark.select(
+            F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__b_vec")
+        ),
+        cents,
+        "__b_vec",
+        nprobe=1,
+    )
+    c = assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), cents, vec_col, nprobe=nprobe
+    )
+    pairs = c.join(b, on="cell").select(
+        F.col(id_col),
+        F.col("bench_id"),
+        cosine(vec_col, "__b_vec").alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("bench_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.round("__cos", 4) >= threshold))
+        .select(
+            F.col(id_col),
+            F.col("bench_id").alias("matched_bench_id"),
+            F.round("__cos", 4).alias("max_cosine"),
+        )
+        .orderBy(id_col)
+    )

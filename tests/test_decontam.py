@@ -114,3 +114,69 @@ def test_semantic_contamination_flags_embedding_twins(spark):
     assert got[12].matched_bench_id == 0  # id tiebreak on exact cosine tie
     clean = semantic_decontaminate(corpus, bench, threshold=0.9)
     assert {r.vec_id for r in clean.collect()} == {11, 12}
+
+
+def test_semantic_contamination_pruned_recall_and_pruning(spark):
+    """The cell-pruned variant finds every planted twin the brute
+    variant flags at the near-dup operating point (recall 1.0), while
+    its candidate join touches a strict fraction of the cross product."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination,
+        semantic_contamination_pruned,
+    )
+
+    rng = random.Random(3)
+    # benchmark: 8 well-separated cluster centers x 10 vectors
+    bench_rows, corpus_rows = [], []
+    centers = [[rng.gauss(0, 1) * 4 for _ in range(8)] for _ in range(8)]
+    for ci, ctr in enumerate(centers):
+        for i in range(10):
+            bench_rows.append(
+                (ci * 10 + i, [x + rng.gauss(0, 0.05) for x in ctr])
+            )
+    # corpus: 40 contaminated twins (near a bench vector) + 60 clean
+    for i in range(40):
+        ctr = centers[i % 8]
+        corpus_rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in ctr]))
+    for i in range(60):
+        corpus_rows.append(
+            (2000 + i, [rng.gauss(0, 1) * 4 for _ in range(8)])
+        )
+    bench = spark.createDataFrame(bench_rows, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+
+    thr = 0.95
+    brute_flagged = {
+        r.vec_id
+        for r in semantic_contamination(corpus, bench, threshold=thr).collect()
+        if r.contaminated == 1
+    }
+    pruned = semantic_contamination_pruned(
+        corpus, bench, threshold=thr, nlist=8, nprobe=2, sample_size=80
+    )
+    pruned_flagged = {r.vec_id for r in pruned.collect()}
+    assert brute_flagged, "fixture must plant real contamination"
+    # every brute-flagged twin is found by the pruned path
+    assert brute_flagged <= pruned_flagged | set(), (
+        brute_flagged - pruned_flagged
+    )
+    assert pruned_flagged == brute_flagged  # and nothing spurious
+
+    # pruning: candidate pairs are a strict fraction of the cross product
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = train_centroids(bench, nlist=8, sample_size=80)
+    b = assign_cells(
+        bench.select(F.col("vec_id").alias("bench_id"), F.col("embedding").alias("v")),
+        cents, "v", nprobe=1,
+    )
+    c = assign_cells(corpus, cents, "embedding", nprobe=2)
+    n_candidates = c.join(b, on="cell").count()
+    assert n_candidates < corpus.count() * bench.count() / 2
