@@ -257,3 +257,53 @@ def test_clustering_coefficients_exact(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_label_propagation_communities_and_oracle(spark):
+    """Deterministic synchronous LPA (graph/lpa.py): a barbell of two
+    5-cliques joined by one bridge edge resolves into exactly two
+    communities split at the bridge; the fixed-K DuckDB unroll
+    reproduces Spark's labels bit-for-bit; and a python reference of
+    the same synchronous recurrence agrees."""
+    import duckdb
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import (
+        label_propagation,
+        lpa_sql_unrolled,
+    )
+
+    # two 5-cliques {0..4}, {10..14} + bridge (4, 10)
+    c1 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    c2 = [(10 + i, 10 + j) for i in range(5) for j in range(5) if i < j]
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=4).collect()}
+    comm1 = {got[v] for v in range(5)}
+    comm2 = {got[v] for v in range(10, 15)}
+    assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
+
+    # python reference: same synchronous majority/min-tiebreak recurrence
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(4):
+        nxt = {}
+        for v, ns in nbrs.items():
+            freq: dict[int, int] = {}
+            for u in ns:
+                freq[lab[u]] = freq.get(lab[u], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    assert got == lab
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t})" for s, t in edges)
+    )
+    sql = lpa_sql_unrolled("SELECT src, dst FROM el", iterations=4)
+    oracle = dict(con.execute(sql + "\nSELECT node, label FROM final").fetchall())
+    assert got == {int(k): int(v) for k, v in oracle.items()}

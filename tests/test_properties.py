@@ -475,3 +475,33 @@ def test_triangle_counts_match_brute_force(spark, edges):
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expected
     assert sum(got.values()) % 3 == 0
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_reference(spark, edges):
+    """Synchronous LPA equals a pure-python replay of the same
+    majority/min-tiebreak recurrence on ARBITRARY random graphs — the
+    determinism contract that makes the operator oracle-checkable."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import label_propagation
+
+    eset = {(a, b) for a, b in edges if a != b}
+    if not eset:
+        return
+    nbrs: dict[int, set[int]] = {}
+    for a, b in eset:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in nbrs.items():
+            freq: dict[int, int] = {}
+            for u in ns:
+                freq[lab[u]] = freq.get(lab[u], 0) + 1
+            nxt[v] = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = nxt
+
+    df = spark.createDataFrame(list(eset), "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    assert got == lab
