@@ -64,28 +64,40 @@ def _run_pagerank(
     damping: float,
     iterations: int,
     dangling: bool,
+    seeds: list | None = None,
 ) -> DataFrame:
     """The shared superstep loop over prepared relations. ``e`` must be
-    (src, dst) DISTINCT; ``nodes`` the node inventory. Returns the final
-    (node, rank_m, rank) EAGERLY materialized (localCheckpoint) so
-    callers can release their cached/persisted inputs immediately."""
+    (src, dst) DISTINCT; ``nodes`` the node inventory. ``seeds`` switches
+    to PERSONALIZED PageRank: teleport mass (the (1-damping) base, the
+    initial distribution, and any redistributed dangling mass) lands
+    only on the seed set instead of uniformly — rank becomes relevance
+    FROM the seeds. Returns the final (node, rank_m, rank) EAGERLY
+    materialized (localCheckpoint) so callers can release their
+    cached/persisted inputs immediately."""
     n = nodes.count()  # bounded: one scalar off a distinct count
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
-    base_m = int((1.0 - damping) * MICRO // n)  # floor of exact double div
-    init_m = MICRO // n
-    ranks = nodes.select("node", F.lit(init_m).cast("long").alias("rank_m"))
+    n_base = len(seeds) if seeds else n
+    base_m = int((1.0 - damping) * MICRO // n_base)  # floor of exact double div
+    init_m = MICRO // n_base
+    is_seed = F.col("node").isin(list(seeds)) if seeds else F.lit(True)
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(init_m)).otherwise(F.lit(0)).cast("long").alias("rank_m"),
+    )
 
     for _ in range(iterations):
         contribs = superstep_contribs(ranks, e, outdeg, damping)
-        new_rank = F.lit(base_m) + F.coalesce("in_m", F.lit(0))
+        base_expr = F.when(is_seed, F.lit(base_m)).otherwise(F.lit(0))
+        new_rank = base_expr + F.coalesce("in_m", F.lit(0))
         nxt = nodes.join(contribs, on="node", how="left")
         if dangling:
             # redistribute the dangling mass: nodes with no out-edges give
-            # floor(damping * sum(their rank_m) / n) to EVERY node — the
-            # standard correction, kept integer-exact (one 1-row aggregate
-            # cross-joined in-plan, no per-iteration driver action; the
-            # same arithmetic unrolls in the SQL twin)
+            # floor(damping * sum(their rank_m) / n_base) to every BASE
+            # node (all nodes, or the seed set under personalization) —
+            # kept integer-exact (one 1-row aggregate cross-joined
+            # in-plan, no per-iteration driver action; the same
+            # arithmetic unrolls in the SQL twin)
             dang = (
                 ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
                 .agg(
@@ -94,10 +106,12 @@ def _run_pagerank(
                     .alias("dang_m")
                 )
             )
-            share = (
-                F.floor((F.col("dang_m") * F.lit(damping)) / F.lit(n))
-                .cast("long")
-            )
+            share = F.when(
+                is_seed,
+                F.floor((F.col("dang_m") * F.lit(damping)) / F.lit(n_base)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
             nxt = nxt.crossJoin(F.broadcast(dang))
             new_rank = new_rank + share
         ranks = (
@@ -145,6 +159,39 @@ def pagerank(
         .persist()
     )
     out = _run_pagerank(e, nodes, damping, iterations, dangling)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    dangling: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: relevance of every node FROM a seed set —
+    teleport mass (base, init, dangling redistribution) lands only on
+    ``seeds``, so rank measures proximity in link structure to the seeds
+    (the recommendation / related-entities primitive). Same integer
+    micro-unit state and SQL twin (``pagerank_sql_unrolled(seeds=...)``)
+    as the global variant — hash-exact."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out = _run_pagerank(e, nodes, damping, iterations, dangling, seeds=seeds)
     e.unpersist()
     nodes.unpersist()
     return out
@@ -198,28 +245,54 @@ def pagerank_bucketed(
     return out
 
 
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(int(v))
+
+
 def pagerank_sql_unrolled(
     edges_cte: str,
     damping: float = 0.85,
     iterations: int = 3,
     dangling: bool = False,
+    seeds: list | None = None,
 ) -> str:
-    """Generate the EXACT DuckDB twin of ``pagerank`` (same ``dangling``
-    semantics): the fixed-K iteration unrolled as a CTE chain over the
-    same integer micro-unit arithmetic. ``edges_cte`` must be a SQL
-    relation named ``e`` with columns (src, dst), already DISTINCT."""
+    """Generate the EXACT DuckDB twin of ``pagerank`` /
+    ``personalized_pagerank`` (same ``dangling``/``seeds`` semantics):
+    the fixed-K iteration unrolled as a CTE chain over the same integer
+    micro-unit arithmetic. ``edges_cte`` must be a SQL relation named
+    ``e`` with columns (src, dst), already DISTINCT."""
     # CAST the damping literal to DOUBLE: a bare 0.85 types as
     # DECIMAL(3,2) in DuckDB, which would multiply rank_m in exact
     # decimal while Spark does an IEEE double multiply — the products
     # can differ by 1 ulp near a floor boundary (ADVICE r6). With the
     # cast both engines run the identical IEEE arithmetic.
     d = f"CAST({damping!r} AS DOUBLE)"
+    if seeds:
+        # personalized: base/init/dangling land on the seed set only.
+        # The literals are computed HERE with the same python float
+        # arithmetic the DataFrame loop uses, then emitted verbatim —
+        # trivially identical across engines.
+        n_base = len(seeds)
+        base_lit = str(int((1.0 - damping) * MICRO // n_base))
+        init_lit = str(MICRO // n_base)
+        seed_pred = f"node IN ({', '.join(_sql_lit(s) for s in seeds)})"
+        base_sql = f"CASE WHEN nodes.{seed_pred} THEN {base_lit} ELSE 0 END"
+        init_sql = f"CASE WHEN {seed_pred} THEN {init_lit} ELSE 0 END"
+        dang_div = str(n_base)
+        dang_gate = f"CASE WHEN nodes.{seed_pred} THEN 1 ELSE 0 END * "
+    else:
+        base_sql = f"CAST(FLOOR((1.0 - {d}) * 1000000 / (SELECT n FROM n)) AS BIGINT)"
+        init_sql = "CAST(1000000 // (SELECT n FROM n) AS BIGINT)"
+        dang_div = "(SELECT n FROM n)"
+        dang_gate = ""
     sql = [
         f"WITH e AS ({edges_cte}),",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
         "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),",
         "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),",
-        "r0 AS (SELECT node, CAST(1000000 // (SELECT n FROM n) AS BIGINT) AS rank_m FROM nodes),",
+        f"r0 AS (SELECT node, CAST({init_sql} AS BIGINT) AS rank_m FROM nodes),",
     ]
     for i in range(iterations):
         prev, cur = f"r{i}", f"r{i + 1}"
@@ -232,12 +305,12 @@ def pagerank_sql_unrolled(
                 f" FROM {prev} WHERE node NOT IN (SELECT src FROM outdeg)),"
             )
             dang_term = (
-                f" + CAST(FLOOR(((SELECT dang_m FROM dang{i}) * {d})"
-                f" / (SELECT n FROM n)) AS BIGINT)"
+                f" + {dang_gate}CAST(FLOOR(((SELECT dang_m FROM dang{i}) * {d})"
+                f" / {dang_div}) AS BIGINT)"
             )
         sql.append(
             f"{cur} AS (SELECT nodes.node, CAST("
-            f"CAST(FLOOR((1.0 - {d}) * 1000000 / (SELECT n FROM n)) AS BIGINT)"
+            f"{base_sql}"
             f" + COALESCE(c.in_m, 0){dang_term} AS BIGINT) AS rank_m FROM nodes LEFT JOIN ("
             f"SELECT e.dst AS node, CAST(SUM(CAST(FLOOR((p.rank_m * {d}) / o.outdeg) AS BIGINT)) AS BIGINT) AS in_m"
             f" FROM {prev} p JOIN e ON e.src = p.node JOIN outdeg o ON o.src = e.src"

@@ -307,3 +307,84 @@ def test_label_propagation_communities_and_oracle(spark):
     sql = lpa_sql_unrolled("SELECT src, dst FROM el", iterations=4)
     oracle = dict(con.execute(sql + "\nSELECT node, label FROM final").fetchall())
     assert got == {int(k): int(v) for k, v in oracle.items()}
+
+
+def _py_ppr(edges, seeds, d=0.85, iters=3, dangling=False):
+    nodes = sorted({x for e in edges for x in e})
+    out: dict[int, int] = {}
+    for s, _ in set(edges):
+        out[s] = out.get(s, 0) + 1
+    nb = len(seeds)
+    base = math.floor((1.0 - d) * MICRO / nb)
+    init = MICRO // nb
+    r = {v: (init if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out) if dangling else 0
+        share = math.floor((dang * d) / nb) if dangling else 0
+        nxt = {
+            v: (base + share if v in seeds else 0) for v in nodes
+        }
+        for s, t in set(edges):
+            nxt[t] += math.floor((r[s] * d) / out[s])
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_exact_and_seed_locality(spark):
+    """Personalized PageRank: teleport mass lands only on the seed set,
+    so rank concentrates near the seeds (node 5's component dominates
+    when seeded there, unlike the global variant where hub 0 wins);
+    Spark ≡ python reference ≡ DuckDB unroll bit-for-bit, including the
+    dangling+seeds interaction."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        pagerank_sql_unrolled,
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["rank_m"]
+        for r in personalized_pagerank(df, seeds=[5], iterations=3).collect()
+    }
+    assert got == _py_ppr(EDGES, {5})
+    # locality: the seeded component outranks the star hub
+    assert got[5] > got[0] and got[6] > got[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t})" for s, t in EDGES)
+    )
+    sql = pagerank_sql_unrolled(
+        "SELECT DISTINCT src, dst FROM el", iterations=3, seeds=[5]
+    )
+    oracle = dict(con.execute(sql + "\nSELECT node, rank_m FROM final").fetchall())
+    assert got == {int(k): int(v) for k, v in oracle.items()}
+
+    # dangling + seeds: redistribution gated to the seed set, still exact
+    ddf = spark.createDataFrame(DANGLING_EDGES, "src long, dst long")
+    got_d = {
+        r["node"]: r["rank_m"]
+        for r in personalized_pagerank(
+            ddf, seeds=[0, 1], iterations=3, dangling=True
+        ).collect()
+    }
+    assert got_d == _py_ppr(DANGLING_EDGES, {0, 1}, dangling=True)
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t})" for s, t in DANGLING_EDGES)
+    )
+    sql_d = pagerank_sql_unrolled(
+        "SELECT DISTINCT src, dst FROM el", iterations=3, dangling=True,
+        seeds=[0, 1],
+    )
+    oracle_d = dict(
+        con2.execute(sql_d + "\nSELECT node, rank_m FROM final").fetchall()
+    )
+    assert got_d == {int(k): int(v) for k, v in oracle_d.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(df, seeds=[])
