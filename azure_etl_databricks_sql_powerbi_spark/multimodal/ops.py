@@ -567,3 +567,71 @@ def land_media_files(
     counts = df.select(id_col, content_col).mapInPandas(write_batches, "n bigint")
     # bounded collect: one row per task
     return int(sum(r["n"] for r in counts.collect()))
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, content binary, content_sha256 string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize — the remaining slot in the multimodal quartet
+    (decode / feature-extract / RESIZE / frame-sample): decode each
+    payload through the shared codec dispatch (``_decode_rgb``: PIL when
+    importable, stdlib PNG codec otherwise), nearest-neighbor resample to
+    ``out_w x out_h`` with PURE integer index arithmetic
+    (``src = floor(dst * src_dim / dst_dim)`` — the classic NN grid, no
+    float filtering, so the result is bit-deterministic across runs,
+    partitionings, and machines), and re-encode with the stdlib PNG
+    writer. One Arrow ``mapInPandas`` in the scan stage, zero shuffles —
+    at 100 TB this is the thumbnail/normalize pass before feature
+    extraction, with the codec swapped per batch.
+
+    Output: (media_id, width, height, content [resized PNG bytes],
+    content_sha256)."""
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: see attach_generated_png
+        import hashlib as _hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import _decode_rgb
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.png import encode_png
+
+        for pdf in it:
+            ids, ws, hs, blobs, shas = [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                w, h, pixels = _decode_rgb(bytes(data))
+                px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                # nearest-neighbor source index per destination pixel
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = px[ys[:, None], xs[None, :], :]
+                payload = encode_png(out_w, out_h, resized.tobytes())
+                ids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                blobs.append(payload)
+                shas.append(_hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "content": blobs,
+                    "content_sha256": shas,
+                }
+            )
+
+    return spread(df).mapInPandas(batches, RESIZED_SCHEMA)

@@ -396,3 +396,52 @@ def test_binary_file_landing_roundtrip(spark, tmp_path):
     # idempotent re-land: same names, same bytes, same count
     assert ops.land_media_files(media, out) == 8
     assert read_binary_files(spark, out, glob="*.png").count() == 8
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """resize_images: downscaling a generated raster picks EXACTLY the
+    nearest-neighbor source pixels (src = dst*src_dim // dst_dim), the
+    output decodes to the requested dims through the same codec, and the
+    operation is deterministic across repartitionings."""
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    # 4x4 raster with a distinct color per pixel (r = y*16, g = x*16)
+    w, h = 4, 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (y * 16, x * 16, 7)
+    payload = encode_png(w, h, px.tobytes())
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+
+    out = ops.resize_images(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (2, 2)
+    rw, rh, ch, rpx = decode_png(bytes(r.content))
+    assert (rw, rh, ch) == (2, 2, 3)
+    got = np.frombuffer(rpx, dtype=np.uint8).reshape(2, 2, 3)
+    # NN source indices for dst 0,1 of dim 2 from dim 4: (0*4)//2=0, (1*4)//2=2
+    expected = px[[0, 2]][:, [0, 2], :]
+    assert np.array_equal(got, expected)
+
+    # upscale roundtrip: every output pixel replicates a source pixel
+    up = ops.resize_images(df, out_w=8, out_h=8).collect()[0]
+    uw, uh, _c, upx = decode_png(bytes(up.content))
+    assert (uw, uh) == (8, 8)
+    u = np.frombuffer(upx, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(u[0, 0], px[0, 0]) and np.array_equal(u[7, 7], px[3, 3])
+
+    # determinism across partitionings
+    df4 = spark.createDataFrame(
+        [(i, payload) for i in range(6)], "media_id long, content binary"
+    ).repartition(5)
+    a = {r.media_id: r.content_sha256 for r in ops.resize_images(df4, 2, 2).collect()}
+    b = {r.media_id: r.content_sha256 for r in ops.resize_images(df4.repartition(2), 2, 2).collect()}
+    assert a == b and len(set(a.values())) == 1
