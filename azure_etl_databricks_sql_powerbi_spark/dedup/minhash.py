@@ -202,3 +202,128 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ------------------------------------------------ persisted LSH index
+
+
+def save_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus's LSH state so day-N batches find near-dups
+    AGAINST the corpus without ever re-shingling it — the near-dup
+    completion of the persisted-state family (exact dedup has
+    ``save_corpus_state``; ANN has ``similarity.index.save_index``):
+
+    - ``{path}/bands/`` — (band_idx, band_hash, id, bucket_size) parquet,
+      PARTITIONED BY band_idx: a probe joins on (band_idx, band_hash), so
+      each of the b band joins reads only its own partition, and
+      ``bucket_size`` is precomputed so the boilerplate guard
+      (``max_bucket``) filters index-side WITHOUT re-counting.
+    - ``{path}/shingles/`` — (id, sh) distinct shingle-hash sets for the
+      exact-Jaccard verify (8-byte hashes, never text).
+    - ``{path}/meta.json`` — the signature parameters; a probe MUST use
+      identical (ngram, num_hashes, bands, seed) or buckets are garbage,
+      so the probe reads them from here rather than trusting the caller.
+
+    The corpus is scanned exactly once (one signature aggregate feeds
+    both outputs)."""
+    import json
+    import os
+
+    from pyspark.sql import Window as W
+
+    sig = _signature_with_sets(corpus, text_col, id_col, ngram, num_hashes, seed)
+    sig = sig.persist()
+    band_rows = sig.select(
+        "id",
+        F.posexplode(F.array(*band_cols(num_hashes, bands))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    sized = band_rows.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(W.partitionBy("band_idx", "band_hash")),
+    )
+    sized.write.mode("overwrite").partitionBy("band_idx").parquet(
+        os.path.join(path, "bands")
+    )
+    sig.select("id", "sh").write.mode("overwrite").parquet(
+        os.path.join(path, "shingles")
+    )
+    sig.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {"ngram": ngram, "num_hashes": num_hashes, "bands": bands, "seed": seed},
+            fh,
+        )
+
+
+def near_dups_against_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs between ``batch`` and the indexed corpus —
+    the corpus side costs parquet scans only (band buckets + shingle
+    sets), never a re-shingle: the batch is signed with the INDEX's
+    parameters (read from meta.json), batch band rows equi-join the
+    stored buckets (band_idx partition pruning + the precomputed
+    ``bucket_size <= max_bucket`` boilerplate guard), and candidates are
+    verified with the same exact-Jaccard the one-shot operator uses,
+    reading corpus shingle sets FROM the index.
+
+    Output: (batch_id, corpus_id, jaccard) with jaccard >= threshold;
+    a batch doc that IS in the corpus (same id) self-matches — filter
+    ``batch_id != corpus_id`` upstream if ids share a space and that is
+    unwanted."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    bsig = _signature_with_sets(
+        batch, text_col, id_col, meta["ngram"], meta["num_hashes"], meta["seed"]
+    ).persist()
+    bband = bsig.select(
+        F.col("id").alias("batch_id"),
+        F.posexplode(
+            F.array(*band_cols(meta["num_hashes"], meta["bands"]))
+        ).alias("band_idx", "band_hash"),
+    )
+    index_bands = spark.read.parquet(os.path.join(path, "bands")).filter(
+        F.col("bucket_size") <= max_bucket
+    )
+    cands = (
+        bband.join(index_bands, on=["band_idx", "band_hash"])
+        .select("batch_id", F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    corpus_sets = spark.read.parquet(os.path.join(path, "shingles")).select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")
+    )
+    batch_sets = bsig.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    out = (
+        cands.join(batch_sets, on="batch_id")
+        .join(corpus_sets, on="corpus_id")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    out = out.localCheckpoint(eager=True)
+    bsig.unpersist()
+    return out

@@ -535,3 +535,48 @@ def test_hll_state_row_is_model_sized(spark):
     state = distinct_state(df, ["g"], ["v"], lg_k=12)
     n_bytes = state.select(F.octet_length("v_hll").alias("b")).collect()[0]["b"]
     assert n_bytes < 64 * 1024, n_bytes
+
+
+def test_minhash_index_day2_probe_finds_near_dups(spark, tmp_path):
+    """Persisted LSH index (dedup/minhash.save_minhash_index /
+    near_dups_against_index): a day-2 batch finds its near-dups AGAINST
+    the indexed corpus — exact dup at jaccard 1.0, one-word edit above
+    threshold, novel doc absent — while the probe never receives the
+    corpus frame at all (structurally incapable of re-shingling it)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import (
+        near_dups_against_index,
+        save_minhash_index,
+    )
+
+    # doc texts distinct enough not to cross-match at 0.6
+    corpus_rows = [
+        (i, f"doc{i} token{i}a token{i}b token{i}c token{i}d token{i}e "
+            f"token{i}f token{i}g token{i}h token{i}i token{i}j")
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    save_minhash_index(corpus, str(tmp_path / "lsh"), num_hashes=32, bands=8)
+
+    batch = spark.createDataFrame(
+        [
+            (101, corpus_rows[5][1].replace("token5j", "changed")),  # near-dup of 5
+            (102, corpus_rows[7][1]),                                # exact dup of 7
+            (103, "totally novel words qq ww ee rr tt yy uu ii oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dups_against_index(
+        batch, spark, str(tmp_path / "lsh"), threshold=0.6
+    )
+    got = {(r.batch_id, r.corpus_id): r.jaccard for r in out.collect()}
+    assert (102, 7) in got and got[(102, 7)] == 1.0
+    assert (101, 5) in got and 0.6 <= got[(101, 5)] < 1.0
+    assert not any(b == 103 for b, _c in got)
+    # no spurious cross-matches
+    assert set(got) == {(102, 7), (101, 5)}
+
+    # probing with a boilerplate guard of 0 drops every bucket -> empty
+    empty = near_dups_against_index(
+        batch, spark, str(tmp_path / "lsh"), threshold=0.6, max_bucket=0
+    )
+    assert empty.count() == 0
