@@ -445,3 +445,46 @@ def test_resize_images_nearest_neighbor_exact(spark):
     a = {r.media_id: r.content_sha256 for r in ops.resize_images(df4, 2, 2).collect()}
     b = {r.media_id: r.content_sha256 for r in ops.resize_images(df4.repartition(2), 2, 2).collect()}
     assert a == b and len(set(a.values())) == 1
+
+
+def test_resample_audio_preserves_duration_and_tone(spark):
+    """resample_audio: 2x downsample halves the sample count (duration
+    preserved at the new rate), picks exactly the even-index samples
+    (NN with in_rate/out_rate = 2), roundtrips through the codec, and a
+    resampled pure tone still features at the same frequency."""
+    import math
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rate_in, n = 8000, 1600
+    tone = [
+        int(8000 * math.sin(2 * math.pi * 440 * t / rate_in)) for t in range(n)
+    ]
+    payload = encode_wav(tone, sample_rate=rate_in)
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+
+    out = ops.resample_audio(df, out_rate=4000).collect()[0]
+    assert (out.sample_rate, out.n_samples) == (4000, 800)
+    got_rate, ch, samples = decode_wav(bytes(out.content))
+    assert (got_rate, ch, len(samples)) == (4000, 1, 800)
+    assert samples == tone[::2]  # exact NN pick at ratio 2
+
+    # the 440 Hz tone survives: dominant FFT bin at the new rate
+    import numpy as np
+
+    spec = np.abs(np.fft.rfft(np.asarray(samples, dtype=np.float64)))
+    dom_hz = np.argmax(spec[1:]) + 1  # skip DC
+    dom_hz = dom_hz * 4000 / 800
+    assert abs(dom_hz - 440) <= 4000 / 800  # within one bin
+
+    # determinism across partitionings
+    df6 = spark.createDataFrame(
+        [(i, payload) for i in range(6)], "media_id long, content binary"
+    )
+    a = {r.media_id: r.content_sha256 for r in ops.resample_audio(df6.repartition(5), 4000).collect()}
+    b = {r.media_id: r.content_sha256 for r in ops.resample_audio(df6.repartition(2), 4000).collect()}
+    assert a == b and len(set(a.values())) == 1
