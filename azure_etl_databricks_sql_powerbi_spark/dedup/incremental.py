@@ -60,9 +60,17 @@ def build_bloom(
     Driver-side contract (documented, bounded): the collect returns at
     most ``num_partitions`` bitmaps of ``n_bits/8`` bytes each — sized by
     the filter, never by the data. Returns (bitmap, n_bits, k)."""
+    n_bits, k = bloom_params(expected_items, fpp)
+    return bloom_bitmap(df, hash_col, n_bits, k), n_bits, k
+
+
+def bloom_bitmap(df: DataFrame, hash_col: str, n_bits: int, k: int) -> bytes:
+    """Bitmap with FIXED (n_bits, k) — the mergeable primitive: bitmaps
+    built with identical parameters OR together losslessly, which is what
+    lets ``absorb_batch`` fold a day-N batch into an existing state
+    without touching the corpus."""
     from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent as _pp
 
-    n_bits, k = bloom_params(expected_items, fpp)
     pkg_parent = _pp()
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,7 +102,7 @@ def build_bloom(
     acc = np.zeros(n_bits // 8, dtype=np.uint8)
     for row in df.select(hash_col).mapInPandas(partial, "bitmap binary").collect():
         acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return acc.tobytes(), n_bits, k
+    return acc.tobytes()
 
 
 def split_by_bloom(
@@ -254,6 +262,60 @@ def load_corpus_state(spark: SparkSession, path: str) -> CorpusState:
         bitmap = fh.read()
     fingerprints = spark.read.parquet(os.path.join(path, "fingerprints"))
     return CorpusState(fingerprints, bitmap, meta["n_bits"], meta["k"])
+
+
+def absorb_batch(
+    state: CorpusState,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> CorpusState:
+    """Fold a day-N batch INTO the persisted state — continuous-ingestion
+    maintenance with ZERO corpus work, the property the mergeable
+    primitives were chosen for: bloom bitmaps with fixed (n_bits, k) OR
+    losslessly (``bloom_bitmap``), and the fingerprint table appends.
+
+    Steps (all sized by the batch, never the corpus): distinct batch
+    fingerprints → LEFT ANTI against the state's fingerprint parquet
+    (keeps the table distinct; the bloom prunes nothing here by design —
+    correctness first, this is a state write) → append the genuinely-new
+    fingerprints → OR their bitmap into the state's and rewrite
+    ``bloom.bin``. Returns the refreshed state (reading fingerprints
+    back from parquet; the old state's broadcast is released).
+
+    fpp drift: the bitmap's size was chosen for the ORIGINAL corpus
+    inventory, so absorbing far beyond it raises the effective
+    false-positive rate — which costs exact-confirm work, never
+    correctness (the anti-join stays exact at ANY fpp). The compaction
+    job is a periodic ``save_corpus_state`` re-size, the same cadence as
+    the ANN re-index."""
+    spark = batch.sparkSession
+    fp, h = _fingerprint_cols(text_col)
+    fp_path = os.path.join(path, "fingerprints")
+    existing = spark.read.parquet(fp_path)
+    new_fps = (
+        batch.select(fp.alias("fingerprint"), h.alias("h"))
+        .distinct()
+        .join(existing.select("fingerprint"), on="fingerprint", how="left_anti")
+    )
+    # localCheckpoint BEFORE the append: the append rewrites the relation
+    # new_fps's anti-join reads, and the bitmap build below must see the
+    # SAME novel set the append wrote
+    new_fps = new_fps.localCheckpoint(eager=True)
+    new_fps.write.mode("append").parquet(fp_path)
+    import numpy as np
+
+    batch_bits = bloom_bitmap(new_fps, "h", state.n_bits, state.k)
+    merged = (
+        np.frombuffer(state.bitmap, dtype=np.uint8)
+        | np.frombuffer(batch_bits, dtype=np.uint8)
+    ).tobytes()
+    with open(os.path.join(path, "bloom.bin"), "wb") as fh:
+        fh.write(merged)
+    state.unpersist()
+    return CorpusState(
+        spark.read.parquet(fp_path), merged, state.n_bits, state.k
+    )
 
 
 def novel_documents_against_state(

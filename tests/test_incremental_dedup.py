@@ -580,3 +580,43 @@ def test_minhash_index_day2_probe_finds_near_dups(spark, tmp_path):
         batch, spark, str(tmp_path / "lsh"), threshold=0.6, max_bucket=0
     )
     assert empty.count() == 0
+
+
+def test_absorb_batch_day3_sees_day2_docs(spark, tmp_path):
+    """Continuous ingestion: day-2's batch absorbed into the persisted
+    state makes day-3 probes treat those docs as corpus — results equal
+    a full anti-join against corpus ∪ batch2, the fingerprint table
+    stays distinct, and the merged bloom keeps zero false negatives."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incremental.save_corpus_state(corpus, str(tmp_path / "state"), fpp=0.01)
+    state = incremental.load_corpus_state(spark, str(tmp_path / "state"))
+
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0)
+    state = incremental.absorb_batch(state, batch2, str(tmp_path / "state"))
+
+    batch3 = docs.filter(F.col("doc_id") % 2 == 0)
+    got = incremental.novel_documents_against_state(batch3, state)
+    absorbed = corpus.unionByName(batch2)
+    expected = batch3.select("doc_id", F.md5("text").alias("fingerprint")).join(
+        absorbed.select(F.md5("text").alias("fingerprint")).distinct(),
+        on="fingerprint",
+        how="left_anti",
+    )
+    assert got.count() == expected.count()
+    assert got.join(expected, ["doc_id", "fingerprint"]).count() == expected.count()
+
+    # fingerprint table stayed distinct after the append
+    fps = spark.read.parquet(str(tmp_path / "state" / "fingerprints"))
+    assert fps.count() == fps.select("fingerprint").distinct().count()
+
+    # merged bloom: every absorbed doc probes positive (no false negatives)
+    probed = incremental.split_by_bloom(
+        absorbed.select(F.xxhash64("text").alias("__h")),
+        "__h",
+        state.bitmap,
+        state.n_bits,
+        state.k,
+    )
+    assert probed.filter(F.col("__bloom_hit") == 0).count() == 0
+    state.unpersist()
