@@ -395,3 +395,81 @@ def test_tws_plan_builds_without_execution(spark, events_dir):
     (out2,) = list(p.handleInputRows((7,), iter([b2]), None))
     assert out1.iloc[0].tolist() == [7, 2, 1.5]
     assert out2.iloc[0].tolist() == [7, 3, 3.5]
+
+
+def test_streaming_dedup_against_persisted_state(spark, tmp_path):
+    """Continuous-ingestion dedup end-to-end: a file stream drains
+    micro-batch by micro-batch through foreachBatch, each batch probes
+    the PERSISTED corpus state (exact NOT-EXISTS, unbounded history —
+    beyond dropDuplicatesWithinWatermark's bounded window), appends only
+    novel docs to the target, and absorbs them into the state so LATER
+    micro-batches see them. Cross-batch dups and corpus dups both land
+    exactly zero extra rows."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup import incremental
+    from azure_etl_databricks_sql_powerbi_spark.streaming import structured
+
+    state_dir = str(tmp_path / "state")
+    src_dir = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ck = str(tmp_path / "ck")
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    incremental.save_corpus_state(corpus, state_dir, fpp=0.01)
+
+    # wave 1: 5 novel + 2 corpus dups; wave 2: 3 novel + 2 REPEATS of wave 1
+    wave1 = [(100 + i, f"novel one {i}") for i in range(5)] + [
+        (900, "corpus doc 3"),
+        (901, "corpus doc 7"),
+    ]
+    wave2 = [(200 + i, f"novel two {i}") for i in range(3)] + [
+        (902, "novel one 0"),
+        (903, "novel one 4"),
+    ]
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    spark.createDataFrame(wave1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    spark.createDataFrame(wave2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    holder = {"state": incremental.load_corpus_state(spark, state_dir)}
+
+    def sink(batch_df, _epoch):
+        novel_ids = incremental.novel_documents_against_state(
+            batch_df, holder["state"]
+        ).select("doc_id")
+        novel = batch_df.join(novel_ids, on="doc_id")
+        novel.write.mode("append").parquet(target)
+        holder["state"] = incremental.absorb_batch(
+            holder["state"], novel, state_dir
+        )
+
+    stream = structured.stream_files(
+        spark, src_dir, "doc_id long, text string", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.text for r in spark.read.parquet(target).collect()}
+    # exactly the 8 novel texts; corpus dups and cross-batch repeats dropped
+    assert got == {f"novel one {i}" for i in range(5)} | {
+        f"novel two {i}" for i in range(3)
+    }
+    assert spark.read.parquet(target).count() == 8
+    # and the final persisted state knows everything: a replay of both
+    # waves yields zero novel docs
+    replay = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    final_state = incremental.load_corpus_state(spark, state_dir)
+    assert incremental.novel_documents_against_state(replay, final_state).count() == 0
+    final_state.unpersist()
+    holder["state"].unpersist()
