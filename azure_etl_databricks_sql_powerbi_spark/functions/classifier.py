@@ -226,3 +226,26 @@ def distill_quality_classifier(
         .select(id_col, "n_tokens", "logit", "predicted_keep", "rule_keep")
         .orderBy(id_col)
     )
+
+
+def save_classifier(weights: DataFrame, prior: DataFrame, path: str) -> None:
+    """Persist a trained model — (bucket, w_m) weights + 1-row prior —
+    as two small parquet tables: train once on the full corpus, apply
+    nightly to new batches (the persisted-trained-state contract shared
+    by the dedup/ANN/BPE/CMS tiers). The model is n_buckets rows of
+    integers; loading is one bounded read."""
+    import os
+
+    weights.write.mode("overwrite").parquet(os.path.join(path, "weights"))
+    prior.write.mode("overwrite").parquet(os.path.join(path, "prior"))
+
+
+def load_classifier(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a ``save_classifier`` model: (weights, prior) frames that
+    plug straight into ``apply_linear_classifier``."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "weights")),
+        spark.read.parquet(os.path.join(path, "prior")),
+    )

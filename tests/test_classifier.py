@@ -82,3 +82,54 @@ def test_weight_table_is_model_sized(spark):
     w = train_bucket_log_odds(ltoks).collect()
     assert len(w) <= 64
     assert all(r.w_m is not None for r in w)
+
+
+def test_classifier_save_load_apply_identical(spark, tmp_path):
+    """Model persistence: scores from the loaded model equal the
+    in-memory model's exactly (integer weights roundtrip losslessly) —
+    train once, apply to day-N batches."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens as _t
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    from azure_etl_databricks_sql_powerbi_spark.functions.classifier import (
+        N_LEN_BANDS,
+        N_STOP_BANDS,
+        feature_rows,
+        train_bucket_log_odds,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    keep = gopher_quality_flags("text", min_words=10, max_words=200)["keep"]
+    labeled = docs.select("doc_id", "text", keep.alias("__label"))
+    feats = feature_rows(labeled, "text", "doc_id", 64).join(
+        labeled.select("doc_id", "__label"), on="doc_id"
+    )
+    weights = train_bucket_log_odds(feats, n_buckets=64 + N_LEN_BANDS + N_STOP_BANDS)
+    prior = labeled.agg(
+        F.floor(
+            F.ln(
+                (F.sum("__label") + F.lit(1.0))
+                / (F.sum(F.lit(1) - F.col("__label")) + F.lit(1.0))
+            )
+            * F.lit(1e6)
+        ).cast("long").alias("prior_m")
+    )
+    save_classifier(weights, prior, str(tmp_path / "model"))
+    lw, lp = load_classifier(spark, str(tmp_path / "model"))
+
+    batch = docs.limit(50)
+    a = {
+        r.doc_id: (r.n_tokens, r.logit, r.predicted_keep)
+        for r in apply_linear_classifier(batch, weights, prior, n_buckets=64).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.logit, r.predicted_keep)
+        for r in apply_linear_classifier(batch, lw, lp, n_buckets=64).collect()
+    }
+    assert a == b
