@@ -43,15 +43,25 @@ def superstep_contribs(
     out so the bucketed-edge plan shape is directly testable — with ``e``
     and ``outdeg`` read off a table bucketed by ``src``, this join plans
     with NO Exchange on the edge side (only the node-sized ranks frame
-    shuffles into the bucket partitioning)."""
+    shuffles into the bucket partitioning).
+
+    Weighted mode engages when ``e`` carries an integer ``w`` column
+    (and ``outdeg`` the matching ``out_w`` sum): each neighbor receives
+    ``floor(((rank_m * d) * w) / out_w)`` — mass proportional to edge
+    weight, parenthesization pinned so the SQL twin runs the identical
+    IEEE chain."""
+    if "w" in e.columns:
+        contrib = F.floor(
+            ((F.col("rank_m") * F.lit(damping)) * F.col("w")) / F.col("out_w")
+        )
+    else:
+        contrib = F.floor((F.col("rank_m") * F.lit(damping)) / F.col("outdeg"))
     return (
         ranks.join(e, ranks["node"] == e["src"])
         .join(outdeg, on="src")
         .select(
             F.col("dst").alias("node"),
-            F.floor((F.col("rank_m") * F.lit(damping)) / F.col("outdeg"))
-            .cast("long")
-            .alias("contrib_m"),
+            contrib.cast("long").alias("contrib_m"),
         )
         .groupBy("node")
         .agg(F.sum("contrib_m").alias("in_m"))
@@ -75,7 +85,10 @@ def _run_pagerank(
     materialized (localCheckpoint) so callers can release their
     cached/persisted inputs immediately."""
     n = nodes.count()  # bounded: one scalar off a distinct count
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if "w" in e.columns:
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    else:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     n_base = len(seeds) if seeds else n
     base_m = int((1.0 - damping) * MICRO // n_base)  # floor of exact double div
@@ -139,6 +152,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     dangling: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list. Returns
     ``(node, rank_m, rank)``: integer micro-unit rank (the exact,
@@ -148,9 +162,26 @@ def pagerank(
     ``floor(1e6/n)`` micro-units each. ``dangling=True`` redistributes
     out-degree-0 mass uniformly each superstep (integer-exact, mirrored
     in ``pagerank_sql_unrolled``); the default drops it, matching the
-    classic "remove dangling mass" simplification.
+    classic "remove dangling mass" simplification. ``weight_col`` (an
+    INTEGER column — e.g. co-occurrence counts) splits each node's mass
+    proportionally to edge weight instead of uniformly; duplicate
+    (src, dst) rows SUM their weights, so an un-deduped co-occurrence
+    log is a valid weighted input as-is.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -257,12 +288,14 @@ def pagerank_sql_unrolled(
     iterations: int = 3,
     dangling: bool = False,
     seeds: list | None = None,
+    weighted: bool = False,
 ) -> str:
     """Generate the EXACT DuckDB twin of ``pagerank`` /
-    ``personalized_pagerank`` (same ``dangling``/``seeds`` semantics):
-    the fixed-K iteration unrolled as a CTE chain over the same integer
-    micro-unit arithmetic. ``edges_cte`` must be a SQL relation named
-    ``e`` with columns (src, dst), already DISTINCT."""
+    ``personalized_pagerank`` (same ``dangling``/``seeds``/``weighted``
+    semantics): the fixed-K iteration unrolled as a CTE chain over the
+    same integer micro-unit arithmetic. ``edges_cte`` must be a SQL
+    relation named ``e`` with columns (src, dst) — already DISTINCT, or
+    (src, dst, w) already weight-summed when ``weighted``."""
     # CAST the damping literal to DOUBLE: a bare 0.85 types as
     # DECIMAL(3,2) in DuckDB, which would multiply rank_m in exact
     # decimal while Spark does an IEEE double multiply — the products
@@ -287,11 +320,21 @@ def pagerank_sql_unrolled(
         init_sql = "CAST(1000000 // (SELECT n FROM n) AS BIGINT)"
         dang_div = "(SELECT n FROM n)"
         dang_gate = ""
+    if weighted:
+        outdeg_cte = (
+            "outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),"
+        )
+        contrib_expr = "FLOOR(((p.rank_m * {d}) * e.w) / o.out_w)".format(d=d)
+    else:
+        outdeg_cte = (
+            "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),"
+        )
+        contrib_expr = "FLOOR((p.rank_m * {d}) / o.outdeg)".format(d=d)
     sql = [
         f"WITH e AS ({edges_cte}),",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
         "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),",
-        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),",
+        outdeg_cte,
         f"r0 AS (SELECT node, CAST({init_sql} AS BIGINT) AS rank_m FROM nodes),",
     ]
     for i in range(iterations):
@@ -312,7 +355,7 @@ def pagerank_sql_unrolled(
             f"{cur} AS (SELECT nodes.node, CAST("
             f"{base_sql}"
             f" + COALESCE(c.in_m, 0){dang_term} AS BIGINT) AS rank_m FROM nodes LEFT JOIN ("
-            f"SELECT e.dst AS node, CAST(SUM(CAST(FLOOR((p.rank_m * {d}) / o.outdeg) AS BIGINT)) AS BIGINT) AS in_m"
+            f"SELECT e.dst AS node, CAST(SUM(CAST({contrib_expr} AS BIGINT)) AS BIGINT) AS in_m"
             f" FROM {prev} p JOIN e ON e.src = p.node JOIN outdeg o ON o.src = e.src"
             f" GROUP BY e.dst) c ON c.node = nodes.node),"
         )

@@ -388,3 +388,66 @@ def test_personalized_pagerank_exact_and_seed_locality(spark):
 
     with _pytest.raises(ValueError, match="seed"):
         personalized_pagerank(df, seeds=[])
+
+
+def test_weighted_pagerank_exact(spark):
+    """weight_col: mass splits proportionally to integer edge weights
+    (duplicate (src,dst) rows sum), Spark ≡ python reference ≡ DuckDB
+    unroll bit-for-bit, and a heavier edge earns its target more rank
+    than the uniform run gives it."""
+    # hub 0 -> {1 (w=9), 2 (w=1)}; back edges keep mass circulating;
+    # the duplicate (0,1) rows must sum to w=9
+    wedges = [(0, 1, 4), (0, 1, 5), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_m"]
+        for r in pagerank(df, iterations=3, weight_col="w").collect()
+    }
+
+    # python reference with summed weights
+    agg: dict[tuple[int, int], int] = {}
+    for s, t, w in wedges:
+        agg[(s, t)] = agg.get((s, t), 0) + w
+    nodes = sorted({x for s, t in agg for x in (s, t)})
+    n = len(nodes)
+    out_w: dict[int, int] = {}
+    for (s, _t), w in agg.items():
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: MICRO // n for v in nodes}
+    base = math.floor((1.0 - 0.85) * MICRO / n)
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for (s, t), w in agg.items():
+            nxt[t] += math.floor(((r[s] * 0.85) * w) / out_w[s])
+        r = nxt
+    assert got == r
+    assert got[1] > got[2]  # the w=9 edge dominates the w=1 edge
+
+    # uniform run on the same topology gives 1 and 2 equal rank
+    uni = {
+        rr["node"]: rr["rank_m"]
+        for rr in pagerank(
+            spark.createDataFrame(
+                [(s, t) for s, t, _ in wedges], "src long, dst long"
+            ),
+            iterations=3,
+        ).collect()
+    }
+    assert uni[1] == uni[2]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT, w BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t},{w})" for s, t, w in wedges)
+    )
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        pagerank_sql_unrolled as unroll,
+    )
+
+    sql = unroll(
+        "SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM el GROUP BY src, dst",
+        iterations=3,
+        weighted=True,
+    )
+    oracle = dict(con.execute(sql + "\nSELECT node, rank_m FROM final").fetchall())
+    assert got == {int(k): int(v) for k, v in oracle.items()}
