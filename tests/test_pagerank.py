@@ -451,3 +451,29 @@ def test_weighted_pagerank_exact(spark):
     )
     oracle = dict(con.execute(sql + "\nSELECT node, rank_m FROM final").fetchall())
     assert got == {int(k): int(v) for k, v in oracle.items()}
+
+
+def test_weighted_dangling_combination_matches_unroll(spark):
+    """The variant axes compose: weighted + dangling redistribution
+    still matches the generated unroll exactly."""
+    wedges = [(0, 1, 3), (0, 2, 1), (1, 2, 2)]  # node 2 dangles
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_m"]
+        for r in pagerank(df, iterations=3, weight_col="w", dangling=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src BIGINT, dst BIGINT, w BIGINT); INSERT INTO el VALUES "
+        + ",".join(f"({s},{t},{w})" for s, t, w in wedges)
+    )
+    sql = pagerank_sql_unrolled(
+        "SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM el GROUP BY src, dst",
+        iterations=3,
+        weighted=True,
+        dangling=True,
+    )
+    oracle = dict(con.execute(sql + "\nSELECT node, rank_m FROM final").fetchall())
+    assert got == {int(k): int(v) for k, v in oracle.items()}
+    # dangling node 2 received mass yet re-emits none except via teleport
+    assert got[2] > 0
