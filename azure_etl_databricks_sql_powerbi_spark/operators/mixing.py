@@ -55,3 +55,57 @@ def domain_mix_allocation(
         )
         .orderBy("domain")
     )
+
+
+def temperature_mix_allocation(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget_tokens: int,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-pretraining
+    rule, e.g. XLM's q_i ∝ p_i^α): sampling weight ``q = p^α / Σ p^α``
+    over natural shares ``p``, so α=1 reproduces natural proportions,
+    α→0 approaches uniform, and the usual α≈0.2-0.5 UP-weights
+    low-resource domains without letting any head domain dominate —
+    the smooth alternative to ``domain_mix_allocation``'s hard cap.
+
+    Returns per domain: ``domain, token_count, natural_share, q,
+    alloc_tokens, oversubscribed`` where ``alloc_tokens =
+    min(inventory, floor(budget * q))`` and ``oversubscribed = 1`` iff
+    the domain's inventory could not fill its temperature quota (its
+    surplus is NOT silently re-spread — re-run with the residual budget
+    if full utilization matters; silent redistribution would break the
+    q-proportionality contract).
+
+    Same scale shape as the capped variant: one corpus aggregate, then
+    #domains-row arithmetic with a broadcast 1-row total."""
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(token_col).cast("long").alias("token_count"),
+    )
+    total = per.agg(F.sum("token_count").alias("__total"))
+    p = F.col("token_count") / F.col("__total")
+    powered = per.join(F.broadcast(total)).withColumn(
+        "__pa", F.pow(p, F.lit(float(alpha)))
+    )
+    z = powered.agg(F.sum("__pa").alias("__z"))
+    q = F.col("__pa") / F.col("__z")
+    return (
+        powered.join(F.broadcast(z))
+        .select(
+            "domain",
+            "token_count",
+            (F.col("token_count") / F.col("__total")).alias("natural_share"),
+            q.alias("q"),
+            F.least(
+                F.col("token_count"),
+                F.floor(F.lit(int(budget_tokens)) * q).cast("long"),
+            ).alias("alloc_tokens"),
+            (F.floor(F.lit(int(budget_tokens)) * q) > F.col("token_count"))
+            .cast("int")
+            .alias("oversubscribed"),
+        )
+        .orderBy("domain")
+    )

@@ -65,3 +65,45 @@ def test_min_cost_supplier_ties_resolve_to_lowest_suppkey(spark):
     rows = min_cost_supplier(lineitem, part, supplier).collect()
     assert len(rows) == 1
     assert rows[0]["s_suppkey"] == 9 and rows[0]["best_unit_price"] == 4.0
+
+
+def test_temperature_mix_flattens_and_respects_inventory(spark):
+    """Temperature invariants: α=1 reproduces natural shares; smaller α
+    strictly up-weights the low-resource domain and down-weights the
+    head; q sums to 1; allocations never exceed inventory or budget,
+    and the starved-inventory domain is flagged oversubscribed."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.mixing import (
+        temperature_mix_allocation,
+    )
+
+    rows = (
+        [(i, "web", 100) for i in range(90)]
+        + [(1000 + i, "code", 100) for i in range(9)]
+        + [(2000, "books", 100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+
+    nat = {
+        r.domain: r
+        for r in temperature_mix_allocation(
+            df, "domain", "n_tokens", budget_tokens=5000, alpha=1.0
+        ).collect()
+    }
+    assert abs(nat["web"].q - 0.9) < 1e-12
+    assert abs(nat["books"].q - 0.01) < 1e-12
+
+    cool = {
+        r.domain: r
+        for r in temperature_mix_allocation(
+            df, "domain", "n_tokens", budget_tokens=5000, alpha=0.3
+        ).collect()
+    }
+    assert abs(sum(r.q for r in cool.values()) - 1.0) < 1e-9
+    assert cool["books"].q > nat["books"].q  # low-resource up-weighted
+    assert cool["web"].q < nat["web"].q      # head down-weighted
+    for r in cool.values():
+        assert r.alloc_tokens <= r.token_count
+    assert sum(r.alloc_tokens for r in cool.values()) <= 5000
+    # books holds 100 tokens but its temperature quota wants far more
+    assert cool["books"].oversubscribed == 1 and cool["books"].alloc_tokens == 100
+    assert cool["web"].oversubscribed == 0
