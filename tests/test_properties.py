@@ -505,3 +505,51 @@ def test_label_propagation_matches_python_reference(spark, edges):
     df = spark.createDataFrame(list(eset), "src long, dst long")
     got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
     assert got == lab
+
+
+weighted_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(wedges=weighted_edges_strategy)
+@settings(**SETTINGS)
+def test_weighted_pagerank_exact_on_arbitrary_graphs(spark, wedges):
+    """Weighted PageRank equals the pure-python replay of the identical
+    integer micro-unit recurrence on ARBITRARY random weighted
+    multigraphs (duplicate (src,dst) rows sum their weights)."""
+    import math as m
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import MICRO, pagerank
+
+    wedges = [(a, b, w) for a, b, w in wedges if a != b]
+    if not wedges:
+        return
+    agg: dict[tuple[int, int], int] = {}
+    for s, t, w in wedges:
+        agg[(s, t)] = agg.get((s, t), 0) + w
+    nodes = sorted({x for s, t in agg for x in (s, t)})
+    n = len(nodes)
+    out_w: dict[int, int] = {}
+    for (s, _t), w in agg.items():
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: MICRO // n for v in nodes}
+    base = m.floor((1.0 - 0.85) * MICRO / n)
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for (s, t), w in agg.items():
+            nxt[t] += m.floor(((r[s] * 0.85) * w) / out_w[s])
+        r = nxt
+
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        row["node"]: row["rank_m"]
+        for row in pagerank(df, iterations=3, weight_col="w").collect()
+    }
+    assert got == r
