@@ -228,24 +228,38 @@ def distill_quality_classifier(
     )
 
 
-def save_classifier(weights: DataFrame, prior: DataFrame, path: str) -> None:
+def save_classifier(
+    weights: DataFrame, prior: DataFrame, path: str, n_buckets: int
+) -> None:
     """Persist a trained model — (bucket, w_m) weights + 1-row prior —
-    as two small parquet tables: train once on the full corpus, apply
-    nightly to new batches (the persisted-trained-state contract shared
-    by the dedup/ANN/BPE/CMS tiers). The model is n_buckets rows of
-    integers; loading is one bounded read."""
+    as two small parquet tables plus the hash-space size in meta.json:
+    train once on the full corpus, apply nightly to new batches (the
+    persisted-trained-state contract shared by the dedup/ANN/BPE/CMS
+    tiers). ``n_buckets`` MUST be pinned with the model — applying with a
+    different bucketing silently hashes features into the wrong weights
+    (the minhash-index meta.json lesson: params travel with the state,
+    never with the caller)."""
+    import json
     import os
 
     weights.write.mode("overwrite").parquet(os.path.join(path, "weights"))
     prior.write.mode("overwrite").parquet(os.path.join(path, "prior"))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
 
 
-def load_classifier(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a ``save_classifier`` model: (weights, prior) frames that
-    plug straight into ``apply_linear_classifier``."""
+def load_classifier(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Load a ``save_classifier`` model: (weights, prior, n_buckets) —
+    pass the returned ``n_buckets`` to ``apply_linear_classifier`` so
+    features hash into the same space the model was trained in."""
+    import json
     import os
 
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
     return (
         spark.read.parquet(os.path.join(path, "weights")),
         spark.read.parquet(os.path.join(path, "prior")),
+        int(meta["n_buckets"]),
     )

@@ -120,8 +120,9 @@ def test_classifier_save_load_apply_identical(spark, tmp_path):
             * F.lit(1e6)
         ).cast("long").alias("prior_m")
     )
-    save_classifier(weights, prior, str(tmp_path / "model"))
-    lw, lp = load_classifier(spark, str(tmp_path / "model"))
+    save_classifier(weights, prior, str(tmp_path / "model"), n_buckets=64)
+    lw, lp, lnb = load_classifier(spark, str(tmp_path / "model"))
+    assert lnb == 64  # the hash-space size travels WITH the model
 
     batch = docs.limit(50)
     a = {
@@ -130,6 +131,6 @@ def test_classifier_save_load_apply_identical(spark, tmp_path):
     }
     b = {
         r.doc_id: (r.n_tokens, r.logit, r.predicted_keep)
-        for r in apply_linear_classifier(batch, lw, lp, n_buckets=64).collect()
+        for r in apply_linear_classifier(batch, lw, lp, n_buckets=lnb).collect()
     }
     assert a == b
