@@ -581,9 +581,12 @@ def _q_ann_ivfpq_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _ANN_INDEX_CACHE:
         idx_dir = _scratch_dir("ann_index_")
-        save_index(emb, idx_dir, nlist=16, m=4)
+        # save_index already returns the freshly loaded index — reuse it
+        # instead of loading twice on the build call (r7 review finding)
+        index = save_index(emb, idx_dir, nlist=16, m=4)
         _ANN_INDEX_CACHE[sf_dir] = idx_dir
-    index = load_index(spark, _ANN_INDEX_CACHE[sf_dir])
+    else:
+        index = load_index(spark, _ANN_INDEX_CACHE[sf_dir])
     # a DIFFERENT query slice than ann_ivfpq_topk's vec_id<10, so day-2
     # evidence is not a replay of the day-1 batch
     return query_index(
@@ -813,7 +816,7 @@ ORDER BY dist
 """
 
 
-_KHOP_EDGE_CACHE: dict[tuple, DataFrame] = {}
+_KHOP_EDGE_CACHE: dict[str, tuple] = {}  # sf_dir -> (session, persisted edges)
 
 
 def _q_khop_reach_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,15 +839,27 @@ def _q_khop_reach_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir, and an eviction (session clearCache, memory pressure) just
     recomputes lazily into cache — never wrong, never accumulating. The
     SAME recursion text runs in DuckDB as the oracle."""
-    key = (id(spark), sf_dir)
-    edges = _KHOP_EDGE_CACHE.get(key)
-    if edges is None:
+    # one entry PER sf_dir (not per session): a stale entry from a
+    # previous SparkSession is evicted — best-effort unpersisted — so the
+    # cache cannot pin dead session graphs or grow across session
+    # restarts (r7 review finding)
+    cached = _KHOP_EDGE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is not spark:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass  # the owning session is gone; dropping the ref suffices
+        cached = None
+        _KHOP_EDGE_CACHE.pop(sf_dir, None)
+    if cached is None:
         li = load_table(spark, sf_dir, "lineitem")
         li.createOrReplaceTempView("__khop_li")
         edges = spark.sql(
             _KHOP_EDGES_SQL.format(str_t="STRING", li="__khop_li")
         ).persist()
-        _KHOP_EDGE_CACHE[key] = edges
+        _KHOP_EDGE_CACHE[sf_dir] = (spark, edges)
+    else:
+        edges = cached[1]
     edges.createOrReplaceTempView("__khop_edges")
     return spark.sql(_KHOP_SQL.format(edges="SELECT * FROM __khop_edges"))
 

@@ -300,9 +300,8 @@ def absorb_batch(
     )
     # localCheckpoint BEFORE the append: the append rewrites the relation
     # new_fps's anti-join reads, and the bitmap build below must see the
-    # SAME novel set the append wrote
+    # SAME novel set the append writes
     new_fps = new_fps.localCheckpoint(eager=True)
-    new_fps.write.mode("append").parquet(fp_path)
     import numpy as np
 
     batch_bits = bloom_bitmap(new_fps, "h", state.n_bits, state.k)
@@ -310,8 +309,16 @@ def absorb_batch(
         np.frombuffer(state.bitmap, dtype=np.uint8)
         | np.frombuffer(batch_bits, dtype=np.uint8)
     ).tobytes()
+    # WRITE ORDER IS THE CRASH-SAFETY INVARIANT: bloom FIRST, fingerprints
+    # second. A crash after the bloom write leaves extra bits whose
+    # fingerprints never landed — only FALSE POSITIVES, absorbed by the
+    # exact confirm. The reverse order would leave appended fingerprints
+    # the bloom doesn't know, and a bloom-negative probe skips the exact
+    # confirm entirely — a FALSE NEGATIVE that silently re-admits
+    # duplicates forever (r7 review finding).
     with open(os.path.join(path, "bloom.bin"), "wb") as fh:
         fh.write(merged)
+    new_fps.write.mode("append").parquet(fp_path)
     state.unpersist()
     return CorpusState(
         spark.read.parquet(fp_path), merged, state.n_bits, state.k

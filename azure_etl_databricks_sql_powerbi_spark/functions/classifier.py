@@ -93,24 +93,28 @@ def feature_rows(
 
 def train_bucket_log_odds(
     labeled_tokens: DataFrame,
+    n_features: int,
     label_col: str = "__label",
     bucket_col: str = "bucket",
-    n_buckets: int = 512,
 ) -> DataFrame:
     """Per-bucket multinomial-NB log-likelihood ratios from
     (bucket, label) occurrence rows:
 
-        w = ln( (pos_b + 1) / (POS_TOTAL + n_buckets) )
-          - ln( (neg_b + 1) / (NEG_TOTAL + n_buckets) )
+        w = ln( (pos_b + 1) / (POS_TOTAL + n_features) )
+          - ln( (neg_b + 1) / (NEG_TOTAL + n_features) )
 
     i.e. ``ln(P(bucket|pos) / P(bucket|neg))`` with add-one smoothing —
     the CLASS-MASS NORMALIZATION matters: raw count ratios
     ``ln((pos+1)/(neg+1))`` inherit whichever class holds more total
     token mass and push every document's sum positive (observed:
     all-1 predictions at 51% agreement before normalizing). Class totals
-    are a 1-row aggregate over the bucket table (n_buckets rows — tiny,
-    broadcast in-plan). Micro-nat quantization (floor ×1e6) makes the
-    downstream per-doc sums integer-exact. Output: n_buckets rows."""
+    are a 1-row aggregate over the bucket table (tiny, broadcast
+    in-plan). ``n_features`` is the FULL feature-space size for the
+    smoothing denominator — hashed buckets PLUS band features when the
+    frame came from ``feature_rows`` (n_buckets + 47); it is required
+    because a silently-defaulted mismatch shifts every weight (r7 review
+    finding). Micro-nat quantization (floor ×1e6) makes the downstream
+    per-doc sums integer-exact. Output: one row per occupied bucket."""
     counts = labeled_tokens.groupBy(bucket_col).agg(
         F.sum(F.col(label_col)).alias("__pos"),
         F.sum(F.lit(1) - F.col(label_col)).alias("__neg"),
@@ -124,11 +128,11 @@ def train_bucket_log_odds(
             (
                 F.ln(
                     (F.col("__pos") + F.lit(1.0))
-                    / (F.col("__pos_tot") + F.lit(float(n_buckets)))
+                    / (F.col("__pos_tot") + F.lit(float(n_features)))
                 )
                 - F.ln(
                     (F.col("__neg") + F.lit(1.0))
-                    / (F.col("__neg_tot") + F.lit(float(n_buckets)))
+                    / (F.col("__neg_tot") + F.lit(float(n_features)))
                 )
             )
             * F.lit(1e6)
@@ -153,6 +157,75 @@ def apply_linear_classifier(
     doc is scored by its bands (+ prior); ``n_tokens`` counts real tokens
     only. Returns (id, n_tokens, logit, predicted_keep)."""
     feats = feature_rows(docs, text_col, id_col, n_buckets)
+    return _score_feats(docs.select(id_col), feats, weights, prior, id_col)
+
+
+def _label_and_featurize(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    min_words: int,
+    max_words: int,
+):
+    """Shared label+featurize pass: (lab_small, feats, weights, prior).
+    ``lab_small`` (id, __label) and ``feats`` (id, bucket, is_tok) are
+    LAZY localCheckpoints — each feeds several consumers (training,
+    prior, scoring, rule_keep), and without the checkpoint the corpus
+    would be tokenized and Gopher-labeled once PER consumer (r7 review
+    finding: 2x tokenize, 4x label). Lazy (not eager) so the one
+    materialization happens inside the consumer's own action, and the
+    blocks release on GC — no persist bookkeeping."""
+    keep = gopher_quality_flags(
+        text_col, min_words=min_words, max_words=max_words
+    )["keep"]
+    labeled = df.select(F.col(id_col), F.col(text_col), keep.alias("__label"))
+    lab_small = labeled.select(id_col, "__label").localCheckpoint(eager=False)
+    feats = feature_rows(labeled, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    n_features = n_buckets + N_LEN_BANDS + N_STOP_BANDS
+    weights = train_bucket_log_odds(feats.join(lab_small, on=id_col), n_features)
+    # class prior over DOCUMENTS (1-row aggregate, broadcast in-plan —
+    # the pagerank dangling-mass pattern, no driver action)
+    prior = lab_small.agg(
+        F.floor(
+            F.ln(
+                (F.sum("__label") + F.lit(1.0))
+                / (F.sum(F.lit(1) - F.col("__label")) + F.lit(1.0))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("prior_m")
+    )
+    return lab_small, feats, weights, prior
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    min_words: int = 10,
+    max_words: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Train-only entry point for the persistence flow: (weights, prior)
+    ready for ``save_classifier(..., n_buckets=n_buckets)`` — the same
+    internals ``distill_quality_classifier`` scores with, so a persisted
+    model can never drift from the in-plan query (r7 review finding: the
+    flow previously required hand-copying the label/feature/train
+    chain)."""
+    _lab, _feats, weights, prior = _label_and_featurize(
+        df, text_col, id_col, n_buckets, min_words, max_words
+    )
+    return weights, prior
+
+
+def _score_feats(
+    ids: DataFrame, feats: DataFrame, weights: DataFrame, prior: DataFrame, id_col: str
+) -> DataFrame:
+    """Score precomputed feature rows (the shared back half of apply)."""
     scored = (
         feats.join(F.broadcast(weights), on="bucket")
         .groupBy(id_col)
@@ -162,8 +235,7 @@ def apply_linear_classifier(
         )
     )
     return (
-        docs.select(id_col)
-        .join(scored, on=id_col, how="left")
+        ids.join(scored, on=id_col, how="left")
         .crossJoin(F.broadcast(prior))
         .select(
             F.col(id_col),
@@ -172,9 +244,7 @@ def apply_linear_classifier(
                 (F.col("prior_m") + F.coalesce("__sum_m", F.lit(0)))
                 / F.lit(float(MICRO))
             ).alias("logit"),
-            (
-                (F.col("prior_m") + F.coalesce("__sum_m", F.lit(0))) > 0
-            )
+            ((F.col("prior_m") + F.coalesce("__sum_m", F.lit(0))) > 0)
             .cast("int")
             .alias("predicted_keep"),
         )
@@ -191,38 +261,21 @@ def distill_quality_classifier(
 ) -> DataFrame:
     """End-to-end distillation: label with the rule-based Gopher gate,
     train bucket log-odds + class prior, score every document with the
-    learned model. One lazy plan (label → train → apply); the rule label
-    rides along as ``rule_keep`` so downstream can measure agreement.
+    learned model. One lazy plan (label → train → apply) over ONE
+    tokenize+label pass (the feature rows are computed once and reused
+    for training and scoring); the rule label rides along as
+    ``rule_keep`` so downstream can measure agreement.
 
     Output: (id, n_tokens, logit, predicted_keep, rule_keep) ordered by
     id — fully hash-exact vs the same CTE chain in DuckDB."""
-    keep = gopher_quality_flags(
-        text_col, min_words=min_words, max_words=max_words
-    )["keep"]
-    labeled = df.select(F.col(id_col), F.col(text_col), keep.alias("__label"))
-    lfeats = feature_rows(labeled, text_col, id_col, n_buckets).join(
-        labeled.select(id_col, "__label"), on=id_col
+    lab_small, feats, weights, prior = _label_and_featurize(
+        df, text_col, id_col, n_buckets, min_words, max_words
     )
-    n_features = n_buckets + N_LEN_BANDS + N_STOP_BANDS
-    weights = train_bucket_log_odds(lfeats, n_buckets=n_features)
-    # class prior over DOCUMENTS (1-row aggregate, broadcast in-plan —
-    # the pagerank dangling-mass pattern, no driver action)
-    prior = labeled.agg(
-        F.floor(
-            F.ln(
-                (F.sum("__label") + F.lit(1.0))
-                / (F.sum(F.lit(1) - F.col("__label")) + F.lit(1.0))
-            )
-            * F.lit(1e6)
-        )
-        .cast("long")
-        .alias("prior_m")
-    )
-    scored = apply_linear_classifier(
-        labeled, weights, prior, text_col, id_col, n_buckets
-    )
+    scored = _score_feats(lab_small.select(id_col), feats, weights, prior, id_col)
     return (
-        scored.join(labeled.select(id_col, F.col("__label").alias("rule_keep")), on=id_col)
+        scored.join(
+            lab_small.select(id_col, F.col("__label").alias("rule_keep")), on=id_col
+        )
         .select(id_col, "n_tokens", "logit", "predicted_keep", "rule_keep")
         .orderBy(id_col)
     )

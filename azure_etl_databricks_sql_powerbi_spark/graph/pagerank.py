@@ -84,7 +84,10 @@ def _run_pagerank(
     FROM the seeds. Returns the final (node, rank_m, rank) EAGERLY
     materialized (localCheckpoint) so callers can release their
     cached/persisted inputs immediately."""
-    n = nodes.count()  # bounded: one scalar off a distinct count
+    # n drives base/init/dangling only in the UNIFORM regime; under
+    # personalization n_base = len(seeds) and the full node count is
+    # never read — skip the whole-graph count job (r7 review finding)
+    n = nodes.count() if not seeds else 0
     if "w" in e.columns:
         outdeg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     else:

@@ -79,47 +79,24 @@ def test_weight_table_is_model_sized(spark):
         )
         .withColumn("bucket", hash_bucket("token", 64))
     )
-    w = train_bucket_log_odds(ltoks).collect()
+    w = train_bucket_log_odds(ltoks, 64).collect()
     assert len(w) <= 64
     assert all(r.w_m is not None for r in w)
 
 
 def test_classifier_save_load_apply_identical(spark, tmp_path):
-    """Model persistence: scores from the loaded model equal the
-    in-memory model's exactly (integer weights roundtrip losslessly) —
-    train once, apply to day-N batches."""
+    """Model persistence through the TRAIN ENTRY POINT (no hand-copied
+    label/feature chain — the r7 review finding): scores from the loaded
+    model equal the in-memory model's exactly (integer weights roundtrip
+    losslessly) — train once, apply to day-N batches."""
     from azure_etl_databricks_sql_powerbi_spark.functions.classifier import (
         load_classifier,
         save_classifier,
+        train_quality_classifier,
     )
-    from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens as _t
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
-    from azure_etl_databricks_sql_powerbi_spark.functions.classifier import (
-        N_LEN_BANDS,
-        N_STOP_BANDS,
-        feature_rows,
-        train_bucket_log_odds,
-    )
-    from azure_etl_databricks_sql_powerbi_spark.functions.text import (
-        gopher_quality_flags,
-    )
-
-    keep = gopher_quality_flags("text", min_words=10, max_words=200)["keep"]
-    labeled = docs.select("doc_id", "text", keep.alias("__label"))
-    feats = feature_rows(labeled, "text", "doc_id", 64).join(
-        labeled.select("doc_id", "__label"), on="doc_id"
-    )
-    weights = train_bucket_log_odds(feats, n_buckets=64 + N_LEN_BANDS + N_STOP_BANDS)
-    prior = labeled.agg(
-        F.floor(
-            F.ln(
-                (F.sum("__label") + F.lit(1.0))
-                / (F.sum(F.lit(1) - F.col("__label")) + F.lit(1.0))
-            )
-            * F.lit(1e6)
-        ).cast("long").alias("prior_m")
-    )
+    weights, prior = train_quality_classifier(docs, n_buckets=64)
     save_classifier(weights, prior, str(tmp_path / "model"), n_buckets=64)
     lw, lp, lnb = load_classifier(spark, str(tmp_path / "model"))
     assert lnb == 64  # the hash-space size travels WITH the model
