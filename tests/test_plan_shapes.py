@@ -375,3 +375,15 @@ def test_hashed_features_bucket_is_map_side(spark):
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
     assert plan.find("md5", first_exchange) > first_exchange  # md5 below it
+
+
+def test_classifier_weights_ride_broadcast_joins(spark, entry):
+    """The distilled classifier's scoring join (feature occurrences x
+    weight table) and prior attachment must BROADCAST the model-sized
+    side — a shuffle join keyed on bucket would re-shuffle the entire
+    token-occurrence stream at 100 TB."""
+    df = entry.queries()["quality_classifier_docs"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchanges are the 1-row prior/total aggs
+    assert plan.count("Exchange SinglePartition") <= 3, plan
