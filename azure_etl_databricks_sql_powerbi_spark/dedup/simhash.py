@@ -145,3 +145,85 @@ def near_dup_pairs(
     # distinct collapses pairs colliding in several bands; only surviving
     # near-dup pairs reach this final (small) shuffle
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+# ------------------------------------------------ persisted fingerprint index
+
+
+def save_simhash_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    counter_bits: int = 16,
+) -> None:
+    """Persist the corpus's SimHash state — one (id, fp) parquet plus the
+    fingerprint parameters. Unlike the MinHash index (which must store
+    band buckets AND shingle sets), 8 bytes per document IS the complete
+    state: probe-time bands derive from the fingerprint with pure bit
+    math, and the Hamming verify reads the same column — the cheapest
+    persisted near-dup identity in the family. meta.json pins
+    (seed, counter_bits): a probe fingerprinted differently matches
+    nothing, so the parameters travel with the state."""
+    import json
+    import os
+
+    simhash_fingerprints(corpus, text_col, id_col, seed, counter_bits).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "fingerprints"))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"seed": seed, "counter_bits": counter_bits}, fh)
+
+
+def near_dups_against_simhash_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate (batch_id, corpus_id, hamming) pairs between a
+    day-N batch and the indexed corpus, Hamming <= max_hamming — the
+    corpus side costs one 8-byte-per-doc parquet scan, never a
+    re-fingerprint. Bands on BOTH sides derive in-plan from the stored
+    fp (band-pigeonhole: Hamming <= k implies >= 1 equal band of the
+    k+1); candidates equi-join on (band_idx, band_val), then one
+    bit_count(xor) verifies exactly."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    def banded(fps: DataFrame, idc: str) -> DataFrame:
+        return fps.select(
+            F.col("id").alias(idc),
+            F.col("fp").alias(f"__fp_{idc}"),
+            F.posexplode(
+                F.array(*[_band(F.col("fp"), b, band_bits) for b in range(n_bands)])
+            ).alias("band_idx", "band_val"),
+        )
+
+    bfps = simhash_fingerprints(
+        batch, text_col, id_col, meta["seed"], meta["counter_bits"]
+    )
+    cfps = spark.read.parquet(os.path.join(path, "fingerprints"))
+    pairs = banded(bfps, "batch_id").join(
+        banded(cfps, "corpus_id"), on=["band_idx", "band_val"]
+    )
+    return (
+        pairs.select(
+            "batch_id",
+            "corpus_id",
+            F.bit_count(
+                F.col("__fp_batch_id").bitwiseXOR(F.col("__fp_corpus_id"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

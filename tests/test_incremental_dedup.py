@@ -620,3 +620,51 @@ def test_absorb_batch_day3_sees_day2_docs(spark, tmp_path):
     )
     assert probed.filter(F.col("__bloom_hit") == 0).count() == 0
     state.unpersist()
+
+
+def test_simhash_index_day2_probe(spark, tmp_path):
+    """Persisted SimHash index: a day-2 batch finds its Hamming
+    neighbors AGAINST the stored 8-byte fingerprints — exact dup at
+    hamming 0, one-word edit within the ball, novel doc absent — and
+    probe results equal re-fingerprinting both sides in one shot."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.simhash import (
+        near_dups_against_simhash_index,
+        save_simhash_index,
+        simhash_fingerprints,
+    )
+
+    corpus_rows = [
+        (i, f"doc{i} " + " ".join(f"tok{i}_{j}" for j in range(12)))
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    save_simhash_index(corpus, str(tmp_path / "sh"))
+
+    near = corpus_rows[5][1].replace("tok5_11", "edited")
+    batch = spark.createDataFrame(
+        [
+            (101, near),                 # near-dup of 5
+            (102, corpus_rows[7][1]),    # exact dup of 7
+            (103, "entirely different words " + " ".join(f"zz{j}" for j in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.batch_id, r.corpus_id): r.hamming
+        for r in near_dups_against_simhash_index(
+            batch, spark, str(tmp_path / "sh"), max_hamming=3
+        ).collect()
+    }
+    assert got.get((102, 7)) == 0
+    assert (101, 5) in got and 0 < got[(101, 5)] <= 3
+    assert not any(b == 103 for b, _c in got)
+
+    # probe ≡ one-shot: banding the stored fps equals banding fresh ones
+    fresh = {
+        r["id"]: r["fp"] for r in simhash_fingerprints(corpus).collect()
+    }
+    stored = {
+        r["id"]: r["fp"]
+        for r in spark.read.parquet(str(tmp_path / "sh" / "fingerprints")).collect()
+    }
+    assert fresh == stored
