@@ -707,3 +707,79 @@ def resample_audio(
             )
 
     return spread(df).mapInPandas(batches, RESAMPLED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, start_sample long, n_samples int, "
+    "frame_sha256 string, rms double"
+)
+
+
+def audio_frames(
+    df: DataFrame,
+    frame_len: int = 400,
+    hop: int = 160,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fixed-length overlapping audio frames — the STFT/feature framing
+    step (the audio twin of ``sample_decoded_frames``): decode PCM16
+    through the stdlib RIFF codec, slice the (channel-averaged) signal
+    into ``frame_len``-sample windows every ``hop`` samples (25ms/10ms at
+    16kHz with the defaults), and emit one row per frame with its exact
+    placement, content hash, and RMS energy — the row layout a
+    downstream featurizer (MFCC, spectrogram pandas UDF) consumes.
+    Cardinality-changing Arrow ``mapInPandas`` in the scan stage, zero
+    shuffles; frames count = 1 + floor((n - frame_len)/hop) for
+    n >= frame_len, else one zero-padded frame (padding flagged by
+    n_samples < frame_len)."""
+    if frame_len <= 0 or hop <= 0:
+        raise ValueError("frame_len and hop must be positive")
+    pkg_parent = _package_parent()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bootstrap + in-closure import: see attach_generated_png
+        import hashlib as _hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import decode_wav
+
+        for pdf in it:
+            ids, idxs, starts, ns, shas, rmss = [], [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                _rate, channels, samples = decode_wav(bytes(data))
+                x = np.asarray(samples, dtype=np.float64)
+                if channels > 1:
+                    x = x.reshape(-1, channels).mean(axis=1)
+                n = len(x)
+                n_frames = 1 + max(0, (n - frame_len)) // hop if n else 0
+                for i in range(max(n_frames, 1 if n else 0)):
+                    lo = i * hop
+                    seg = x[lo : lo + frame_len]
+                    n_seg = len(seg)
+                    if n_seg < frame_len:
+                        seg = np.pad(seg, (0, frame_len - n_seg))
+                    ids.append(mid)
+                    idxs.append(i)
+                    starts.append(lo)
+                    ns.append(int(n_seg))
+                    shas.append(
+                        _hashlib.sha256(seg.astype("<f8").tobytes()).hexdigest()
+                    )
+                    rmss.append(float(np.sqrt(np.mean(seg * seg))))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "start_sample": starts,
+                    "n_samples": ns,
+                    "frame_sha256": shas,
+                    "rms": rmss,
+                }
+            )
+
+    return spread(df).mapInPandas(batches, AUDIO_FRAME_SCHEMA)

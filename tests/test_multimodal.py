@@ -488,3 +488,53 @@ def test_resample_audio_preserves_duration_and_tone(spark):
     a = {r.media_id: r.content_sha256 for r in ops.resample_audio(df6.repartition(5), 4000).collect()}
     b = {r.media_id: r.content_sha256 for r in ops.resample_audio(df6.repartition(2), 4000).collect()}
     assert a == b and len(set(a.values())) == 1
+
+
+def test_audio_frames_layout_and_energy(spark):
+    """audio_frames: frame count = 1 + (n - len)//hop, placement exact
+    (start_sample = i*hop), last partial frame zero-padded and flagged,
+    per-frame RMS matches numpy on the same slices, and framing is
+    deterministic across partitionings."""
+    import math
+
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal import ops
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import encode_wav
+
+    rate, n = 8000, 1000
+    tone = [int(8000 * math.sin(2 * math.pi * 100 * t / rate)) for t in range(n)]
+    payload = encode_wav(tone, sample_rate=rate)
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+
+    rows = sorted(
+        ops.audio_frames(df, frame_len=400, hop=160).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # 1 + (1000-400)//160 = 4 frames
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.start_sample for r in rows] == [0, 160, 320, 480]
+    # frames 0-2 full; frame 3 covers samples 480..880 -> full too
+    assert all(r.n_samples == 400 for r in rows)
+    x = np.asarray(tone, dtype=np.float64)
+    for r in rows:
+        seg = x[r.start_sample : r.start_sample + 400]
+        assert abs(r.rms - float(np.sqrt(np.mean(seg * seg)))) < 1e-9
+
+    # short clip: one zero-padded frame, flagged by n_samples < frame_len
+    short = encode_wav(tone[:100], sample_rate=rate)
+    sdf = spark.createDataFrame([(2, short)], "media_id long, content binary")
+    srows = ops.audio_frames(sdf, frame_len=400, hop=160).collect()
+    assert len(srows) == 1 and srows[0].n_samples == 100
+
+    with __import__("pytest").raises(ValueError, match="positive"):
+        ops.audio_frames(df, frame_len=0)
+
+    df6 = spark.createDataFrame(
+        [(i, payload) for i in range(6)], "media_id long, content binary"
+    )
+    a = {(r.media_id, r.frame_idx): r.frame_sha256
+         for r in ops.audio_frames(df6.repartition(5)).collect()}
+    b = {(r.media_id, r.frame_idx): r.frame_sha256
+         for r in ops.audio_frames(df6.repartition(2)).collect()}
+    assert a == b
