@@ -225,13 +225,19 @@ def train_quality_classifier(
 def _score_feats(
     ids: DataFrame, feats: DataFrame, weights: DataFrame, prior: DataFrame, id_col: str
 ) -> DataFrame:
-    """Score precomputed feature rows (the shared back half of apply)."""
+    """Score precomputed feature rows (the shared back half of apply).
+
+    LEFT join + coalesce(w_m, 0): a token hashing to a bucket the model
+    never saw at training time contributes zero weight but still counts
+    toward n_tokens (ADVICE r7 — an inner join dropped such rows, so an
+    externally-loaded model undercounted tokens; self-trained distill
+    paths occupy every bucket and were unaffected)."""
     scored = (
-        feats.join(F.broadcast(weights), on="bucket")
+        feats.join(F.broadcast(weights), on="bucket", how="left")
         .groupBy(id_col)
         .agg(
             F.sum("is_tok").cast("long").alias("n_tokens"),
-            F.sum("w_m").alias("__sum_m"),
+            F.sum(F.coalesce("w_m", F.lit(0))).alias("__sum_m"),
         )
     )
     return (

@@ -94,6 +94,13 @@ def _run_pagerank(
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     n_base = len(seeds) if seeds else n
+    if n_base == 0:
+        # mirror the kmeans_fit empty-input guard: an empty edge list
+        # yields an empty node inventory, which would otherwise surface
+        # as an opaque ZeroDivisionError below (ADVICE r7)
+        raise ValueError(
+            "pagerank: edge list is empty — no nodes to rank"
+        )
     base_m = int((1.0 - damping) * MICRO // n_base)  # floor of exact double div
     init_m = MICRO // n_base
     is_seed = F.col("node").isin(list(seeds)) if seeds else F.lit(True)
@@ -234,13 +241,14 @@ def personalized_pagerank(
 def pagerank_bucketed(
     spark,
     edges: DataFrame,
-    table: str = "pagerank_edges_bucketed",
+    table: str,
     n_buckets: int = 32,
     damping: float = 0.85,
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
     dangling: bool = False,
+    overwrite: bool = False,
 ) -> DataFrame:
     """PageRank over a BUCKETED edge table — the 100 TB layout upgrade
     (VERDICT r6 directive 5): the distinct edge relation is written once
@@ -258,11 +266,23 @@ def pagerank_bucketed(
     cluster's target partitioning): a mismatched count makes the planner
     abandon the bucket layout and re-Exchange both sides (observed: 4
     buckets under 32 shuffle partitions planned 'Bucketed: false —
-    disabled by query planner')."""
+    disabled by query planner').
+
+    ``table`` is REQUIRED (no shared default: two callers ranking
+    different graphs in one warehouse would silently clobber each
+    other's persisted layout — ADVICE r7) and an existing table is
+    never overwritten unless ``overwrite=True``: re-ranking the SAME
+    edge inventory should read the persisted table via a plain
+    ``spark.table`` + ``_run_pagerank``, not rewrite it."""
     from azure_etl_databricks_sql_powerbi_spark.sources.bucketing import (
         write_bucketed,
     )
 
+    if spark.catalog.tableExists(table) and not overwrite:
+        raise ValueError(
+            f"pagerank_bucketed: table {table!r} already exists; pass "
+            "overwrite=True to rewrite it, or choose a per-graph name"
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -111,3 +111,31 @@ def test_classifier_save_load_apply_identical(spark, tmp_path):
         for r in apply_linear_classifier(batch, lw, lp, n_buckets=lnb).collect()
     }
     assert a == b
+
+
+def test_unseen_bucket_counts_token_with_zero_weight(spark):
+    """ADVICE r7: applying an EXTERNAL model whose weight table lacks
+    some buckets must not drop those tokens — they contribute weight 0
+    but still count toward n_tokens (left join + coalesce, not inner)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.features import (
+        hash_bucket,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta")], "doc_id long, text string"
+    )
+    buckets = {
+        r.token: r.b
+        for r in spark.createDataFrame([("alpha",), ("beta",)], "token string")
+        .select("token", hash_bucket("token", 64).alias("b"))
+        .collect()
+    }
+    assert buckets["alpha"] != buckets["beta"]  # no collision at 64
+    # weights cover ONLY alpha's bucket — beta is unseen-by-the-model
+    weights = spark.createDataFrame(
+        [(buckets["alpha"], 2_000_000)], "bucket int, w_m long"
+    )
+    prior = spark.createDataFrame([(100_000,)], "prior_m long")
+    got = apply_linear_classifier(docs, weights, prior, n_buckets=64).collect()[0]
+    assert got.n_tokens == 3  # beta's two tokens still counted
+    assert abs(got.logit - 2.1) < 1e-9  # prior 0.1 + alpha 2.0 + beta 0

@@ -477,3 +477,49 @@ def test_weighted_dangling_combination_matches_unroll(spark):
     assert got == {int(k): int(v) for k, v in oracle.items()}
     # dangling node 2 received mass yet re-emits none except via teleport
     assert got[2] > 0
+
+
+def test_pagerank_empty_edges_raises(spark):
+    """ADVICE r7: an empty edge list raises a clear ValueError instead
+    of an opaque ZeroDivisionError (the kmeans_fit guard, mirrored)."""
+    import pytest
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty).collect()
+
+
+def test_pagerank_bucketed_refuses_silent_clobber(spark):
+    """ADVICE r7: the persisted bucketed-edge table name is explicit and
+    an existing table is never overwritten unless overwrite=True — two
+    callers ranking different graphs can't clobber each other."""
+    import pytest
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        pagerank_bucketed,
+    )
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    table = "pr_edges_clobber_guard_test"
+    try:
+        first = {
+            r["node"]: r["rank_m"]
+            for r in pagerank_bucketed(
+                spark, df, table=table, n_buckets=32, iterations=2
+            ).collect()
+        }
+        assert first  # wrote + ranked
+        with pytest.raises(ValueError, match="already exists"):
+            pagerank_bucketed(spark, df, table=table, n_buckets=32, iterations=2)
+        # explicit opt-in rewrites and still ranks identically
+        again = {
+            r["node"]: r["rank_m"]
+            for r in pagerank_bucketed(
+                spark, df, table=table, n_buckets=32, iterations=2, overwrite=True
+            ).collect()
+        }
+        assert again == first
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
