@@ -1091,6 +1091,169 @@ def _q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _co_order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-order graph: an edge (src, dst) per pair of parts shipped
+    in the same order (src < dst keeps it canonical) — the shared input
+    of the triangle / clustering / label-propagation queries. The SQL
+    twin is ``_CO_ORDER_EDGES_SQL``."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return l1.join(l2, "l_orderkey").filter(F.col("src") < F.col("dst"))
+
+
+_CO_ORDER_EDGES_SQL = (
+    "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+    "FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey"
+)
+
+
+def _q_triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle membership over the co-order graph
+    (graph/triangles.triangle_counts): Schank-Wagner degree orientation
+    bounds wedge work at Σ outdeg² <= |E|^1.5 — a 10M-degree hub
+    generates ZERO wedges — and each triangle materializes exactly once
+    at its minimum vertex (no /3 correction). Pure integer arithmetic,
+    so the module-owned DuckDB twin (triangle_sql) is hash-exact."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    return triangle_counts(_co_order_part_edges(spark, sf_dir))
+
+
+def _q_clustering_coefficients_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part (graph/triangles.
+    clustering_coefficients): 2*T(v)/(deg(v)*(deg(v)-1)) — integer
+    numerator/denominator, ONE raw IEEE division at the output edge
+    (the mean_word_len contract), hash-exact vs clustering_sql."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(_co_order_part_edges(spark, sf_dir))
+
+
+def _q_label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    part co-order graph (graph/lpa.label_propagation): majority label,
+    ties to the smallest id, fixed 3 supersteps — every choice pinned so
+    the fixed-K unrolled DuckDB CTE chain (lpa_sql_unrolled) replays the
+    labels bit-for-bit. One join + count + argmin window per superstep,
+    localCheckpoint lineage cuts between iterations."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import label_propagation
+
+    return label_propagation(_co_order_part_edges(spark, sf_dir), iterations=3)
+
+
+def _q_personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph/pagerank.personalized_pagerank) over
+    the supplier↔part co-occurrence graph FROM seed suppliers S1-S3:
+    teleport mass (base, init) lands only on the seeds, so rank is
+    link-structure proximity to them — the related-entities primitive.
+    Same integer micro-unit state as the global query, so the seeded
+    SQL unroll (pagerank_sql_unrolled(seeds=...)) stays hash-exact.
+    Top-25 by (rank_m, node)."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    edges = li.select(s.alias("src"), p.alias("dst")).union(
+        li.select(p.alias("src"), s.alias("dst"))
+    )
+    return (
+        personalized_pagerank(
+            edges, seeds=["S1", "S2", "S3"], damping=0.85, iterations=3
+        )
+        .orderBy(F.col("rank_m").desc(), F.col("node").asc())
+        .limit(25)
+    )
+
+
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+_SIMHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _q_minhash_near_dup_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 near-dup detection against the PERSISTED LSH index
+    (dedup/minhash.save_minhash_index / near_dups_against_index — the
+    novel_docs_day2 precedent for the NEAR-dup family): the corpus
+    (doc_id % 5 != 0) is shingled + banded ONCE into an index directory
+    (band buckets partitioned by band_idx, shingle sets, meta.json);
+    the day-2 batch (doc_id % 3 == 0) probes it WITHOUT any corpus
+    re-shingle — the probe plan's only file sources are index parquet
+    (tests/test_incremental_dedup.py::
+    test_minhash_day2_plan_never_rescans_corpus). Same-id self-matches
+    (the batch slice overlapping the corpus) are filtered so the result
+    is the genuine cross-doc near-dup set. Rows-only (xxhash64 has no
+    DuckDB twin); the Jaccard-verify arithmetic is oracle-checked via
+    token_jaccard_pairs."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import (
+        near_dups_against_index,
+        save_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _MINHASH_INDEX_CACHE:
+        idx_dir = _scratch_dir("minhash_idx_")
+        save_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), idx_dir)
+        _MINHASH_INDEX_CACHE[sf_dir] = idx_dir
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return near_dups_against_index(
+        batch, spark, _MINHASH_INDEX_CACHE[sf_dir], threshold=0.5
+    ).filter(F.col("batch_id") != F.col("corpus_id"))
+
+
+def _q_simhash_near_dup_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 SimHash probe against the persisted fingerprint index
+    (dedup/simhash.save_simhash_index / near_dups_against_simhash_index):
+    the corpus side costs one 8-byte-per-doc parquet scan — bands derive
+    from the stored fp with pure bit math, one bit_count(xor) verifies.
+    Same corpus/batch slices as the MinHash twin; rows-only (Hamming
+    band-pigeonhole recall is unit-tested)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.simhash import (
+        near_dups_against_simhash_index,
+        save_simhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _SIMHASH_INDEX_CACHE:
+        idx_dir = _scratch_dir("simhash_idx_")
+        save_simhash_index(docs.filter(F.col("doc_id") % 5 != 0), idx_dir)
+        _SIMHASH_INDEX_CACHE[sf_dir] = idx_dir
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return near_dups_against_simhash_index(
+        batch, spark, _SIMHASH_INDEX_CACHE[sf_dir], max_hamming=3
+    ).filter(F.col("batch_id") != F.col("corpus_id"))
+
+
+def _q_semantic_decontam_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED scale path of embedding-space decontamination
+    (dedup/decontam.semantic_contamination_pruned — VERDICT r7 item 4):
+    when the benchmark is too large to broadcast-score brute-force, IVF
+    cells trained ON THE BENCHMARK prune the pair space to ~nprobe/nlist
+    of the cross product before the exact cosine + per-id argmax. A
+    LARGER benchmark slice than the brute query (vec_id < 200 vs < 20)
+    exercises the regime the path exists for. Rows-only by design (cell
+    assignment is iterative k-means); recall 1.0 at the planted-twin
+    operating point and the pruning bound are unit-tested
+    (tests/test_decontam.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination_pruned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 200)
+    corpus = emb.filter(F.col("vec_id") >= 200)
+    return semantic_contamination_pruned(
+        corpus, bench, threshold=0.4, nlist=16, nprobe=4
+    )
+
+
 def _q_media_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-file ingestion loop (S-EXT): generated real PNGs are LANDED
     as one file per object executor-side (multimodal/ops.land_media_files)
@@ -2648,20 +2811,71 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-7 window head: queries whose CONTRACT CHANGED this round
-    # (fuzzy-ER promoted to multi-pass SNM; pagerank/bm25 oracle literal
-    # casts) plus the three NEW r7 queries (persisted-ANN day-2,
-    # distilled quality classifier, semantic decontamination) — changed
-    # semantics and first-evidence needs outrank stale evidence ---
+    # --- round-8 window head: the 7 NEW queries (graph tier with
+    # module-owned SQL twins; persisted MinHash/SimHash day-2 probes;
+    # the materialized semantic-decontam scale path) — first driver
+    # evidence outranks everything ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    # --- the full round-5-evidence cohort (oldest on the board —
+    # VERDICT r7 directive 2: after this window no query's newest
+    # evidence is older than r6) ---
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "gopher_quality_docs": _q_gopher_quality_docs,
+    # ================= end of the 50-entry driver window =================
+    # --- round-7-evidence cohort (freshest; r7 window head first) ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "bm25_rank_docs": _q_bm25_rank_docs,
     "ann_ivfpq_day2": _q_ann_ivfpq_day2,
     "quality_classifier_docs": _q_quality_classifier_docs,
     "semantic_decontam_docs": _q_semantic_decontam_docs,
-    # --- the full round-4-evidence cohort (oldest on the board, VERDICT
-    # r6 directive 3: after this window no query's newest evidence is
-    # older than r5) ---
     "customer_order_distribution": _q_customer_order_distribution,
     "idle_customer_balance": _q_idle_customer_balance,
     "dataset_split_summary": _q_dataset_split_summary,
@@ -2706,52 +2920,7 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # ================= end of the 50-entry driver window =================
-    # --- round-5-evidence cohort: FIRST IN LINE for the r8 window ---
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "gopher_quality_docs": _q_gopher_quality_docs,
-    # --- round-6-evidence cohort (freshest) ---
+    # --- round-6-evidence cohort: FIRST IN LINE for the r9 window ---
     "novel_docs_day2": _q_novel_docs_day2,
     "interval_join_stream": _q_interval_join_stream,
     "unigram_quality_docs": _q_unigram_quality_docs,
@@ -2772,11 +2941,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_static_enrich": _q_stream_static_enrich,
     "incremental_distinct_day2": _q_incremental_distinct_day2,
     "events_variant_kpis": _q_events_variant_kpis,
-    # khop + snm moved out of the r7 window head: their r7 changes are
-    # plan-only (edge materialization; rank persist->checkpoint),
-    # result-identical, locally strict-checked at sf0.01 and hash-EXACT
-    # at sf1 — the slots went to the new quality_classifier_docs and
-    # semantic_decontam_docs
     "khop_reach_supplier": _q_khop_reach_supplier,
     "snm_customer_pairs": _q_snm_customer_pairs,
     "median_price_by_status": _q_median_price_udaf,
@@ -5123,6 +5287,47 @@ ORACLES["curriculum_quality_deciles"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def _graph_tier_oracles() -> dict[str, str]:
+    """DuckDB twins of the r8 graph-tier queries, generated by the SAME
+    modules that implement the operators (the pagerank_sql_unrolled
+    discipline: one module owns both the arithmetic and its oracle
+    text, so they can never drift)."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import lpa_sql_unrolled
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        pagerank_sql_unrolled,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        clustering_sql,
+        triangle_sql,
+    )
+
+    sp_edges = (
+        "SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem "
+        "UNION "
+        "SELECT 'P' || CAST(l_partkey AS VARCHAR), "
+        "'S' || CAST(l_suppkey AS VARCHAR) FROM lineitem"
+    )
+    return {
+        "triangle_counts_parts": triangle_sql(_CO_ORDER_EDGES_SQL),
+        "clustering_coefficients_parts": clustering_sql(_CO_ORDER_EDGES_SQL),
+        "label_propagation_parts": (
+            lpa_sql_unrolled(_CO_ORDER_EDGES_SQL, iterations=3)
+            + "\nSELECT node, label FROM final"
+        ),
+        "personalized_pagerank_suppliers": (
+            pagerank_sql_unrolled(
+                sp_edges, damping=0.85, iterations=3, seeds=["S1", "S2", "S3"]
+            )
+            + "\nSELECT node, rank_m, rank FROM final"
+            + "\nORDER BY rank_m DESC, node ASC LIMIT 25"
+        ),
+    }
+
+
+ORACLES.update(_graph_tier_oracles())
 
 
 def oracle_sql() -> dict[str, str]:

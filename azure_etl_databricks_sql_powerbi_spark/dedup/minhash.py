@@ -275,6 +275,7 @@ def near_dups_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs between ``batch`` and the indexed corpus —
     the corpus side costs parquet scans only (band buckets + shingle
@@ -288,7 +289,9 @@ def near_dups_against_index(
     Output: (batch_id, corpus_id, jaccard) with jaccard >= threshold;
     a batch doc that IS in the corpus (same id) self-matches — filter
     ``batch_id != corpus_id`` upstream if ids share a space and that is
-    unwanted."""
+    unwanted. ``materialize=False`` skips the eager checkpoint (and the
+    batch-signature unpersist) so tests can assert the LIVE plan scans
+    only index parquet, never the corpus source."""
     import json
     import os
 
@@ -324,6 +327,8 @@ def near_dups_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     bsig.unpersist()
     return out

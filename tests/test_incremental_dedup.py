@@ -713,3 +713,39 @@ def test_absorb_drift_flags_needs_compaction(spark, tmp_path):
     assert not resized.needs_compaction()
     state.unpersist()
     resized.unpersist()
+
+
+def test_minhash_day2_plan_never_rescans_corpus(spark, tmp_path):
+    """The persisted-LSH probe's no-corpus-rescan contract, asserted at
+    the PLAN level (the novel_docs_day2 precedent): with the corpus
+    landed as parquet and indexed, the day-2 probe's live plan scans the
+    batch source and the index's bands/shingles parquet ONLY — the
+    corpus parquet path never appears, so the corpus is structurally
+    never re-shingled."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import (
+        near_dups_against_index,
+        save_minhash_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus_path = str(tmp_path / "corpus_day1")
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    save_minhash_index(corpus, str(tmp_path / "lsh"))
+
+    batch_path = str(tmp_path / "batch_day2")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+    probe = near_dups_against_index(
+        batch, spark, str(tmp_path / "lsh"), threshold=0.5, materialize=False
+    )
+    # every FILE source in the live plan is the index: the batch rides a
+    # cached in-memory signature relation, and the corpus parquet path
+    # appears nowhere — structurally incapable of re-shingling day 1
+    files = probe.inputFiles()
+    assert files and all("/lsh/" in f for f in files)
+    assert not any("corpus_day1" in f for f in files)
+    # and the probe actually finds the overlap slice (doc_id % 15 != 0
+    # batch docs that are in the corpus self-match at jaccard 1.0)
+    hits = probe.filter(F.col("jaccard") == 1.0).count()
+    assert hits > 0

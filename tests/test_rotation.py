@@ -77,6 +77,13 @@ def test_every_query_has_oracle_or_documented_exemption():
         "approx_percentiles_by_status",
         "minhash_near_dup",
         "simhash_near_dup",
+        # persisted-index day-2 probes: same no-SQL-twin hashes as the
+        # one-shot variants; no-corpus-rescan plan + recall unit-tested
+        "minhash_near_dup_day2",
+        "simhash_near_dup_day2",
+        # IVF-pruned decontam: cell assignment is iterative k-means;
+        # recall-1.0-at-operating-point + pruning-bound unit-tested
+        "semantic_decontam_pruned",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
