@@ -76,16 +76,30 @@ def main() -> None:
             flush=True,
         )
 
+    # Merge with the committed table (keyed by query name) so successive
+    # measurement sessions extend the board instead of clobbering it.
+    table_path = os.path.join(REPO, "BENCH_SF1.table.md")
+    rows: dict[str, str] = {}
+    order: list[str] = []
+    if os.path.exists(table_path):
+        for line in open(table_path):
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if len(parts) == 4 and parts[0] not in ("query", "---"):
+                if not set(parts[0]) <= {"-"}:
+                    rows[parts[0]] = line.rstrip("\n")
+                    order.append(parts[0])
+    for name in QUERIES:
+        a, b = best[(name, SF_SMALL)], best[(name, SF_BIG)]
+        rows[name] = f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |"
+        if name not in order:
+            order.append(name)
     lines = [
         "| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |",
         "|---|---|---|---|",
-    ]
-    for name in QUERIES:
-        a, b = best[(name, SF_SMALL)], best[(name, SF_BIG)]
-        lines.append(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+    ] + [rows[n] for n in order]
     table = "\n".join(lines)
     print(table, flush=True)
-    with open(os.path.join(REPO, "BENCH_SF1.table.md"), "w") as fh:
+    with open(table_path, "w") as fh:
         fh.write(table + "\n")
     spark.stop()
 
