@@ -1,0 +1,190 @@
+"""Cross-document boilerplate passage detection and removal.
+
+Web-scale corpora are full of VERBATIM repeated passages that are not
+document duplicates: cookie banners, license headers, navigation
+footers, forum signatures. Document-level dedup (exact/MinHash) keeps
+every copy because the surrounding document differs; yet for training
+data the repeated passage is exactly what you want gone — it dominates
+gradient updates out of proportion to its information content (the
+motivation behind repeated-substring dedup, Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"). This module
+implements the bounded window variant of that idea:
+
+- ``boilerplate_passages``: every ``n``-token window whose DOCUMENT
+  frequency (distinct docs containing it) reaches ``min_df`` — the
+  report of what the corpus repeats.
+- ``strip_boilerplate``: per document, drop every token position covered
+  by at least one such window; keep the rest in order.
+
+Scale shape: windows are the shingle machinery (``dedup/cluster``) with
+positions kept. The document-frequency aggregate and the
+boilerplate-membership join both carry ``xxhash64(window)`` — 8 bytes,
+never window text — and the coverage expansion is a bounded explode
+(≤ n positions per covered window). No pairwise work anywhere: cost is
+O(total tokens), independent of how many documents share a passage —
+this is what makes it usable where pair-based dedup explodes
+(a banner shared by 10M pages is ONE aggregate row here, not 10M² pairs).
+
+Determinism: pure token/position arithmetic, no floats; tokenization is
+the shared ``functions.text.tokens`` contract (trimmed, ``\\s+``), so a
+DuckDB twin (string_split_regex + UNNEST(range) windows) is hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
+from azure_etl_databricks_sql_powerbi_spark.util import spread
+
+
+def _windows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, start, w_h, len): every n-token window with its 1-based start
+    position and xxhash64 of the window text. Docs shorter than ``n``
+    tokens yield one window = the whole doc (the ``word_ngrams``
+    short-doc contract); empty docs yield none."""
+    toks = tokens(text_col)
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("t"),
+            F.size(toks).alias("len"),
+        )
+        .filter(F.col("len") > 0)
+        .select(
+            "id",
+            "len",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("len") - (n - 1), F.lit(1))
+                )
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            "id",
+            "len",
+            "start",
+            F.xxhash64(F.array_join(F.slice("t", F.col("start"), n), " ")).alias(
+                "w_h"
+            ),
+        )
+    )
+
+
+def boilerplate_passages(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(passage, doc_freq): every ``n``-token window appearing in at
+    least ``min_df`` DISTINCT documents, with its document frequency.
+
+    This is the reporting surface, so the aggregate here carries the
+    window TEXT (the answer) rather than its hash — use it on corpora
+    where the boilerplate report itself is small (it always is: the
+    output is bounded by distinct repeated windows, not corpus size).
+    """
+    toks = tokens(text_col)
+    wins = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("len"))
+        .filter(F.col("len") > 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.col("len") - (n - 1), F.lit(1)))
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            "id", F.array_join(F.slice("t", F.col("start"), n), " ").alias("passage")
+        )
+        .distinct()
+    )
+    return (
+        wins.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, clean_text, n_tokens_kept, n_tokens_removed): every token
+    position covered by ≥1 boilerplate window removed, survivors joined
+    by single spaces in original order.
+
+    A window starting at ``s`` covers positions ``s .. min(s+n-1, len)``.
+    Fully-stripped and empty documents survive with ``clean_text = ''``
+    (the caller decides whether to drop them — a quality gate concern,
+    not a dedup one).
+    """
+    wins = _windows(df, text_col, id_col, n)
+    # boilerplate membership by hash: distinct (doc, window) -> doc freq
+    bp = (
+        wins.select("id", "w_h")
+        .distinct()
+        .groupBy("w_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("w_h")
+    )
+    covered = (
+        wins.join(bp, "w_h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.least(F.col("start") + (n - 1), F.col("len")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = tokens(text_col)
+    positions = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "tok"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = (
+        positions.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("__n_toks")
+    )
+    return (
+        base.join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.col("__n_toks") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

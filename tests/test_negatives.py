@@ -1,0 +1,87 @@
+"""Hard-negative mining tests: cross-label constraint, determinism, and a
+module-owned DuckDB twin on the real embeddings table (the graph-tier
+pattern: the SQL twin lives next to the operator and is pytest-proven
+before the query enters a driver window)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from oracle_harness import compare
+
+from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+    hard_negatives,
+    triplet_candidates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# The DuckDB twin of hard_negatives(corpus=embeddings, anchors=vec_id<8,
+# k=5): same cosine, same cross-label predicate, same tie-break.
+NEGATIVES_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM read_parquet('{sf}/embeddings.parquet')),
+    a AS (SELECT * FROM e WHERE vec_id < 8),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+               c.label AS negative_label,
+               CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(c.v, c.v)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(c.v, c.v)))
+               END AS cos
+        FROM e c, a WHERE c.label <> a.label
+    )
+    SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id,
+           negative_label, ROUND(cos, 4) AS cosine_sim
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
+        ) AS rank FROM pairs
+    ) WHERE rank <= 5
+"""
+
+
+def test_hard_negatives_matches_duckdb_twin(spark):
+    emb = _emb(spark)
+    out = hard_negatives(emb, emb.filter("vec_id < 8"), k=5)
+    orc = duckdb.sql(NEGATIVES_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=1e-9) == []
+
+
+def test_hard_negatives_never_returns_anchor_label(spark):
+    emb = _emb(spark)
+    out = hard_negatives(emb, emb.filter("vec_id < 8"), k=5)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert r.negative_label != labels[r.anchor_id]
+        assert 1 <= r.rank <= 5
+
+
+def test_hard_negatives_min_sim_floor(spark):
+    emb = _emb(spark)
+    floored = hard_negatives(emb, emb.filter("vec_id < 8"), k=50, min_sim=0.5)
+    assert all(r.cosine_sim >= 0.5 for r in floored.collect())
+
+
+def test_triplet_margins_and_shapes(spark):
+    emb = _emb(spark)
+    out = triplet_candidates(
+        emb, emb.filter("vec_id < 4"), k_pos=2, k_neg=3
+    ).collect()
+    labels = {r.vec_id: r.label for r in _emb(spark).collect()}
+    # bounded fan-out: at most k_pos * k_neg triplets per anchor
+    per_anchor: dict[int, int] = {}
+    for r in out:
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 2e-4
+    assert per_anchor and all(v <= 6 for v in per_anchor.values())
