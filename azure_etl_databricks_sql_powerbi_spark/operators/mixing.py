@@ -20,7 +20,7 @@ exactly defined — compared and min'd in long space.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,4 +108,60 @@ def temperature_mix_allocation(
             .alias("oversubscribed"),
         )
         .orderBy("domain")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    allocation: DataFrame,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """MATERIALIZE a mixing allocation: per domain, keep documents in
+    deterministic hash-priority order until the domain's ``alloc_tokens``
+    budget is filled — the step that turns ``domain_mix_allocation`` /
+    ``temperature_mix_allocation`` (driver-sized tables of per-domain
+    budgets) into the actual training corpus.
+
+    A document is kept iff it STARTS inside the budget (its cumulative
+    token count before it is < alloc_tokens) — the same
+    straddle-the-boundary convention as ``sampling.pack_sequences``, so
+    the realized token count can overshoot by at most one document. The
+    priority order is the md5-prefix integer of
+    ``sampling.hash_bucket`` (portable: any engine with md5 — including
+    the DuckDB oracle — replays it bit-for-bit; xxhash64 would not be)
+    with id tiebreak: a pure function of the data, so re-runs and the
+    SQL twin select the identical subset; changing ``salt`` redraws.
+
+    Scale shape: the allocation table is #domains rows and broadcasts;
+    the only shuffle is the per-domain cumsum window — one Exchange on
+    the domain key, the same shape a groupBy would pay. Skew note: a
+    single giant domain serializes its own cumsum; at that point the
+    domain IS the corpus and the budget cut is better expressed as a
+    global sample.
+
+    Returns the kept rows of ``df`` plus ``cum_tokens_before`` (exact
+    long), for audit.
+    """
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    pri = hash_bucket(id_col, 1 << 32, salt)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    alloc = allocation.select(
+        F.col("domain").alias(domain_col), F.col("alloc_tokens")
+    )
+    return (
+        df.join(F.broadcast(alloc), domain_col)
+        .withColumn("cum_tokens_before", cum_before)
+        .filter(F.col("cum_tokens_before") < F.col("alloc_tokens"))
+        .drop("alloc_tokens")
     )
