@@ -29,6 +29,17 @@ def _declared() -> list[str]:
     return list(entry.QUERIES.keys())
 
 
+def test_declared_surface_within_rotation_capacity():
+    """The 50-slot window re-greens at most 50 queries/round, and the
+    freshness policy tolerates evidence up to 3 rounds old — so the
+    sustainable declared surface is hard-capped at 150 queries (every
+    round re-greens exactly the 50 oldest). Declaring a 151st query
+    would force some query past the 3-round staleness bound with no
+    window slot to fix it; new capability beyond the cap must CONSOLIDATE
+    into composed queries or replace retired ones."""
+    assert len(_declared()) <= 150
+
+
 def test_every_query_has_driver_evidence():
     declared = _declared()
     covered: set[str] = set()
