@@ -130,6 +130,18 @@ def strip_boilerplate(
     Fully-stripped and empty documents survive with ``clean_text = ''``
     (the caller decides whether to drop them — a quality gate concern,
     not a dedup one).
+
+    Plan shape: the only corpus-sized shuffles carry (id, 8-byte hash)
+    window rows; the token REMOVAL itself never shuffles the corpus —
+    covered positions aggregate per doc (output bounded by boilerplate
+    coverage, typically a small fraction of tokens), join back onto the
+    docs, and an indexed array filter drops covered tokens row-locally.
+    An earlier draft reassembled docs by shuffling every (id, pos,
+    token) row through a groupBy — corpus-sized where this is
+    coverage-sized. Window membership joins on ``xxhash64`` (the
+    ``shingle_edges`` discipline: a ~2^-64 collision could strip a
+    non-boilerplate window; the text-keyed SQL twin is identical modulo
+    that probability).
     """
     wins = _windows(df, text_col, id_col, n)
     # boilerplate membership by hash: distinct (doc, window) -> doc freq
@@ -141,7 +153,7 @@ def strip_boilerplate(
         .filter(F.col("df") >= min_df)
         .select("w_h")
     )
-    covered = (
+    cov_sets = (
         wins.join(bp, "w_h")
         .select(
             "id",
@@ -152,39 +164,21 @@ def strip_boilerplate(
                 )
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__cov"))
     )
     toks = tokens(text_col)
-    positions = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "tok"))
-        .select("id", (F.col("pos0") + 1).alias("pos"), "tok")
-    )
-    kept = (
-        positions.join(covered, ["id", "pos"], "left_anti")
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_tokens_kept"),
-        )
-    )
-    base = df.select(
-        F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("__n_toks")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__t"), lambda _tok, i: ~F.array_contains(cov, i + F.lit(1))
     )
     return (
-        base.join(kept, "id", "left")
+        base.join(cov_sets, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
-            (F.col("__n_toks") - F.coalesce("n_tokens_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
         )
     )

@@ -48,7 +48,10 @@ def hard_negatives(
 
     ``min_sim`` optionally drops easy negatives below a similarity floor
     (applied to the unrounded cosine, so an SQL ``cos >= t`` twin agrees
-    bit-for-bit). Ties break on negative_id.
+    bit-for-bit). Ties break on negative_id. NULL labels never satisfy
+    the inequality (standard SQL three-valued logic) — unlabeled rows on
+    either side are silently excluded; label them (e.g. via
+    ``similarity/kmeans`` cluster ids) before mining.
     """
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
