@@ -90,21 +90,20 @@ def boilerplate_passages(
     window TEXT (the answer) rather than its hash — use it on corpora
     where the boilerplate report itself is small (it always is: the
     output is bounded by distinct repeated windows, not corpus size).
+
+    Windows come from the shared ``functions.text.word_ngrams`` contract
+    (including its short-doc whole-text rule); empty documents are
+    filtered first, since the ngram helper maps them to a single ''
+    shingle which is not a passage.
     """
-    toks = tokens(text_col)
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import word_ngrams
+
     wins = (
         spread(df)
-        .select(F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("len"))
-        .filter(F.col("len") > 0)
+        .filter(F.size(tokens(text_col)) > 0)
         .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.col("len") - (n - 1), F.lit(1)))
-            ).alias("start"),
-            "t",
-        )
-        .select(
-            "id", F.array_join(F.slice("t", F.col("start"), n), " ").alias("passage")
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("passage"),
         )
         .distinct()
     )
@@ -138,7 +137,13 @@ def strip_boilerplate(
     docs, and an indexed array filter drops covered tokens row-locally.
     An earlier draft reassembled docs by shuffling every (id, pos,
     token) row through a groupBy — corpus-sized where this is
-    coverage-sized. Window membership joins on ``xxhash64`` (the
+    coverage-sized. The tokenize+window+hash map stage runs twice (the
+    df-frequency aggregate and the coverage probe consume ``wins`` under
+    different exchanges, so AQE cannot reuse one scan) plus a third
+    tokenize in the output projection — a deliberate rescan-vs-persist
+    trade: materializing the per-token window frame costs ~corpus-sized
+    storage at 100 TB, while the rescans are map-only passes over the
+    source columns. Window membership joins on ``xxhash64`` (the
     ``shingle_edges`` discipline: a ~2^-64 collision could strip a
     non-boilerplate window; the text-keyed SQL twin is identical modulo
     that probability).

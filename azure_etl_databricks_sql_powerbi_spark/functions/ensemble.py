@@ -35,6 +35,26 @@ from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (
 )
 
 
+def _normalized_weights(
+    score_cols: list[str], weights: list[float] | None
+) -> list[float]:
+    """Shared validation for the operator AND its SQL twin — the twin
+    must reject exactly the inputs the operator rejects, or the
+    module-owns-its-oracle discipline silently diverges on bad input."""
+    if not score_cols:
+        raise ValueError("ensemble needs at least one score column")
+    if weights is None:
+        weights = [1.0] * len(score_cols)
+    if len(weights) != len(score_cols):
+        raise ValueError(
+            f"{len(weights)} weights for {len(score_cols)} score columns"
+        )
+    z = float(sum(weights))
+    if z <= 0:
+        raise ValueError("weights must sum to a positive value")
+    return [float(w) / z for w in weights]
+
+
 def ensemble_rank_scores(
     df: DataFrame,
     score_cols: list[str],
@@ -51,18 +71,13 @@ def ensemble_rank_scores(
     ``weights`` defaults to uniform; they are normalized to sum 1 so the
     output stays a [0, 1] rank regardless of the caller's scale. The row
     count feeding the percent denominator is one bounded action.
+
+    Score columns must be NON-NULL: Spark sorts NULLs first ascending
+    while SQL PERCENT_RANK defaults NULLS LAST, so a NULL score would
+    silently land at opposite ends of the two engines' rankings —
+    ``F.coalesce`` a left-joined signal to its worst value upstream.
     """
-    if not score_cols:
-        raise ValueError("ensemble_rank_scores needs at least one score column")
-    if weights is None:
-        weights = [1.0] * len(score_cols)
-    if len(weights) != len(score_cols):
-        raise ValueError(
-            f"{len(weights)} weights for {len(score_cols)} score columns"
-        )
-    z = float(sum(weights))
-    if z <= 0:
-        raise ValueError("weights must sum to a positive value")
+    norm = _normalized_weights(score_cols, weights)
     denom = max(df.count() - 1, 1)
     out = df
     for c in score_cols:
@@ -72,8 +87,8 @@ def ensemble_rank_scores(
             .drop("__r")
         )
     combined = F.lit(0.0)
-    for c, wt in zip(score_cols, weights):
-        combined = combined + F.col(f"{c}_pr") * F.lit(float(wt) / z)
+    for c, wt in zip(score_cols, norm):
+        combined = combined + F.col(f"{c}_pr") * F.lit(wt)
     return out.withColumn(out_col, combined)
 
 
@@ -86,17 +101,17 @@ def ensemble_sql(
 ) -> str:
     """The ANSI-SQL twin of ``ensemble_rank_scores`` over a relation
     defined by ``source_cte`` — same no-ties ranks, same left-to-right
-    weighted sum (the module-owns-its-oracle discipline)."""
-    if weights is None:
-        weights = [1.0] * len(score_cols)
-    z = float(sum(weights))
+    weighted sum, and the SAME input validation (the
+    module-owns-its-oracle discipline: the twin must reject what the
+    operator rejects)."""
+    norm = _normalized_weights(score_cols, weights)
     prs = ", ".join(
         f"PERCENT_RANK() OVER (ORDER BY {c} ASC, {id_col} ASC) AS {c}_pr"
         for c in score_cols
     )
     comb = "0.0"
-    for c, wt in zip(score_cols, weights):
-        comb = f"({comb} + {c}_pr * {float(wt) / z!r})"
+    for c, wt in zip(score_cols, norm):
+        comb = f"({comb} + {c}_pr * {wt!r})"
     return (
         f"WITH src AS ({source_cte}), "
         f"ranked AS (SELECT *, {prs} FROM src) "

@@ -87,18 +87,30 @@ def join_explosion_estimate(
     where ``amplification = join_rows / greatest(left_rows, right_rows)``
     — above ~1 the join fans out and a 100 TB input becomes a multiple of
     itself in shuffle + output cost. Exact, not an estimate from sampled
-    statistics, at the price of one pass per side.
+    statistics, at the price of one pass per side (the row totals derive
+    from the per-key aggregates, so each input really is scanned once).
+
+    ``join_rows`` is decimal(38,0): the per-key products live in exactly
+    the extreme-skew regime this tool exists to flag, where a single hot
+    key with >3e9 rows on both sides overflows a long product (ANSI-on
+    Spark 4 would throw; ANSI-off would silently wrap negative — either
+    way the diagnostic dies on its own target input if computed in
+    longs). ``amplification`` divides as double at the output edge.
     """
     la = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__lc"))
     ra = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rc"))
-    lt = left.agg(F.count(F.lit(1)).alias("left_rows"))
-    rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
+    lt = la.agg(F.coalesce(F.sum("__lc"), F.lit(0)).cast("long").alias("left_rows"))
+    rt = ra.agg(F.coalesce(F.sum("__rc"), F.lit(0)).cast("long").alias("right_rows"))
     per_key = la.join(ra, keys).select(
-        (F.col("__lc") * F.col("__rc")).alias("__prod")
+        (
+            F.col("__lc").cast("decimal(38,0)") * F.col("__rc").cast("decimal(38,0)")
+        ).alias("__prod")
     )
     j = per_key.agg(
         F.count(F.lit(1)).alias("matching_keys"),
-        F.coalesce(F.sum("__prod"), F.lit(0)).cast("long").alias("join_rows"),
+        F.coalesce(F.sum("__prod"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("join_rows"),
     )
     return (
         j.join(F.broadcast(lt))
@@ -109,8 +121,8 @@ def join_explosion_estimate(
             "matching_keys",
             "join_rows",
             (
-                F.col("join_rows")
-                / F.greatest(F.col("left_rows"), F.col("right_rows"))
+                F.col("join_rows").cast("double")
+                / F.greatest(F.col("left_rows"), F.col("right_rows")).cast("double")
             ).alias("amplification"),
         )
     )

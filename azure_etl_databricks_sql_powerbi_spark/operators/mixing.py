@@ -118,6 +118,7 @@ def sample_to_token_budget(
     token_col: str,
     id_col: str,
     salt: str = "",
+    require_full_coverage: bool = True,
 ) -> DataFrame:
     """MATERIALIZE a mixing allocation: per domain, keep documents in
     deterministic hash-priority order until the domain's ``alloc_tokens``
@@ -142,12 +143,43 @@ def sample_to_token_budget(
     domain IS the corpus and the budget cut is better expressed as a
     global sample.
 
+    Documents join the allocation on the domain key INNER, so a domain
+    with no allocation row contributes nothing — with a stale or
+    hand-filtered allocation that is silent data loss for exactly the
+    function whose contract is "materialize the allocation". By default
+    (``require_full_coverage=True``) the corpus's domain inventory is
+    checked against the allocation first (one distinct over the domain
+    key — trivial next to the cumsum shuffle) and a missing domain
+    raises; pass ``False`` only when sampling a deliberate domain
+    subset.
+
     Returns the kept rows of ``df`` plus ``cum_tokens_before`` (exact
     long), for audit.
     """
     from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
         hash_bucket,
     )
+
+    if require_full_coverage:
+        missing = [
+            r[0]
+            for r in df.select(F.col(domain_col))
+            .distinct()
+            .join(
+                F.broadcast(allocation.select(F.col("domain").alias(domain_col))),
+                domain_col,
+                "left_anti",
+            )
+            .limit(20)
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                f"sample_to_token_budget: corpus domains with no allocation "
+                f"row (first {len(missing)}): {missing} — recompute the "
+                "allocation on the current corpus, or pass "
+                "require_full_coverage=False to sample a domain subset"
+            )
 
     pri = hash_bucket(id_col, 1 << 32, salt)
     w = (

@@ -149,3 +149,32 @@ def test_ensemble_rank_bounds_and_monotonicity(spark):
     assert abs(by_score[-1].ensemble_rank - 1.0) < 1e-12
     ranks = [r.ensemble_rank for r in by_score]
     assert ranks == sorted(ranks)  # monotone in the signal
+
+
+def test_budget_sampler_missing_domain_raises(spark):
+    docs = _docs(spark)
+    dropped = docs.selectExpr("MIN(source)").collect()[0][0]
+    alloc = domain_mix_allocation(
+        docs.filter(f"source <> '{dropped}'"), "source", "n_tokens"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="no allocation row"):
+        sample_to_token_budget(docs, alloc, "source", "n_tokens", "doc_id")
+    # deliberate subset sampling stays available
+    out = sample_to_token_budget(
+        docs, alloc, "source", "n_tokens", "doc_id", require_full_coverage=False
+    )
+    assert out.select("source").distinct().count() == alloc.count()
+
+
+def test_ensemble_sql_rejects_what_the_operator_rejects():
+    """The twin must fail on the same bad input as the operator, or the
+    oracle silently diverges (weights zip-truncation)."""
+    import pytest
+
+    for bad in ([2.0], [], [0.0, 0.0]):
+        with pytest.raises(ValueError):
+            ensemble_sql(
+                "SELECT 1 AS s1, 2 AS s2, 3 AS id", ["s1", "s2"], "id", weights=bad
+            )

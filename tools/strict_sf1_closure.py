@@ -46,7 +46,10 @@ import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "tests"))
+# strict_oracle_check lives in tools/ — resolve it explicitly so this
+# module also imports from a foreign cwd (script-directory resolution
+# only covers the __main__ case)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry  # noqa: E402
 from strict_oracle_check import canon  # noqa: E402
