@@ -387,3 +387,62 @@ def test_classifier_weights_ride_broadcast_joins(spark, entry):
     assert "BroadcastHashJoin" in plan
     # the only SinglePartition exchanges are the 1-row prior/total aggs
     assert plan.count("Exchange SinglePartition") <= 3, plan
+
+
+def test_hard_negatives_broadcasts_anchors_no_corpus_shuffle(spark):
+    """The corpus side must stream (broadcast-nested-loop against the
+    anchor set); the only Exchange is the per-anchor top-k window."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(hard_negatives(emb, emb.filter("vec_id < 4"), k=3))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one shuffle: the window's hashpartitioning on anchor_id
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_budget_sampler_single_domain_exchange(spark):
+    """Allocation broadcasts; the corpus pays ONE hash exchange (the
+    per-domain cumsum window), nothing else. A literal allocation table
+    isolates the sampler's own plan from the allocation computation's."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.mixing import (
+        sample_to_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    alloc = spark.createDataFrame(
+        [(r[0], 500) for r in docs.select("source").distinct().collect()],
+        "domain string, alloc_tokens long",
+    )
+    plan = _plan(
+        sample_to_token_budget(
+            docs, alloc, "source", "n_tokens", "doc_id",
+            require_full_coverage=False,
+        )
+    )
+    assert "BroadcastExchange" in plan  # the #domains-row allocation
+    assert plan.count("Exchange hashpartitioning") == 1  # the cumsum window
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ensemble_never_plans_single_partition_window(spark):
+    """percent ranks must come from the distributed global rank — a
+    plain Window.orderBy would plan Exchange SinglePartition over the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.ensemble import (
+        ensemble_rank_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("s1")
+    )
+    plan = _plan(ensemble_rank_scores(docs, ["s1"], "doc_id", partitions=4))
+    assert "Exchange SinglePartition" not in plan
