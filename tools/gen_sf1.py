@@ -220,6 +220,17 @@ def gen_customer(rng: np.random.Generator) -> None:
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    # the 4 dimension tables are copied from sf0.1 verbatim (documented in
+    # BENCH_SF1.md): cross-engine exactness needs identical inputs, not
+    # referentially-scaled dims — and the oracle harness binds views for
+    # ALL tables, so a missing dim fails every sf1 strict check
+    import shutil
+
+    for dim in ("region", "nation", "supplier", "part"):
+        path = f"{OUT}/{dim}.parquet"
+        if not os.path.exists(path):
+            shutil.copy(f"{SRC}/{dim}.parquet", path)
+            print(f"{dim}: copied from sf0.1")
     rng = np.random.default_rng(42)
     for name, fn in [
         ("documents", gen_documents),
