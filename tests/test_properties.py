@@ -553,3 +553,42 @@ def test_weighted_pagerank_exact_on_arbitrary_graphs(spark, wedges):
         for row in pagerank(df, iterations=3, weight_col="w").collect()
     }
     assert got == r
+
+
+# ---- union-find closure (the sf1 strict-gate oracle core) ----------------
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edge_strategy)
+@settings(max_examples=200, deadline=None)
+def test_union_find_equals_bfs_min_reachability(edges):
+    """tools/strict_sf1_closure.min_label_components claims to compute the
+    recursive CTE's fixpoint — min reachable node id per node on the
+    undirected graph. Verify against a brute BFS closure on arbitrary
+    graphs (self-loop-free; duplicates and both orientations allowed)."""
+    import pandas as pd
+
+    from tools.strict_sf1_closure import min_label_components
+
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    got = dict(
+        zip(min_label_components(df)["doc_id"], min_label_components(df)["cluster_id"])
+    )
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for node in adj:
+        seen, frontier = {node}, [node]
+        while frontier:
+            nxt = [m for f in frontier for m in adj[f] if m not in seen]
+            seen.update(nxt)
+            frontier = nxt
+        assert got[node] == min(seen), (node, sorted(seen))
+    assert set(got) == set(adj)
