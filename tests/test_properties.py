@@ -592,3 +592,50 @@ def test_union_find_equals_bfs_min_reachability(edges):
             frontier = nxt
         assert got[node] == min(seen), (node, sorted(seen))
     assert set(got) == set(adj)
+
+
+# ---- numpy triangle oracle (the sf1 strict-gate triangle core) ------------
+
+
+@given(edges=edge_strategy)
+@settings(max_examples=200, deadline=None)
+def test_numpy_triangle_oracle_equals_bruteforce(edges):
+    """tools/strict_sf1_triangles.triangle_memberships claims per-node
+    triangle membership over the canonicalized undirected graph — the
+    mathematical object the resource-bound DuckDB wedge self-join
+    computes. Verify counts, degrees, AND the clustering division
+    against brute-force itertools trios on arbitrary graphs
+    (duplicates and both orientations allowed)."""
+    import itertools
+
+    import pandas as pd
+
+    from tools.strict_sf1_triangles import (
+        numpy_clustering_coefficients,
+        numpy_triangle_counts,
+    )
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in eset for x in e})
+    tri = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {v: sum(1 for e in eset if v in e) for v in nodes}
+
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got_tri = numpy_triangle_counts(df)
+    assert dict(zip(got_tri["node"], got_tri["n_triangles"])) == {
+        v: t for v, t in tri.items() if t > 0
+    }
+
+    got_cc = numpy_clustering_coefficients(df).set_index("node")
+    assert sorted(got_cc.index) == nodes
+    for v in nodes:
+        row = got_cc.loc[v]
+        assert row["deg"] == deg[v]
+        assert row["n_triangles"] == tri[v]
+        want = (2.0 * tri[v]) / (deg[v] * (deg[v] - 1.0)) if deg[v] >= 2 else 0.0
+        assert row["clustering"] == want
