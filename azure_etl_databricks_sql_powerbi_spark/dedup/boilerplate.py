@@ -32,7 +32,7 @@ DuckDB twin (string_split_regex + UNNEST(range) windows) is hash-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
@@ -120,6 +120,7 @@ def strip_boilerplate(
     min_df: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    observation: Observation | None = None,
 ) -> DataFrame:
     """(id_col, clean_text, n_tokens_kept, n_tokens_removed): every token
     position covered by ≥1 boilerplate window removed, survivors joined
@@ -134,7 +135,8 @@ def strip_boilerplate(
     window rows; the token REMOVAL itself never shuffles the corpus —
     covered positions aggregate per doc (output bounded by boilerplate
     coverage, typically a small fraction of tokens), join back onto the
-    docs, and an indexed array filter drops covered tokens row-locally.
+    docs, and a row-local set difference (array_except over the position
+    range) gathers the surviving tokens.
     An earlier draft reassembled docs by shuffling every (id, pos,
     token) row through a groupBy — corpus-sized where this is
     coverage-sized. The tokenize+window+hash map stage runs twice (the
@@ -147,6 +149,15 @@ def strip_boilerplate(
     ``shingle_edges`` discipline: a ~2^-64 collision could strip a
     non-boilerplate window; the text-keyed SQL twin is identical modulo
     that probability).
+
+    The rescan trade is never silent when the caller passes an
+    ``observation`` (the minhash/semantic "No silent caps" discipline):
+    after an action, ``observation.get`` reports ``covered_positions``
+    (exact count of stripped token positions corpus-wide),
+    ``covered_docs`` (documents touched by any boilerplate window), and
+    ``boilerplate_window_hits`` (distinct (doc, window) boilerplate
+    incidences) — the three numbers that price the coverage aggregate
+    this plan rescans for instead of persisting.
     """
     wins = _windows(df, text_col, id_col, n)
     # boilerplate membership by hash: distinct (doc, window) -> doc freq
@@ -158,10 +169,16 @@ def strip_boilerplate(
         .filter(F.col("df") >= min_df)
         .select("w_h")
     )
+    per_doc_aggs = [F.collect_set("pos").alias("__cov")]
+    if observation is not None:
+        # distinct boilerplate windows hitting this doc — collected in the
+        # same single aggregation pass, monitoring-only (skipped otherwise)
+        per_doc_aggs.append(F.size(F.collect_set("w_h")).alias("__nw"))
     cov_sets = (
         wins.join(bp, "w_h")
         .select(
             "id",
+            "w_h",
             F.explode(
                 F.sequence(
                     F.col("start"),
@@ -170,14 +187,33 @@ def strip_boilerplate(
             ).alias("pos"),
         )
         .groupBy("id")
-        .agg(F.collect_set("pos").alias("__cov"))
+        .agg(*per_doc_aggs)
     )
+    if observation is not None:
+        cov_sets = cov_sets.observe(
+            observation,
+            F.coalesce(F.sum(F.size("__cov")), F.lit(0)).alias(
+                "covered_positions"
+            ),
+            F.count(F.lit(1)).alias("covered_docs"),
+            F.coalesce(F.sum("__nw"), F.lit(0)).alias(
+                "boilerplate_window_hits"
+            ),
+        ).drop("__nw")
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__t"), lambda _tok, i: ~F.array_contains(cov, i + F.lit(1))
-    )
+    # kept positions via one hash-set difference (O(n_tokens + coverage)
+    # row-local), then a positional gather — NOT a per-token
+    # array_contains probe, which is O(n_tokens x coverage) and on the
+    # module's own target case (a long fully-covered doc) quadratic.
+    # array_except preserves first-array order, so ascending positions
+    # stay ascending and the gather keeps original token order.
+    pos_all = F.when(
+        F.size("__t") > 0, F.sequence(F.lit(1), F.size("__t"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(pos_all, cov)
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("__t"), p))
     return (
         base.join(cov_sets, "id", "left")
         .select(

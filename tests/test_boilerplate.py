@@ -108,6 +108,40 @@ def test_strip_matches_duckdb_twin_on_documents(spark):
     assert compare(out, orc, float_tol=1e-9) == []
 
 
+def test_observation_reports_coverage(spark):
+    """The rescan trade is monitored: an Observation on the coverage
+    aggregate reports exactly how many positions/docs/window-incidences
+    the plan re-derives instead of persisting. Planted corpus: docs 1-3
+    carry one 5-token banner each (doc 1 once, at positions 1-5; doc 2 at
+    3-7; doc 3 at 4-8), so coverage = 15 positions over 3 docs with one
+    banner window incidence per doc."""
+    from pyspark.sql import Observation
+
+    obs = Observation("boilerplate")
+    out = strip_boilerplate(_planted(spark), n=5, min_df=3, observation=obs)
+    rows = {r.doc_id: r for r in out.collect()}  # action -> metrics avail
+    assert rows[1].clean_text == "alpha bravo charlie delta echo"
+    got = obs.get
+    assert got["covered_positions"] == 15
+    assert got["covered_docs"] == 3
+    assert got["boilerplate_window_hits"] == 3
+
+
+def test_observation_zero_coverage(spark):
+    """No boilerplate anywhere -> all three counters are 0, not null."""
+    from pyspark.sql import Observation
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id long, text string"
+    )
+    obs = Observation()
+    strip_boilerplate(docs, n=2, min_df=3, observation=obs).collect()
+    got = obs.get
+    assert got["covered_positions"] == 0
+    assert got["covered_docs"] == 0
+    assert got["boilerplate_window_hits"] == 0
+
+
 def test_no_pairwise_blowup(spark):
     """1000 docs sharing one banner: the passage report is ONE row and
     the strip output is 1000 rows — nothing quadratic anywhere."""
