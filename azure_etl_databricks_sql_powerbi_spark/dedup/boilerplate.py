@@ -170,15 +170,17 @@ def strip_boilerplate(
         .select("w_h")
     )
     per_doc_aggs = [F.collect_set("pos").alias("__cov")]
+    cov_cols = ["id"]
     if observation is not None:
         # distinct boilerplate windows hitting this doc — collected in the
-        # same single aggregation pass, monitoring-only (skipped otherwise)
+        # same single aggregation pass, monitoring-only (skipped otherwise,
+        # and w_h is only projected into the explode when it is consumed)
         per_doc_aggs.append(F.size(F.collect_set("w_h")).alias("__nw"))
+        cov_cols.append("w_h")
     cov_sets = (
         wins.join(bp, "w_h")
         .select(
-            "id",
-            "w_h",
+            *cov_cols,
             F.explode(
                 F.sequence(
                     F.col("start"),
@@ -189,17 +191,6 @@ def strip_boilerplate(
         .groupBy("id")
         .agg(*per_doc_aggs)
     )
-    if observation is not None:
-        cov_sets = cov_sets.observe(
-            observation,
-            F.coalesce(F.sum(F.size("__cov")), F.lit(0)).alias(
-                "covered_positions"
-            ),
-            F.count(F.lit(1)).alias("covered_docs"),
-            F.coalesce(F.sum("__nw"), F.lit(0)).alias(
-                "boilerplate_window_hits"
-            ),
-        ).drop("__nw")
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
@@ -207,19 +198,38 @@ def strip_boilerplate(
     # row-local), then a positional gather — NOT a per-token
     # array_contains probe, which is O(n_tokens x coverage) and on the
     # module's own target case (a long fully-covered doc) quadratic.
-    # array_except preserves first-array order, so ascending positions
-    # stay ascending and the gather keeps original token order.
+    # array_except preserves first-array order in the current Spark
+    # implementation (the API docs only promise "without duplicates"), so
+    # ascending positions stay ascending and the gather keeps original
+    # token order; the hash-exact DuckDB twin test pins this dependency.
     pos_all = F.when(
         F.size("__t") > 0, F.sequence(F.lit(1), F.size("__t"))
     ).otherwise(F.array().cast("array<int>"))
     kept_pos = F.array_except(pos_all, cov)
     kept = F.transform(kept_pos, lambda p: F.element_at(F.col("__t"), p))
-    return (
-        base.join(cov_sets, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.array_join(kept, " ").alias("clean_text"),
-            F.size(kept).cast("long").alias("n_tokens_kept"),
-            (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    joined = base.join(cov_sets, "id", "left")
+    if observation is not None:
+        # Observe on the JOINED frame, not cov_sets: when no window reaches
+        # min_df the cov_sets subtree is empty and AQE empty-relation
+        # propagation prunes a CollectMetrics node attached there out of
+        # the physical plan entirely (Observation.get then throws instead
+        # of reporting zeros). The left join's output always executes, so
+        # the metrics node here survives any empty right side.
+        joined = joined.observe(
+            observation,
+            F.coalesce(F.sum(F.size("__cov")), F.lit(0)).alias(
+                "covered_positions"
+            ),
+            F.count(F.when(F.col("__cov").isNotNull(), 1)).alias(
+                "covered_docs"
+            ),
+            F.coalesce(F.sum("__nw"), F.lit(0)).alias(
+                "boilerplate_window_hits"
+            ),
         )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
