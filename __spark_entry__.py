@@ -2799,6 +2799,112 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate passage removal
+    (dedup/boilerplate.strip_boilerplate): every 8-token window shared by
+    ≥5 distinct documents is stripped from every document it covers —
+    the bounded-window variant of repeated-substring dedup (Lee et al.
+    2022), the curation step document-level dedup cannot express. Plan
+    shape: corpus-sized shuffles carry only (id, 8-byte xxhash64) window
+    rows; token removal is a row-local array_except position-set
+    difference, never a per-token shuffle. Full oracle: the module's
+    STRIP_SQL twin (same \\s+ tokenization, same short-doc whole-text
+    window, same coverage arithmetic) — hash-exact."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.boilerplate import (
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, n=8, min_df=5)
+
+
+def _q_mixture_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation mixture (functions/ensemble.ensemble_rank_scores
+    → operators/mixing.domain_mix_allocation → sample_to_token_budget) in
+    ONE plan: two incomparable quality signals (chars, tokens) become
+    percent ranks via the distributed global-rank machinery (never a
+    single-partition window), their weighted average gates the worst
+    quartile out, the surviving corpus gets a per-domain token budget
+    (min(inventory, floor(2% of total))), and the budget is MATERIALIZED
+    in deterministic md5-priority order — the allocation table is
+    #domains rows and broadcasts; the only corpus shuffles are k range
+    exchanges for the ranks and one hash exchange for the per-domain
+    cumsum. cap_frac=0.02 binds in every domain at the test scale (an
+    unbinding budget would keep everything and test nothing). Oracle:
+    one CTE chain built around the module-owned ensemble_sql twin plus
+    the BUDGET_SQL window arithmetic, bit-exact (the 0.02 cap multiplies
+    as DOUBLE on both sides — DuckDB's bare 0.02 literal is DECIMAL and
+    would floor differently at exact-integer edges)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.ensemble import (
+        ensemble_rank_scores,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.mixing import (
+        domain_mix_allocation,
+        sample_to_token_budget,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+        .withColumn("s_chars", F.col("n_chars").cast("double"))
+        .withColumn("s_tokens", F.col("n_tokens").cast("double"))
+        .select("doc_id", "source", "n_tokens", "s_chars", "s_tokens")
+    )
+    ranked = ensemble_rank_scores(
+        docs, ["s_chars", "s_tokens"], "doc_id", weights=[2.0, 1.0]
+    )
+    kept = ranked.filter(F.col("ensemble_rank") >= 0.25)
+    alloc = domain_mix_allocation(kept, "source", "n_tokens", cap_frac=0.02)
+    return sample_to_token_budget(
+        kept, alloc, "source", "n_tokens", "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ensemble_rank",
+        "cum_tokens_before",
+    )
+
+
+def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pre-flight diagnostics (operators/diagnostics): the
+    key-skew summary of lineitem on l_suppkey UNIONED (as a single wide
+    row via two broadcast one-row joins) with the EXACT join-explosion
+    estimate of orders ⋈ lineitem on orderkey — |A ⋈ B| = Σ cl·cr from
+    per-key counts, never the row-level join. Two map-side-combined
+    aggregates per input; everything after the per-key aggregates is
+    driver-sized. join_rows is decimal(38,0) inside the operator (a hot
+    key with >3e9 rows per side overflows a long product — the exact
+    regime this tool flags); the driver projection casts it to long,
+    exact at any test sf. Full oracle: the same count arithmetic as two
+    DuckDB CTE chains cross-joined."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.diagnostics import (
+        join_explosion_estimate,
+        skew_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    skew = skew_summary(li, "l_suppkey")
+    expl = join_explosion_estimate(
+        orders.select(F.col("o_orderkey").alias("k")),
+        li.select(F.col("l_orderkey").alias("k")),
+        ["k"],
+    )
+    return skew.join(F.broadcast(expl)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_cnt",
+        "avg_key_cnt",
+        "skew_ratio",
+        "left_rows",
+        "right_rows",
+        "matching_keys",
+        F.col("join_rows").cast("long").alias("join_rows"),
+        "amplification",
+    )
+
+
 # Key order matters: the correctness driver verifies the FIRST 50 entries
 # against the DuckDB oracle at sf0.01. The window rotates each round so
 # every declared query keeps fresh driver evidence (rotation history is
@@ -2811,65 +2917,67 @@ def _q_decimal_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-8 window head: the 7 NEW queries (graph tier with
-    # module-owned SQL twins; persisted MinHash/SimHash day-2 probes;
-    # the materialized semantic-decontam scale path) — first driver
-    # evidence outranks everything ---
-    "triangle_counts_parts": _q_triangle_counts_parts,
-    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
-    "label_propagation_parts": _q_label_propagation_parts,
-    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
-    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
-    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
-    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
-    # --- the full round-5-evidence cohort (oldest on the board —
-    # VERDICT r7 directive 2: after this window no query's newest
-    # evidence is older than r6) ---
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "gopher_quality_docs": _q_gopher_quality_docs,
+    # --- round-10 window head: the 3 NEW composed queries (r8 verdict
+    # directive 1, executed in r10): the r8-built curation tier finally
+    # gets driver evidence — boilerplate strip with its full STRIP_SQL
+    # oracle, ensemble-ranks→token-budget mixture in one plan, and the
+    # one-row skew + join-explosion diagnostics union ---
+    "strip_boilerplate_docs": _q_strip_boilerplate_docs,
+    "mixture_curation_budget": _q_mixture_curation_budget,
+    "join_diagnostics_summary": _q_join_diagnostics_summary,
+    # --- the full round-6-evidence cohort (47 queries, the oldest
+    # evidence on the board — at the 3-round staleness edge since r9
+    # skipped its rotation; 3 + 47 = 50, exact window fit) ---
+    "novel_docs_day2": _q_novel_docs_day2,
+    "interval_join_stream": _q_interval_join_stream,
+    "unigram_quality_docs": _q_unigram_quality_docs,
+    "bigram_quality_docs": _q_bigram_quality_docs,
+    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
+    "zorder_layout_stats": _q_zorder_layout_stats,
+    "incremental_kpis_day2": _q_incremental_kpis_day2,
+    "orders_pit_status": _q_orders_pit_status,
+    "referential_integrity_qc": _q_referential_integrity_qc,
+    "dbt_qc_report_orders": _q_dbt_qc_report,
+    "ann_ivfpq_topk": _q_ann_ivfpq,
+    "media_metadata": _q_media_metadata,
+    "kmeans_clusters_embeddings": _q_kmeans_clusters,
+    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
+    "media_binaryfile_scan": _q_media_binaryfile_scan,
+    "rolling_7d_revenue": _q_rolling_7d_revenue,
+    "snapshot_diff_orders": _q_snapshot_diff_orders,
+    "stream_static_enrich": _q_stream_static_enrich,
+    "incremental_distinct_day2": _q_incremental_distinct_day2,
+    "events_variant_kpis": _q_events_variant_kpis,
+    "khop_reach_supplier": _q_khop_reach_supplier,
+    "snm_customer_pairs": _q_snm_customer_pairs,
+    "median_price_by_status": _q_median_price_udaf,
+    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
+    "pseudonymize_customers": _q_pseudonymize_customers,
+    "hashed_features_docs": _q_hashed_features_docs,
+    "curriculum_quality_deciles": _q_curriculum_deciles,
+    "weighted_sample_docs": _q_weighted_sample_docs,
+    "rag_ingest_chunks": _q_rag_ingest,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    "minhash_near_dup": _q_minhash_near_dup,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    "novel_docs_incremental": _q_novel_docs_incremental,
+    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+    "leakage_safe_split": _q_leakage_safe_split,
+    "chunk_documents_rag": _q_chunk_documents_rag,
+    "pretraining_prep": _q_pretraining_prep,
+    "sessionize_stream": _q_sessionize_stream,
+    "order_priority_exists": _q_order_priority_exists,
     # ================= end of the 50-entry driver window =================
-    # --- round-7-evidence cohort (freshest; r7 window head first) ---
+    # --- round-7-evidence cohort (oldest after this window — FIRST IN
+    # LINE for the r11 window, 50 queries = exact fit) ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "bm25_rank_docs": _q_bm25_rank_docs,
@@ -2920,54 +3028,58 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # --- round-6-evidence cohort: FIRST IN LINE for the r9 window ---
-    "novel_docs_day2": _q_novel_docs_day2,
-    "interval_join_stream": _q_interval_join_stream,
-    "unigram_quality_docs": _q_unigram_quality_docs,
-    "bigram_quality_docs": _q_bigram_quality_docs,
-    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
-    "zorder_layout_stats": _q_zorder_layout_stats,
-    "incremental_kpis_day2": _q_incremental_kpis_day2,
-    "orders_pit_status": _q_orders_pit_status,
-    "referential_integrity_qc": _q_referential_integrity_qc,
-    "dbt_qc_report_orders": _q_dbt_qc_report,
-    "ann_ivfpq_topk": _q_ann_ivfpq,
-    "media_metadata": _q_media_metadata,
-    "kmeans_clusters_embeddings": _q_kmeans_clusters,
-    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
-    "media_binaryfile_scan": _q_media_binaryfile_scan,
-    "rolling_7d_revenue": _q_rolling_7d_revenue,
-    "snapshot_diff_orders": _q_snapshot_diff_orders,
-    "stream_static_enrich": _q_stream_static_enrich,
-    "incremental_distinct_day2": _q_incremental_distinct_day2,
-    "events_variant_kpis": _q_events_variant_kpis,
-    "khop_reach_supplier": _q_khop_reach_supplier,
-    "snm_customer_pairs": _q_snm_customer_pairs,
-    "median_price_by_status": _q_median_price_udaf,
-    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
-    "pseudonymize_customers": _q_pseudonymize_customers,
-    "hashed_features_docs": _q_hashed_features_docs,
-    "curriculum_quality_deciles": _q_curriculum_deciles,
-    "weighted_sample_docs": _q_weighted_sample_docs,
-    "rag_ingest_chunks": _q_rag_ingest,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
-    "order_extremes_by_customer": _q_order_extremes,
-    "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
-    "minhash_near_dup": _q_minhash_near_dup,
-    "simhash_near_dup": _q_simhash_near_dup,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
-    "novel_docs_incremental": _q_novel_docs_incremental,
-    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-    "leakage_safe_split": _q_leakage_safe_split,
-    "chunk_documents_rag": _q_chunk_documents_rag,
-    "pretraining_prep": _q_pretraining_prep,
-    "sessionize_stream": _q_sessionize_stream,
-    "order_priority_exists": _q_order_priority_exists,
+    # --- round-9-evidence cohort (the r9 window; freshest — rotates in
+    # the r12 window) ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "gopher_quality_docs": _q_gopher_quality_docs,
 }
 
 
@@ -5328,6 +5440,144 @@ def _graph_tier_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_graph_tier_oracles())
+
+
+# DuckDB twin of strip_boilerplate(documents, n=8, min_df=5) — the
+# module-owned STRIP_SQL contract (tests/test_boilerplate.py): same
+# trim + \s+ tokenization, same short-doc single-whole-doc window, same
+# coverage positions s..min(s+n-1, len); cell-exact integer arithmetic.
+ORACLES["strip_boilerplate_docs"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(TRIM(text)) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(TRIM(text), '\s+') END AS t
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    wins AS (
+        SELECT doc_id, n, i.i AS s, array_to_string(t[i.i:i.i+7], ' ') AS w
+        FROM nz, UNNEST(range(1, GREATEST(n - 7, 1) + 1)) AS i(i)
+    ),
+    bp AS (
+        SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins)
+        GROUP BY w HAVING COUNT(*) >= 5
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, p.p AS pos
+        FROM wins JOIN bp USING (w),
+             UNNEST(range(s, LEAST(s + 7, n) + 1)) AS p(p)
+    ),
+    positions AS (
+        SELECT doc_id, i.i AS pos, t[i.i] AS tok
+        FROM nz, UNNEST(range(1, n + 1)) AS i(i)
+    ),
+    kept AS (
+        SELECT doc_id,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+               COUNT(*) AS n_tokens_kept
+        FROM positions ANTI JOIN covered USING (doc_id, pos)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept,
+           len(t.t) - COALESCE(k.n_tokens_kept, 0) AS n_tokens_removed
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+"""
+
+
+def _mixture_curation_oracle() -> str:
+    """CTE chain around the module-owned ensemble_sql twin plus the
+    BUDGET_SQL window arithmetic (tests/test_mixing_budget.py): percent
+    ranks → weighted average → worst-quartile gate → per-domain cap
+    min(inventory, floor(0.02 * total)) → md5-priority cumsum cut. The
+    cap multiplies as DOUBLE explicitly: DuckDB's bare 0.02 literal is
+    DECIMAL and floors differently from Spark's IEEE double at
+    exact-integer products."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.ensemble import (
+        ensemble_sql,
+    )
+
+    src = (
+        "SELECT doc_id, source, "
+        r"len(string_split_regex(TRIM(text), '\s+')) AS n_tokens, "
+        "CAST(n_chars AS DOUBLE) AS s_chars, "
+        r"CAST(len(string_split_regex(TRIM(text), '\s+')) AS DOUBLE)"
+        " AS s_tokens "
+        "FROM documents"
+    )
+    ens = ensemble_sql(
+        src, ["s_chars", "s_tokens"], "doc_id", weights=[2.0, 1.0]
+    )
+    return f"""
+    WITH ens AS ({ens}),
+    kept AS (SELECT * FROM ens WHERE ensemble_rank >= 0.25),
+    per AS (
+        SELECT source AS domain, CAST(SUM(n_tokens) AS BIGINT) AS token_count
+        FROM kept GROUP BY source
+    ),
+    t AS (SELECT SUM(token_count) AS total FROM per),
+    alloc AS (
+        SELECT domain,
+               LEAST(token_count,
+                     CAST(FLOOR(CAST(0.02 AS DOUBLE) * total) AS BIGINT))
+                   AS alloc_tokens
+        FROM per, t
+    ),
+    ranked2 AS (
+        SELECT k.doc_id, k.source, k.n_tokens, k.ensemble_rank,
+               CAST(SUM(k.n_tokens) OVER (
+                    PARTITION BY k.source
+                    ORDER BY CAST(concat('0x',
+                        substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 4294967296 ASC,
+                             k.doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) - k.n_tokens AS BIGINT)
+                   AS cum_tokens_before,
+               a.alloc_tokens
+        FROM kept k JOIN alloc a ON a.domain = k.source
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ensemble_rank, cum_tokens_before
+    FROM ranked2 WHERE cum_tokens_before < alloc_tokens
+    """
+
+
+ORACLES["mixture_curation_budget"] = _mixture_curation_oracle()
+
+# Twin of the one-row diagnostics union: the skew summary's raw IEEE
+# divisions and the exact Σ cl·cr join cardinality, cross-joined
+# driver-sized (tests/test_diagnostics.py arithmetic, view-backed).
+ORACLES["join_diagnostics_summary"] = """
+    WITH per AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    skew AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+               MAX(cnt) AS max_key_cnt,
+               SUM(cnt) / COUNT(*) AS avg_key_cnt,
+               MAX(cnt) / (SUM(cnt) / COUNT(*)) AS skew_ratio
+        FROM per
+    ),
+    la AS (SELECT o_orderkey AS k, COUNT(*) AS lc FROM orders GROUP BY o_orderkey),
+    ra AS (SELECT l_orderkey AS k, COUNT(*) AS rc FROM lineitem GROUP BY l_orderkey),
+    lt AS (SELECT CAST(COALESCE(SUM(lc), 0) AS BIGINT) AS left_rows FROM la),
+    rt AS (SELECT CAST(COALESCE(SUM(rc), 0) AS BIGINT) AS right_rows FROM ra),
+    j AS (
+        SELECT COUNT(*) AS matching_keys,
+               CAST(COALESCE(SUM(lc * rc), 0) AS BIGINT) AS join_rows
+        FROM la JOIN ra USING (k)
+    )
+    SELECT n_rows, n_keys, max_key_cnt, avg_key_cnt, skew_ratio,
+           left_rows, right_rows, matching_keys, join_rows,
+           CAST(join_rows AS DOUBLE)
+               / CAST(GREATEST(left_rows, right_rows) AS DOUBLE)
+               AS amplification
+    FROM skew, lt, rt, j
+"""
 
 
 def oracle_sql() -> dict[str, str]:

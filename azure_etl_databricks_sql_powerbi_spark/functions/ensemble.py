@@ -43,6 +43,8 @@ def _normalized_weights(
     module-owns-its-oracle discipline silently diverges on bad input."""
     if not score_cols:
         raise ValueError("ensemble needs at least one score column")
+    if len(set(score_cols)) != len(score_cols):
+        raise ValueError(f"duplicate score columns: {score_cols}")
     if weights is None:
         weights = [1.0] * len(score_cols)
     if len(weights) != len(score_cols):
@@ -53,6 +55,27 @@ def _normalized_weights(
     if z <= 0:
         raise ValueError("weights must sum to a positive value")
     return [float(w) / z for w in weights]
+
+
+def _check_pr_collisions(
+    columns: list[str], score_cols: list[str], out_col: str
+) -> None:
+    """Reject inputs whose generated ``<col>_pr`` / ``out_col`` names
+    collide with existing columns. The operator's ``withColumn`` would
+    silently REPLACE the clashing column while the SQL twin's
+    ``SELECT *, ... AS <col>_pr`` keeps both (or errors) — the one input
+    class where the two engines silently desynchronize, so it must be a
+    loud ValueError on the operator side."""
+    taken = set(columns)
+    clashes = [f"{c}_pr" for c in score_cols if f"{c}_pr" in taken]
+    if out_col in taken:
+        clashes.append(out_col)
+    if clashes:
+        raise ValueError(
+            f"ensemble output columns collide with existing input "
+            f"columns: {clashes} — rename the inputs or pass a different "
+            "out_col"
+        )
 
 
 def ensemble_rank_scores(
@@ -78,6 +101,7 @@ def ensemble_rank_scores(
     ``F.coalesce`` a left-joined signal to its worst value upstream.
     """
     norm = _normalized_weights(score_cols, weights)
+    _check_pr_collisions(df.columns, score_cols, out_col)
     denom = max(df.count() - 1, 1)
     out = df
     for c in score_cols:

@@ -33,6 +33,22 @@ from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
 from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
+def _require_broadcastable_anchors(anchors: DataFrame, max_anchors: int) -> None:
+    """LOUD driver-side bound on the anchor set (the
+    ``pq.bounded_query_pandas`` cap pattern): the pair stage broadcasts
+    the anchors to every executor, so a corpus-sized anchor frame must
+    fail with ValueError instead of OOMing the cluster mid-broadcast.
+    Reads at most ``max_anchors + 1`` rows — the probe itself is bounded."""
+    n = anchors.limit(max_anchors + 1).count()
+    if n > max_anchors:
+        raise ValueError(
+            f"anchor set exceeds max_anchors={max_anchors}; the pair stage "
+            "broadcasts anchors to every executor — mine per-shard, route "
+            "through the IVF candidate bound (similarity/ivf.py), or raise "
+            "max_anchors deliberately"
+        )
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,
@@ -41,6 +57,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     min_sim: float | None = None,
+    max_anchors: int = 100_000,
 ) -> DataFrame:
     """(anchor_id, rank, negative_id, negative_label, cosine_sim) —
     the k corpus vectors most similar to each anchor among those with a
@@ -52,7 +69,11 @@ def hard_negatives(
     the inequality (standard SQL three-valued logic) — unlabeled rows on
     either side are silently excluded; label them (e.g. via
     ``similarity/kmeans`` cluster ids) before mining.
+
+    ``max_anchors`` bounds the broadcast side with a loud ValueError
+    (never a silent truncation) — see ``_require_broadcastable_anchors``.
     """
+    _require_broadcastable_anchors(anchors, max_anchors)
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("a_vec"),
@@ -98,6 +119,7 @@ def triplet_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_anchors: int = 100_000,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_sim, neg_sim, margin) —
     anchor/positive/negative training triplets: the top ``k_pos``
@@ -107,8 +129,10 @@ def triplet_candidates(
 
     One corpus pass produces both sides (the broadcast-anchor scoring is
     shared); the positive×negative cross is per-anchor k_pos*k_neg rows —
-    bounded fan-out, never a corpus-sized join.
+    bounded fan-out, never a corpus-sized join. ``max_anchors`` bounds
+    the broadcast side with a loud ValueError.
     """
+    _require_broadcastable_anchors(anchors, max_anchors)
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("a_vec"),
@@ -149,4 +173,91 @@ def triplet_candidates(
         F.round("__pos_cos", 4).alias("pos_sim"),
         F.round("__neg_cos", 4).alias("neg_sim"),
         F.round(F.col("__pos_cos") - F.col("__neg_cos"), 4).alias("margin"),
+    )
+
+
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """``hard_negatives`` for anchor sets too big to broadcast: IVF cells
+    bound the candidate space first (the ``ivf_cosine_topk`` recipe), so
+    the anchor-corpus pairing becomes a plain shuffle EQUI-join on the
+    cell id — no broadcast anywhere, hence no ``max_anchors`` cap. Each
+    anchor probes its ``nprobe`` nearest cells and is exactly re-ranked
+    against the cross-label vectors inside them; cost scales with
+    corpus/nlist * nprobe per anchor instead of the full corpus.
+
+    Approximate by construction (a hard negative outside the probed
+    cells is missed — the standard IVF recall trade); at
+    ``nprobe == nlist`` every cell is probed and the output is IDENTICAL
+    to ``hard_negatives`` (pinned by test), which makes recall directly
+    measurable at any smaller nprobe. Same output schema, tie-break, and
+    unrounded ``min_sim`` contract as the broadcast miner.
+    """
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = train_centroids(
+        corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    c = assign_cells(
+        spread(corpus).select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("negative_label"),
+        ),
+        cents,
+        "c_vec",
+        nprobe=1,
+    )
+    a = assign_cells(
+        spread(anchors).select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            F.col(label_col).alias("a_label"),
+        ),
+        cents,
+        "a_vec",
+        nprobe=nprobe,
+    )
+    # shuffle equi-join on cell; nprobe > 1 can pair the same (anchor,
+    # negative) through several probed cells — dedup before ranking
+    cands = (
+        c.join(a, "cell")
+        .filter(F.col("negative_label") != F.col("a_label"))
+        .dropDuplicates(["anchor_id", "negative_id"])
+    )
+    scored = cands.select(
+        "anchor_id",
+        "negative_id",
+        "negative_label",
+        cosine("a_vec", "c_vec").alias("__cos"),
+    )
+    if min_sim is not None:
+        scored = scored.filter(F.col("__cos") >= min_sim)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("__cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "rank",
+            "negative_id",
+            "negative_label",
+            F.round("__cos", 4).alias("cosine_sim"),
+        )
     )

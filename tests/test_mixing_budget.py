@@ -178,3 +178,27 @@ def test_ensemble_sql_rejects_what_the_operator_rejects():
             ensemble_sql(
                 "SELECT 1 AS s1, 2 AS s2, 3 AS id", ["s1", "s2"], "id", weights=bad
             )
+
+
+def test_ensemble_pr_collision_raises(spark):
+    """An input already carrying <col>_pr or out_col must fail loudly:
+    withColumn would silently replace it while the SQL twin keeps both —
+    the one silent-desync input class (ADVICE r8)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s1"),
+        F.lit(0.0).alias("s1_pr"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        ensemble_rank_scores(docs, ["s1"], "doc_id")
+    with pytest.raises(ValueError, match="collide"):
+        ensemble_rank_scores(
+            docs.drop("s1_pr").withColumn("ensemble_rank", F.lit(1.0)),
+            ["s1"],
+            "doc_id",
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        ensemble_rank_scores(docs.drop("s1_pr"), ["s1", "s1"], "doc_id")

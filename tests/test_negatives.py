@@ -85,3 +85,56 @@ def test_triplet_margins_and_shapes(spark):
         assert labels[r.negative_id] != labels[r.anchor_id]
         assert abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 2e-4
     assert per_anchor and all(v <= 6 for v in per_anchor.values())
+
+
+def test_anchor_cap_raises_loudly(spark):
+    """A non-broadcastable anchor set must die with ValueError BEFORE the
+    pair stage runs (the bounded_query_pandas cap pattern) — in both
+    miners — and the probe is bounded (limit(max+1)), so the cap check
+    itself stays cheap on a huge anchor frame."""
+    import pytest
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_anchors"):
+        hard_negatives(emb, emb, k=2, max_anchors=10)
+    with pytest.raises(ValueError, match="max_anchors"):
+        triplet_candidates(emb, emb, max_anchors=10)
+    # at or under the cap the miners run unchanged
+    assert hard_negatives(emb, emb.filter("vec_id < 3"), k=1, max_anchors=3).count() == 3
+
+
+def test_hard_negatives_ivf_full_probe_equals_brute(spark):
+    """At nprobe == nlist every cell is probed, so the IVF miner must
+    reproduce the broadcast miner EXACTLY (same candidates, same
+    tie-break, same rounding) — the equivalence that makes recall at
+    smaller nprobe measurable."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        hard_negatives_ivf,
+    )
+
+    emb = _emb(spark)
+    anchors = emb.filter("vec_id < 8")
+    brute = hard_negatives(emb, anchors, k=5)
+    ivf = hard_negatives_ivf(emb, anchors, k=5, nlist=8, nprobe=8)
+    assert compare(ivf, brute.toPandas(), float_tol=0) == []
+
+
+def test_hard_negatives_ivf_partial_probe_is_subset_ranked(spark):
+    """At nprobe < nlist the candidate space shrinks: every returned
+    negative must still be cross-label, ranks stay dense 1..k' per
+    anchor, and no anchor returns more than k rows."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        hard_negatives_ivf,
+    )
+
+    emb = _emb(spark)
+    anchors = emb.filter("vec_id < 8")
+    labels = {r.vec_id: r.label for r in anchors.collect()}
+    out = hard_negatives_ivf(emb, anchors, k=5, nlist=8, nprobe=2).collect()
+    per: dict[int, list[int]] = {}
+    for r in out:
+        assert r.negative_label != labels[r.anchor_id]
+        per.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5

@@ -128,6 +128,13 @@ _ALLOWED_FLAGS = {
     # one QC row: per-edge 1-row anti-join counts cross-joined literally
     # one row each (operators/qc.referential_orphan_counts)
     "referential_integrity_qc": {"BNLJoin", "SinglePartitionExchange"},
+    # one-row diagnostics: the skew/explosion summaries are single global
+    # aggregates (map-side-combined partials) cross-joined one row each
+    # (operators/diagnostics — the referential_integrity_qc shape)
+    "join_diagnostics_summary": {"BNLJoin", "SinglePartitionExchange"},
+    # 1-row corpus total + #domains allocation broadcast onto the docs
+    # (the domain_mix_allocation shape composed with the budget window)
+    "mixture_curation_budget": {"BNLJoin", "SinglePartitionExchange"},
 }
 
 

@@ -78,6 +78,10 @@ def main() -> None:
 
     # Merge with the committed table (keyed by query name) so successive
     # measurement sessions extend the board instead of clobbering it.
+    # Rows whose query is no longer DECLARED are pruned on rewrite
+    # (ROTATION_POLICY.md §6): a retired/renamed query must not keep a
+    # stale number on the board forever.
+    declared = set(entrymod.queries().keys())
     table_path = os.path.join(REPO, "BENCH_SF1.table.md")
     rows: dict[str, str] = {}
     order: list[str] = []
@@ -85,7 +89,7 @@ def main() -> None:
         for line in open(table_path):
             parts = [p.strip() for p in line.strip().strip("|").split("|")]
             if len(parts) == 4 and parts[0] not in ("query", "---"):
-                if not set(parts[0]) <= {"-"}:
+                if not set(parts[0]) <= {"-"} and parts[0] in declared:
                     rows[parts[0]] = line.rstrip("\n")
                     order.append(parts[0])
     for name in QUERIES:

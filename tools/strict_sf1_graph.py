@@ -58,7 +58,11 @@ def main() -> int:
     spark = get_spark(app_name="strict-sf1-graph", master="local[8]")
     Q, O = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
-    con.execute("SET memory_limit='96GB'")
+    # RAM-derived limit (~75% of physical memory) instead of a hard-coded
+    # 96GB: on a smaller host the old constant over-committed and DuckDB
+    # OOM-killed the process instead of spilling.
+    total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    con.execute(f"SET memory_limit='{max(1, int(total_gb * 0.75))}GB'")
     con.execute("SET preserve_insertion_order=false")
     con.execute(
         "CREATE VIEW lineitem AS SELECT * FROM "
