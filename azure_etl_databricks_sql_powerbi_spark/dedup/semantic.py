@@ -65,9 +65,17 @@ def semantic_dup_pairs(
     a plan AQE collapses to a fully-empty relation may skip them — at any
     realistic scale dedup output is never globally empty.)
     """
+    # Materialize the assignment once (eager localCheckpoint, the
+    # graph-tier lineage-cut discipline): the plan references ``cells``
+    # three times (population guard + both pair legs), and each reference
+    # would otherwise re-run the Arrow-batched centroid GEMM over the
+    # whole corpus. SemDeDup's practical recipe materializes cluster
+    # assignments anyway; this stores (id, vec, cell) once —
+    # block-manager memory spilling to disk — instead of three full
+    # corpus passes through the Python workers.
     cells = assign_cells(
         df.select(id_col, vec_col), centroids, vec_col, nprobe=1
-    )
+    ).localCheckpoint(eager=True)
     # cell population guard: one tiny aggregate on (cell), broadcast back.
     # The observe node sits on the per-cell populations BEFORE the filter,
     # so over-cap cells hit the metric even though they never reach the
