@@ -1388,17 +1388,26 @@ def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs at the operator's REAL design
     point: deterministic planted near-dups (see _plant_near_dups; cosine
     ~0.99 to their originals) over the otherwise near-orthogonal corpus,
-    threshold 0.92, 8 bits x 8 tables. SRP analytics at cos 0.99:
-    p_bit=0.955, per-table 0.955^8=0.69, >=1-of-8 recall 1-(0.31)^8 >
-    0.9999 (lsh.expected_collision_prob) — while a random near-orthogonal
-    pair collides with prob 1-(1-2^-8)^8 ~ 3.1%, so candidate pairs stay
-    <5% of all pairs (asserted in tests/test_ext.py). Rows-only — emitted
-    pairs are exact-verified so precision is 1.0 by construction; recall
-    is unit-tested."""
-    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import lsh_near_pairs
+    threshold 0.92. SRP width/tables AUTO-SIZE from the corpus
+    (lsh.auto_srp_params, the auto_nlist discipline): bits ~
+    log2(N/target_bucket) keep bucket population — and so in-bucket
+    quadratic candidate work — constant as data grows (the fixed 8x8
+    config this replaced measured 6.4x wall at 10x data, BENCH_SF1), and
+    the table count is the smallest whose analytic >=1-of-T recall at the
+    planted cosine 0.99 clears 0.99999 (expected_collision_prob), so
+    every planted pair is still recovered. Rows-only — emitted pairs are
+    exact-verified so precision is 1.0 by construction; recall is
+    unit-tested."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
+        auto_srp_params,
+        lsh_near_pairs,
+    )
 
     emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
-    return lsh_near_pairs(emb, threshold=0.92, n_bits=8, n_tables=8)
+    n_bits, n_tables = auto_srp_params(
+        emb.count(), sim=0.99, target_recall=0.99999, target_bucket=16
+    )
+    return lsh_near_pairs(emb, threshold=0.92, n_bits=n_bits, n_tables=n_tables)
 
 
 def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

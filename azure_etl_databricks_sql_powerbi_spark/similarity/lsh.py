@@ -169,6 +169,59 @@ def expected_collision_prob(cos_sim: float, n_bits: int, n_tables: int) -> float
     return 1 - (1 - p_table) ** n_tables
 
 
+def auto_srp_params(
+    n_rows: int,
+    sim: float = 0.95,
+    target_recall: float = 0.99,
+    target_bucket: int = 16,
+    lo_bits: int = 4,
+    hi_bits: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_bits, n_tables) that keep SRP bucketing linear as the corpus
+    grows — the ``dedup/semantic.auto_nlist`` discipline applied to LSH.
+
+    Fixed-width codes are the same scale failure fixed nlist was for
+    SemDeDup: at 8 bits there are only 256 buckets per table, so bucket
+    population grows with N and in-bucket candidate pairs grow with N² —
+    the banded join's cost curve, measured as the worst sf0.1→sf1 ratio
+    on the board before this existed. Sizing ``n_bits`` at
+    log2(N / target_bucket) keeps expected bucket population (hence
+    per-bucket quadratic work) CONSTANT, so total candidates scale ~N ×
+    target_bucket × tables.
+
+    Wider codes lower per-table collision probability, so ``n_tables``
+    is then the smallest count whose analytic >=1-of-T recall
+    (``expected_collision_prob``) reaches ``target_recall`` for a true
+    pair at cosine ``sim`` — size it at the cosine true duplicates
+    actually have (e.g. 0.99 for near-dup copies), not at the detection
+    threshold:
+    boundary pairs get softer recall, real duplicates keep the guarantee.
+    If that table count exceeds ``max_tables`` (very wide codes + a low
+    ``sim``), bits step down until feasible — bucket population, not
+    recall, is what then degrades, and the ``max_bucket`` guard still
+    bounds the worst case."""
+    theta = math.acos(max(-1.0, min(1.0, sim)))
+    p_bit = 1 - theta / math.pi
+    bits = min(
+        hi_bits,
+        max(lo_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))),
+    )
+    while bits > lo_bits:
+        p_table = p_bit**bits
+        if p_table >= 1.0:
+            return bits, 1
+        need = math.ceil(math.log(1 - target_recall) / math.log(1 - p_table))
+        if need <= max_tables:
+            return bits, max(1, need)
+        bits -= 1
+    p_table = p_bit**lo_bits
+    if p_table >= 1.0:
+        return lo_bits, 1
+    need = math.ceil(math.log(1 - target_recall) / math.log(1 - p_table))
+    return lo_bits, max(1, min(max_tables, need))
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -194,6 +247,10 @@ def lsh_near_pairs(
     projection per consumer. Oversized buckets (``max_bucket``) are
     dropped by a count semi-filter before the join — the standard guard
     bounding the quadratic in-bucket blowup at scale.
+
+    Size ``n_bits``/``n_tables`` with ``auto_srp_params`` when the corpus
+    size is known: fixed-width codes let bucket population — and the
+    banded join's in-bucket quadratic — grow with N.
     """
     from pyspark.storagelevel import StorageLevel
 

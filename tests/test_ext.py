@@ -611,6 +611,45 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, vectors):
     assert all(r.id_a // 5 == r.id_b // 5 for r in pairs)
 
 
+def test_auto_srp_params_linear_candidate_work():
+    """auto_srp_params widens the SRP code with the corpus so expected
+    bucket population stays ~target_bucket: total in-bucket candidate
+    work scales LINEARLY with N (a fixed 8-bit code grows it with N² —
+    the 6.4x sf0.1->sf1 ratio measured in BENCH_SF1 before this). The
+    chosen table count must clear the analytic recall target at the
+    design cosine."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
+        auto_srp_params,
+        expected_collision_prob,
+    )
+
+    # clamps + recall guarantee
+    bits, tables = auto_srp_params(22, sim=0.99, target_recall=0.99999)
+    assert bits == 4  # lo clamp for tiny corpora
+    assert expected_collision_prob(0.99, bits, tables) >= 0.99999
+
+    bits1, tables1 = auto_srp_params(22_000, sim=0.99, target_recall=0.99999)
+    assert bits1 == math.ceil(math.log2(22_000 / 16))  # ~target_bucket pop
+    assert expected_collision_prob(0.99, bits1, tables1) >= 0.99999
+
+    def candidate_work(n: int) -> float:
+        bits, tables = auto_srp_params(n, sim=0.99, target_recall=0.99999)
+        pop = n / 2**bits
+        return tables * (2**bits) * pop * (pop - 1) / 2
+
+    # 10x the corpus inside the unclamped regime -> ~10x the candidate
+    # work (the ceil on bits makes it lumpy; fixed bits would give ~100x)
+    ratio = candidate_work(220_000) / candidate_work(22_000)
+    assert 3 <= ratio <= 25, ratio
+
+    # infeasible recall at max_tables steps bits down, never explodes
+    bits2, tables2 = auto_srp_params(
+        10**6, sim=0.80, target_recall=0.999, max_tables=32
+    )
+    assert tables2 <= 32
+    assert expected_collision_prob(0.80, bits2, tables2) >= 0.999
+
+
 def test_auto_nlist_linear_pair_work():
     """auto_nlist keeps per-cell population (so per-cell quadratic pair
     work) constant as the corpus grows: total candidate pairs scale
