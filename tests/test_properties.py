@@ -639,3 +639,67 @@ def test_numpy_triangle_oracle_equals_bruteforce(edges):
         assert row["n_triangles"] == tri[v]
         want = (2.0 * tri[v]) / (deg[v] * (deg[v] - 1.0)) if deg[v] >= 2 else 0.0
         assert row["clustering"] == want
+
+
+# ---- SemDeDup within-cell pair stage (blocked GEMM, r10 rewrite) -----------
+
+vec_sets = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(vecs=vec_sets, threshold=st.sampled_from([0.317, 0.613, 0.904]))
+@settings(**SETTINGS)
+def test_semantic_dup_pairs_matches_bruteforce(spark, vecs, threshold):
+    """The blocked-GEMM applyInPandas pair stage must reproduce the
+    O(n²) per-pair definition exactly: same pair set (id_a < id_b,
+    unrounded cosine >= threshold, within the same assigned cell), and
+    the reported similarity within the display-rounding quantum. Cell
+    assignment is taken from the same public assign_cells the operator
+    uses — the property isolates the pair generation that the r10
+    rewrite replaced. Thresholds are chosen away from cosines integer
+    vectors can hit exactly, so GEMM-vs-scalar last-ulp noise cannot
+    flip membership."""
+    import math
+
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import (
+        semantic_dup_pairs,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import assign_cells
+
+    rows = [(i, [float(c) for c in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, -1.0, 0.0, 1.0]])
+
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in semantic_dup_pairs(df, cents, threshold=threshold).collect()
+    }
+
+    cell_of = {
+        r.vec_id: r.cell
+        for r in assign_cells(df, cents, "embedding", nprobe=1).collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    want = {}
+    for i, va in rows:
+        for j, vb in rows:
+            if i < j and cell_of[i] == cell_of[j]:
+                c = cos(va, vb)
+                if c >= threshold:
+                    want[(i, j)] = c
+
+    assert set(got) == set(want)
+    for pair, sim in want.items():
+        assert abs(got[pair] - sim) <= 1e-4 + 1e-9
