@@ -1394,10 +1394,13 @@ def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic candidate work — constant as data grows (the fixed 8x8
     config this replaced measured 6.4x wall at 10x data, BENCH_SF1), and
     the table count is the smallest whose analytic >=1-of-T recall at the
-    planted cosine 0.99 clears 0.99999 (expected_collision_prob), so
-    every planted pair is still recovered. Rows-only — emitted pairs are
-    exact-verified so precision is 1.0 by construction; recall is
-    unit-tested."""
+    planted cosine 0.99 clears 0.99999 (expected_collision_prob). The
+    1e-5 bound is PER PAIR: at the driver scales (tens-to-thousands of
+    planted pairs, where recall is unit-tested) a miss is vanishingly
+    unlikely, but a corpus with millions of true pairs should raise
+    target_recall to keep the expected miss count << 1. Rows-only —
+    emitted pairs are exact-verified so precision is 1.0 by
+    construction."""
     from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
         auto_srp_params,
         lsh_near_pairs,

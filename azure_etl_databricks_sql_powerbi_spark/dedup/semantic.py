@@ -110,7 +110,9 @@ def semantic_dup_pairs(
     block = 1024
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)  # triu i<j then implies id_a < id_b
+        from decimal import ROUND_HALF_UP, Decimal
+
+        pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         x = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -120,22 +122,43 @@ def semantic_dup_pairs(
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
         out_a, out_b, out_s = [], [], []
         for r0 in range(0, len(ids), block):
-            sims = x[r0 : r0 + block] @ x.T
-            bi, j = np.nonzero(sims >= threshold)
+            # columns start at r0: positions left of the block can never
+            # be an upper-triangle partner, so half the multiply work and
+            # per-block memory vs a full x.T panel
+            sims = x[r0 : r0 + block] @ x[r0:].T
+            bi, jl = np.nonzero(sims >= threshold)
             i = bi + r0
-            keep = j > i  # upper triangle only: each pair once, no self
+            j = jl + r0
+            # ids are sorted, so j > i implies ids[j] >= ids[i]; STRICT
+            # id inequality (not position) keeps the id_a < id_b output
+            # contract when ids repeat — the join form this replaced
+            # never paired equal ids
+            keep = ids[j] > ids[i]
             i, j = i[keep], j[keep]
             out_a.append(ids[i])
             out_b.append(ids[j])
-            out_s.append(sims[bi[keep], j])
+            out_s.append(sims[bi[keep], jl[keep]])
         s = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
-        # HALF_UP to 4 decimals, matching the SQL round() the expression
-        # form used (np.round would do banker's rounding)
+        # match Spark round(x, 4) exactly: shortest round-trip decimal
+        # repr (Python repr == Java Double.toString), then HALF_UP —
+        # floor(|x|*1e4+0.5) diverges on half-boundary doubles like
+        # 0.00015, and np.round would do banker's rounding. Only emitted
+        # (above-threshold) pairs pay the per-value Decimal cost.
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
                 "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
-                "cosine_sim": np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4,
+                "cosine_sim": np.array(
+                    [
+                        float(
+                            Decimal(repr(float(v))).quantize(
+                                Decimal("0.0001"), rounding=ROUND_HALF_UP
+                            )
+                        )
+                        for v in s
+                    ],
+                    dtype=np.float64,
+                ),
             }
         )
 

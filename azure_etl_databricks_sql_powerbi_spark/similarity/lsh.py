@@ -200,14 +200,24 @@ def auto_srp_params(
     If that table count exceeds ``max_tables`` (very wide codes + a low
     ``sim``), bits step down until feasible — bucket population, not
     recall, is what then degrades, and the ``max_bucket`` guard still
-    bounds the worst case."""
+    bounds the worst case. If even ``lo_bits`` cannot reach the target
+    within ``max_tables``, the combination is infeasible and this raises
+    ValueError (the "no silent caps" contract — returning a
+    quietly-lower-recall config would let callers believe a guarantee
+    they don't have); lower ``target_recall``, raise ``max_tables``, or
+    accept a brute-force pass instead."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}; SRP "
+            "collision recall is probabilistic — 1.0 needs the brute path"
+        )
     theta = math.acos(max(-1.0, min(1.0, sim)))
     p_bit = 1 - theta / math.pi
     bits = min(
         hi_bits,
         max(lo_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))),
     )
-    while bits > lo_bits:
+    while bits >= lo_bits:
         p_table = p_bit**bits
         if p_table >= 1.0:
             return bits, 1
@@ -215,11 +225,12 @@ def auto_srp_params(
         if need <= max_tables:
             return bits, max(1, need)
         bits -= 1
-    p_table = p_bit**lo_bits
-    if p_table >= 1.0:
-        return lo_bits, 1
-    need = math.ceil(math.log(1 - target_recall) / math.log(1 - p_table))
-    return lo_bits, max(1, min(max_tables, need))
+    raise ValueError(
+        f"no SRP config reaches recall {target_recall} at cosine {sim} "
+        f"within max_tables={max_tables} even at lo_bits={lo_bits} "
+        f"(needs {need} tables); lower target_recall, raise max_tables, "
+        "or use the exact brute-force pair path"
+    )
 
 
 def lsh_near_pairs(

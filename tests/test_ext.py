@@ -649,6 +649,13 @@ def test_auto_srp_params_linear_candidate_work():
     assert tables2 <= 32
     assert expected_collision_prob(0.80, bits2, tables2) >= 0.999
 
+    # unreachable even at lo_bits -> LOUD ValueError, never a silently
+    # lower-recall config (the no-silent-caps contract)
+    with pytest.raises(ValueError, match="no SRP config"):
+        auto_srp_params(10**7, sim=0.5, target_recall=0.99999, max_tables=8)
+    with pytest.raises(ValueError, match="target_recall"):
+        auto_srp_params(1000, sim=0.9, target_recall=1.0)
+
 
 def test_auto_nlist_linear_pair_work():
     """auto_nlist keeps per-cell population (so per-cell quadratic pair
@@ -727,6 +734,25 @@ def test_contract_queries_realistic_operating_point(spark):
     survivors = entrymod._q_semantic_dedup(spark, sf)
     assert survivors.count() == n
     assert survivors.agg(F.max("vec_id")).first()[0] < 1_000_000
+
+
+def test_semantic_dup_pairs_never_pairs_equal_ids(spark):
+    """Rows sharing a vec_id (bad upstream data) must not produce
+    id_a == id_b rows — the strict id_a < id_b output contract. The
+    positional upper-triangle of the GEMM rewrite would pair them;
+    the strict id comparison excludes them (and semantic_dedup's
+    drop-by-id_b then cannot silently drop both copies)."""
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import semantic_dup_pairs
+
+    rows = [(7, [1.0, 0.0]), (7, [0.99, 0.01]), (9, [0.98, 0.02])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0]])
+    pairs = semantic_dup_pairs(df, cents, threshold=0.5, id_col="vec_id").collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    # both physical id-7 rows still pair with id 9 (multiplicity kept)
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(7, 9), (7, 9)]
 
 
 def test_semantic_dedup_max_cell_guard(spark, vectors):
