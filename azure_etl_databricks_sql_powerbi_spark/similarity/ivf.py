@@ -118,7 +118,14 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the query's nprobe cells, exact cosine
     re-rank inside them. Output schema matches ``bruteforce.cosine_topk``
-    so recall is measurable with a plain join."""
+    so recall is measurable with a plain join.
+
+    Per-query re-rank work is ~nprobe * N / nlist: a fixed ``nlist`` is
+    a constant-FACTOR knob here (search stays linear in N, unlike pair
+    enumeration where fixed cells go quadratic), but at large N size it
+    with ``dedup.semantic.auto_nlist`` to keep per-cell candidate counts
+    — and so per-query latency — constant; past auto_nlist's ``hi``
+    bound, ``train_centroids_distributed`` is the trainer."""
     cents = train_centroids(
         corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
     )
