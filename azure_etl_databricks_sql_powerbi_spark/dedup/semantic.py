@@ -103,10 +103,11 @@ def semantic_dup_pairs(
 
     id_type = bounded.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
-    # Row-blocked so the worst-case cell (max_cell rows) never holds a
-    # full pop x pop similarity matrix: one 1024 x pop block at a time
-    # (~80 MB at the 10k default cap) — the guard stays a memory bound in
-    # practice, not just a work bound.
+    # Row-blocked upper-triangular sweep: the worst-case cell (max_cell
+    # rows) never holds a full pop x pop similarity matrix — the first
+    # 1024-row panel against the remaining columns (~80 MB at the 10k
+    # default cap) is the peak, shrinking every block — so the guard
+    # stays a memory bound in practice, not just a work bound.
     block = 1024
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
