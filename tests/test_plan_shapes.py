@@ -453,3 +453,26 @@ def test_ensemble_never_plans_single_partition_window(spark):
     )
     plan = _plan(ensemble_rank_scores(docs, ["s1"], "doc_id", partitions=4))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_triangle_closing_is_intersection_not_wedge_join(spark):
+    """The triangle stage must close via array_intersect over collected
+    adjacency (nothing wider than the edge list shuffles) — a regression
+    to the wedge self-join would re-materialize sum(outdeg^2) rows. The
+    wedge build was a join keyed ONLY on the shared pivot; adjacency
+    joins key on lo/hi, so a pivot-keyed equi-join disappearing from the
+    plan plus the intersect expression appearing pins the shape."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    df = triangle_counts(edges)
+    plan = _plan(df)
+    assert "array_intersect" in plan
+    assert "pivot" not in plan  # the wedge formulation's join key
+    # exactly one triangle, every corner credited once
+    rows = {r.node: r.n_triangles for r in df.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}

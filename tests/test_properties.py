@@ -703,3 +703,36 @@ def test_semantic_dup_pairs_matches_bruteforce(spark, vecs, threshold):
     assert set(got) == set(want)
     for pair, sim in want.items():
         assert abs(got[pair] - sim) <= 1e-4 + 1e-9
+
+
+# ---- auto_srp_params (r10 LSH density auto-sizing) -------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**9),
+    sim=st.floats(min_value=0.9, max_value=0.999),
+    recall=st.sampled_from([0.9, 0.99, 0.999, 0.99999]),
+)
+@settings(max_examples=300, deadline=None)
+def test_auto_srp_params_invariants(n, sim, recall):
+    """Pure-function invariants: whenever auto_srp_params returns (it may
+    raise only the documented infeasibility ValueError), the analytic
+    recall target is MET at the design cosine, bits sit inside the
+    clamps, and the table count is minimal (one fewer table misses the
+    target). Bits are non-decreasing in corpus size at fixed knobs."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.lsh import (
+        auto_srp_params,
+        expected_collision_prob,
+    )
+
+    try:
+        bits, tables = auto_srp_params(n, sim=sim, target_recall=recall)
+    except ValueError:
+        return  # documented infeasibility path
+    assert 4 <= bits <= 24 and 1 <= tables <= 64
+    assert expected_collision_prob(sim, bits, tables) >= recall
+    if tables > 1:
+        assert expected_collision_prob(sim, bits, tables - 1) < recall
+    if n >= 2:
+        smaller_bits, _ = auto_srp_params(n // 2, sim=sim, target_recall=recall)
+        assert smaller_bits <= bits
