@@ -927,22 +927,24 @@ def _q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distill_quality_classifier(docs, n_buckets=512)
 
 
-def _q_semantic_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space benchmark decontamination (dedup/decontam.
-    semantic_contamination): per corpus vector, max cosine + argmax id
-    against a broadcast 20-vector benchmark slice — paraphrased leakage
-    that n-gram decontam misses. Map-side broadcast pairing (no corpus
-    shuffle), per-id argmax window; pure-Column cosine fold, so the
-    whole operator is hash-exact vs DuckDB list_dot_product (the
-    ann_cosine_topk precedent)."""
-    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
-        semantic_contamination,
+def _q_triplet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/positive/negative contrastive-training triplets
+    (similarity/negatives.triplet_candidates): per anchor (vec_id < 4),
+    top-2 same-label neighbors crossed with top-3 cross-label hard
+    negatives from ONE shared broadcast-anchor scoring pass; margin =
+    round(pos_cos - neg_cos, 4) of the UNROUNDED cosines. Hash-exact vs
+    the module-owned TRIPLETS_SQL twin (tests/test_negatives.py).
+    Declared r11 via ROTATION_POLICY.md §5 swap #2, replacing the
+    retired brute semantic_decontam_docs (the board's one quadratic
+    oracle-parity query — its operator, SQL twin, and unit proof moved
+    to tests/test_decontam.py; semantic_decontam_pruned remains the
+    declared decontamination contract)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        triplet_candidates,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") < 20)
-    corpus = emb.filter(F.col("vec_id") >= 20)
-    return semantic_contamination(corpus, bench, threshold=0.4)
+    return triplet_candidates(emb, emb.filter(F.col("vec_id") < 4), k_pos=2, k_neg=3)
 
 
 def _q_events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,6 +1386,25 @@ def _plant_near_dups(emb: DataFrame, every: int = 10, jitter: float = 0.18) -> D
     return emb.unionByName(copies)
 
 
+def _parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Driver-side parquet-footer row count (zero Spark jobs) — sizes
+    auto_srp_params without a counting action that would re-execute the
+    planting pipeline and corpus scan on every invocation (r10 ADVICE).
+    Handles both single-file and directory parquet layouts."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs at the operator's REAL design
     point: deterministic planted near-dups (see _plant_near_dups; cosine
@@ -1407,8 +1428,11 @@ def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
+    # N from parquet footers + the planting arithmetic (every 10th vec_id
+    # gets a copy): no Spark action, so the planting pipeline runs once.
+    base_n = _parquet_num_rows(sf_dir, "embeddings")
     n_bits, n_tables = auto_srp_params(
-        emb.count(), sim=0.99, target_recall=0.99999, target_bucket=16
+        base_n + base_n // 10, sim=0.99, target_recall=0.99999, target_bucket=16
     )
     return lsh_near_pairs(emb, threshold=0.92, n_bits=n_bits, n_tables=n_tables)
 
@@ -2378,13 +2402,19 @@ def _q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC approximate top-5 (rows-only: the trained quantizer has no
-    SQL analog; recall vs brute force is asserted in unit tests)."""
-    from azure_etl_databricks_sql_powerbi_spark.similarity.pq import pq_cosine_topk
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label hard-negative mining: top-5 most-similar corpus vectors
+    with a DIFFERENT label per anchor (vec_id < 8). Broadcast-anchor pair
+    stage, per-anchor top-k window; hash-exact vs the module-owned
+    NEGATIVES_SQL twin (declared r11 via the first ROTATION_POLICY.md §5
+    retirement swap — replaced ann_pq_topk, whose PQ/ADC plan is a strict
+    subset of ann_ivfpq_topk + ann_ivfpq_day2)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        hard_negatives,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2929,11 +2959,115 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-10 window head: the 3 NEW composed queries (r8 verdict
-    # directive 1, executed in r10): the r8-built curation tier finally
-    # gets driver evidence — boilerplate strip with its full STRIP_SQL
-    # oracle, ensemble-ranks→token-budget mixture in one plan, and the
-    # one-row skew + join-explosion diagnostics union ---
+    # --- round-11 window: the ex-r7-evidence cohort (stalest on the
+    # board, re-greens this round per ROTATION_POLICY.md §2) with ONE
+    # §5 retirement swap: ann_pq_topk (flat PQ/ADC ⊂ ann_ivfpq_topk +
+    # ann_ivfpq_day2) retired; hard_negatives declared in its slot with
+    # the module-owned NEGATIVES_SQL hash-exact oracle ---
+    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+    "pagerank_supplier_part": _q_pagerank_supplier_part,
+    "bm25_rank_docs": _q_bm25_rank_docs,
+    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
+    "quality_classifier_docs": _q_quality_classifier_docs,
+    "triplet_candidates": _q_triplet_candidates,
+    "customer_order_distribution": _q_customer_order_distribution,
+    "idle_customer_balance": _q_idle_customer_balance,
+    "dataset_split_summary": _q_dataset_split_summary,
+    "stratified_sample_docs": _q_stratified_sample_docs,
+    "pack_sequences_docs": _q_pack_sequences_docs,
+    "skewed_join_salted": _q_skewed_join_salted,
+    "stream_upsert_replay": _q_stream_upsert_replay,
+    "dpp_priority_revenue": _q_dpp_priority_revenue,
+    "near_dup_clusters": _q_near_dup_clusters,
+    "resample_daily_ffill": _q_resample_daily,
+    "cumulative_distinct_users": _q_cumulative_users,
+    "cohort_retention": _q_cohort_retention,
+    "funnel_conversion": _q_funnel_conversion,
+    "salient_terms": _q_salient_terms,
+    "decontaminate_docs": _q_decontaminate_docs,
+    "min_cost_supplier": _q_min_cost_supplier,
+    "important_suppliers": _q_important_suppliers,
+    "top_quarter_shippers": _q_top_quarter_shippers,
+    "part_supplier_breadth": _q_part_supplier_breadth,
+    "dominant_shippers": _q_dominant_shippers,
+    "corpus_stats": _q_corpus_stats,
+    "hard_negatives": _q_hard_negatives,
+    "domain_mix_allocation": _q_domain_mix,
+    "trade_volume_q7": _q_trade_volume,
+    "market_share_q8": _q_market_share,
+    "large_quantity_orders_q18": _q_large_quantity_orders,
+    "bracket_revenue_q19": _q_bracket_revenue,
+    "sole_return_supplier_q21": _q_sole_return_supplier,
+    "vocab_top100": _q_vocab_top100,
+    "price_histogram": _q_price_histogram,
+    "approx_percentiles_by_status": _q_approx_percentiles,
+    "repetition_ratio_docs": _q_repetition_ratio,
+    "revenue_change_q6": _q_revenue_change_q6,
+    "priority_line_health_q12": _q_priority_line_health_q12,
+    "promo_revenue_q14": _q_promo_revenue_q14,
+    "stats_profile_lineitem": _q_stats_profile,
+    "order_rank_distribution": _q_order_rank_distribution,
+    "dedup_spans_docs": _q_dedup_spans_docs,
+    "semantic_dedup_embeddings": _q_semantic_dedup,
+    "full_curation_pipeline": _q_full_curation,
+    "asof_forward_tolerance": _q_asof_forward_tolerance,
+    "stateful_running_totals": _q_stateful_running_totals,
+    "pricing_summary": _q_pricing_summary,
+    "merge_upsert_orders": _q_merge_upsert,
+    # ================= end of the 50-entry driver window =================
+    # --- round-9-evidence cohort (re-greens in the r12 window) ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "approx_distinct_orders": _q_approx_distinct,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "gopher_quality_docs": _q_gopher_quality_docs,
+    # --- round-10-evidence cohort (3 composed queries + 47 ex-r6;
+    # freshest — re-greens in the r13 window) ---
     "strip_boilerplate_docs": _q_strip_boilerplate_docs,
     "mixture_curation_budget": _q_mixture_curation_budget,
     "join_diagnostics_summary": _q_join_diagnostics_summary,
@@ -2987,111 +3121,6 @@ QUERIES: dict[str, QueryFn] = {
     "pretraining_prep": _q_pretraining_prep,
     "sessionize_stream": _q_sessionize_stream,
     "order_priority_exists": _q_order_priority_exists,
-    # ================= end of the 50-entry driver window =================
-    # --- round-7-evidence cohort (oldest after this window — FIRST IN
-    # LINE for the r11 window, 50 queries = exact fit) ---
-    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
-    "pagerank_supplier_part": _q_pagerank_supplier_part,
-    "bm25_rank_docs": _q_bm25_rank_docs,
-    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
-    "quality_classifier_docs": _q_quality_classifier_docs,
-    "semantic_decontam_docs": _q_semantic_decontam_docs,
-    "customer_order_distribution": _q_customer_order_distribution,
-    "idle_customer_balance": _q_idle_customer_balance,
-    "dataset_split_summary": _q_dataset_split_summary,
-    "stratified_sample_docs": _q_stratified_sample_docs,
-    "pack_sequences_docs": _q_pack_sequences_docs,
-    "skewed_join_salted": _q_skewed_join_salted,
-    "stream_upsert_replay": _q_stream_upsert_replay,
-    "dpp_priority_revenue": _q_dpp_priority_revenue,
-    "near_dup_clusters": _q_near_dup_clusters,
-    "resample_daily_ffill": _q_resample_daily,
-    "cumulative_distinct_users": _q_cumulative_users,
-    "cohort_retention": _q_cohort_retention,
-    "funnel_conversion": _q_funnel_conversion,
-    "salient_terms": _q_salient_terms,
-    "decontaminate_docs": _q_decontaminate_docs,
-    "min_cost_supplier": _q_min_cost_supplier,
-    "important_suppliers": _q_important_suppliers,
-    "top_quarter_shippers": _q_top_quarter_shippers,
-    "part_supplier_breadth": _q_part_supplier_breadth,
-    "dominant_shippers": _q_dominant_shippers,
-    "corpus_stats": _q_corpus_stats,
-    "ann_pq_topk": _q_ann_pq,
-    "domain_mix_allocation": _q_domain_mix,
-    "trade_volume_q7": _q_trade_volume,
-    "market_share_q8": _q_market_share,
-    "large_quantity_orders_q18": _q_large_quantity_orders,
-    "bracket_revenue_q19": _q_bracket_revenue,
-    "sole_return_supplier_q21": _q_sole_return_supplier,
-    "vocab_top100": _q_vocab_top100,
-    "price_histogram": _q_price_histogram,
-    "approx_percentiles_by_status": _q_approx_percentiles,
-    "repetition_ratio_docs": _q_repetition_ratio,
-    "revenue_change_q6": _q_revenue_change_q6,
-    "priority_line_health_q12": _q_priority_line_health_q12,
-    "promo_revenue_q14": _q_promo_revenue_q14,
-    "stats_profile_lineitem": _q_stats_profile,
-    "order_rank_distribution": _q_order_rank_distribution,
-    "dedup_spans_docs": _q_dedup_spans_docs,
-    "semantic_dedup_embeddings": _q_semantic_dedup,
-    "full_curation_pipeline": _q_full_curation,
-    "asof_forward_tolerance": _q_asof_forward_tolerance,
-    "stateful_running_totals": _q_stateful_running_totals,
-    "pricing_summary": _q_pricing_summary,
-    "merge_upsert_orders": _q_merge_upsert,
-    # --- round-9-evidence cohort (the r9 window; freshest — rotates in
-    # the r12 window) ---
-    "triangle_counts_parts": _q_triangle_counts_parts,
-    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
-    "label_propagation_parts": _q_label_propagation_parts,
-    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
-    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
-    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
-    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "gopher_quality_docs": _q_gopher_quality_docs,
 }
 
 
@@ -3546,30 +3575,38 @@ ORACLES: dict[str, str] = {
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
           AND levenshtein(a.c_name, b.c_name) <= 2
     """,
-    "semantic_decontam_docs": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT * FROM e WHERE vec_id < 20),
-        c AS (SELECT * FROM e WHERE vec_id >= 20),
-        pairs AS (
-            SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
-                   CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+    # Twin of tests/test_negatives.py::TRIPLETS_SQL (pytest-proven before
+    # declaration, per ROTATION_POLICY.md §3): same cosine fold, same
+    # (anchor_id, same-label) ranking windows, same tie-breaks, margin
+    # rounded from the UNROUNDED cosine difference.
+    "triplet_candidates": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        a AS (SELECT * FROM e WHERE vec_id < 4),
+        scored AS (
+            SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+                   (c.label = a.label) AS same,
+                   CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(c.v, c.v)) = 0
                         THEN 0.0
-                        ELSE list_dot_product(c.v, b.v)
-                             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+                        ELSE list_dot_product(a.v, c.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(c.v, c.v)))
                    END AS cos
-            FROM c, b
+            FROM e c, a WHERE c.vec_id <> a.vec_id
         ),
-        best AS (
+        ranked AS (
             SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC
-            ) AS rn FROM pairs
-        )
-        SELECT vec_id,
-               bench_id AS matched_bench_id,
-               ROUND(cos, 4) AS max_cosine,
-               CAST(ROUND(cos, 4) >= 0.4 AS INTEGER) AS contaminated
-        FROM best WHERE rn = 1
-        ORDER BY vec_id
+                PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+            ) AS rnk FROM scored
+        ),
+        pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pc
+                FROM ranked WHERE same AND rnk <= 2),
+        neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS nc
+                FROM ranked WHERE NOT same AND rnk <= 3)
+        SELECT p.anchor_id AS anchor_id, positive_id, negative_id,
+               ROUND(pc, 4) AS pos_sim, ROUND(nc, 4) AS neg_sim,
+               ROUND(pc - nc, 4) AS margin
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
     """,
     "quality_classifier_docs": r"""
         -- distill + apply: Gopher label -> per-bucket NB log-odds +
@@ -4049,6 +4086,32 @@ ORACLES: dict[str, str] = {
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank FROM pairs
+        ) WHERE rank <= 5
+    """,
+    # Twin of tests/test_negatives.py::NEGATIVES_SQL (pytest-proven before
+    # declaration, per ROTATION_POLICY.md §3): same cosine fold, same
+    # cross-label predicate, same (cos DESC, negative_id ASC) tie-break.
+    "hard_negatives": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        a AS (SELECT * FROM e WHERE vec_id < 8),
+        pairs AS (
+            SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+                   c.label AS negative_label,
+                   CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(c.v, c.v)) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(a.v, c.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(c.v, c.v)))
+                   END AS cos
+            FROM e c, a WHERE c.label <> a.label
+        )
+        SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id,
+               negative_label, ROUND(cos, 4) AS cosine_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
             ) AS rank FROM pairs
         ) WHERE rank <= 5
     """,

@@ -215,11 +215,14 @@ def strip_boilerplate(
         # the physical plan entirely (Observation.get then throws instead
         # of reporting zeros). The left join's output always executes, so
         # the metrics node here survives any empty right side.
+        # size(NULL) is NULL under ANSI (Spark 4 default) but -1 with ANSI
+        # off — the inner coalesce makes the metric config-independent
+        # (uncovered docs contribute 0 either way, never -1).
         joined = joined.observe(
             observation,
-            F.coalesce(F.sum(F.size("__cov")), F.lit(0)).alias(
-                "covered_positions"
-            ),
+            F.coalesce(
+                F.sum(F.coalesce(F.size("__cov"), F.lit(0))), F.lit(0)
+            ).alias("covered_positions"),
             F.count(F.when(F.col("__cov").isNotNull(), 1)).alias(
                 "covered_docs"
             ),

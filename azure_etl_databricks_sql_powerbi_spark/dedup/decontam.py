@@ -123,6 +123,7 @@ def semantic_contamination(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic companion
     to the n-gram ``contamination_scores``: paraphrased or reformatted
@@ -141,11 +142,25 @@ def semantic_contamination(
 
     The cosine is the pure-Column fold (``functions/vectors.cosine``) —
     identical sequential arithmetic in DuckDB's list_dot_product, so the
-    whole operator is oracle-checkable (the ann_cosine_topk precedent)."""
+    whole operator is oracle-checkable (the ann_cosine_topk precedent).
+
+    ``max_benchmark`` bounds the broadcast side with a loud ValueError
+    (never a silent truncation, never an OOM mid-broadcast) — the
+    ``_require_broadcastable_anchors`` precedent from hard-negative
+    mining. A benchmark union past the cap belongs on the IVF-pruned
+    path (``semantic_contamination_pruned``)."""
     from pyspark.sql import Window
 
     from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
+    from azure_etl_databricks_sql_powerbi_spark.util import require_broadcastable
 
+    require_broadcastable(
+        benchmark,
+        max_benchmark,
+        "max_benchmark",
+        "benchmark set",
+        "prune with IVF cells first (semantic_contamination_pruned)",
+    )
     b = F.broadcast(
         benchmark.select(
             F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__b_vec")

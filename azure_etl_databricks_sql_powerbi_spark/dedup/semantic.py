@@ -47,6 +47,36 @@ from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
 )
 
 
+def round_half_up_4(values: np.ndarray) -> np.ndarray:
+    """Vectorized twin of Spark ``round(x, 4)`` (BigDecimal HALF_UP on the
+    double's shortest round-trip decimal repr; Python ``repr(float)`` ==
+    Java ``Double.toString``).
+
+    ``np.round`` does banker's rounding on the BINARY double, which can
+    only disagree with decimal HALF_UP when the scaled value sits
+    essentially on a half boundary (for |x| <= 1 the multiply/repr noise
+    is ~1e-12 in scaled units). So: vectorized ``np.round`` for the bulk,
+    exact per-value Decimal only inside a generous 1e-6 band around the
+    boundary — a duplicate-heavy cell at the ``max_cell`` cap no longer
+    pays ~pop²/2 interpreted Decimal constructions (r10 ADVICE)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    values = np.asarray(values, dtype=np.float64)
+    rounded = np.round(values, 4)
+    scaled = np.abs(values) * 1e4
+    near_half = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if near_half.any():
+        rounded[near_half] = [
+            float(
+                Decimal(repr(float(v))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            for v in values[near_half]
+        ]
+    return rounded
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     centroids: np.ndarray,
@@ -109,9 +139,21 @@ def semantic_dup_pairs(
     # default cap) is the peak, shrinking every block — so the guard
     # stays a memory bound in practice, not just a work bound.
     block = 1024
+    # captured driver-side so the executor closure can sys.path-bootstrap
+    # before importing the engine rounding helper (cloudpickle serializes
+    # module-level functions by name; see multimodal/ops.py)
+    from azure_etl_databricks_sql_powerbi_spark.util import pkg_parent
+
+    _parent = pkg_parent()
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        from decimal import ROUND_HALF_UP, Decimal
+        import sys
+
+        if _parent not in sys.path:
+            sys.path.insert(0, _parent)
+        from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import (
+            round_half_up_4,
+        )
 
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
@@ -140,26 +182,12 @@ def semantic_dup_pairs(
             out_b.append(ids[j])
             out_s.append(sims[bi[keep], jl[keep]])
         s = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
-        # match Spark round(x, 4) exactly: shortest round-trip decimal
-        # repr (Python repr == Java Double.toString), then HALF_UP —
-        # floor(|x|*1e4+0.5) diverges on half-boundary doubles like
-        # 0.00015, and np.round would do banker's rounding. Only emitted
-        # (above-threshold) pairs pay the per-value Decimal cost.
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
                 "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
-                "cosine_sim": np.array(
-                    [
-                        float(
-                            Decimal(repr(float(v))).quantize(
-                                Decimal("0.0001"), rounding=ROUND_HALF_UP
-                            )
-                        )
-                        for v in s
-                    ],
-                    dtype=np.float64,
-                ),
+                # Spark round(x,4) parity — vectorized banded HALF_UP
+                "cosine_sim": round_half_up_4(s),
             }
         )
 

@@ -34,19 +34,19 @@ from azure_etl_databricks_sql_powerbi_spark.util import spread
 
 
 def _require_broadcastable_anchors(anchors: DataFrame, max_anchors: int) -> None:
-    """LOUD driver-side bound on the anchor set (the
-    ``pq.bounded_query_pandas`` cap pattern): the pair stage broadcasts
-    the anchors to every executor, so a corpus-sized anchor frame must
-    fail with ValueError instead of OOMing the cluster mid-broadcast.
-    Reads at most ``max_anchors + 1`` rows — the probe itself is bounded."""
-    n = anchors.limit(max_anchors + 1).count()
-    if n > max_anchors:
-        raise ValueError(
-            f"anchor set exceeds max_anchors={max_anchors}; the pair stage "
-            "broadcasts anchors to every executor — mine per-shard, route "
-            "through the IVF candidate bound (similarity/ivf.py), or raise "
-            "max_anchors deliberately"
-        )
+    """LOUD driver-side bound on the anchor set — delegates to the shared
+    ``util.require_broadcastable`` (bounded limit(cap+1) probe, ValueError
+    past the cap, never a silent truncation)."""
+    from azure_etl_databricks_sql_powerbi_spark.util import require_broadcastable
+
+    require_broadcastable(
+        anchors,
+        max_anchors,
+        "max_anchors",
+        "anchor set",
+        "mine per-shard or route through the IVF candidate bound "
+        "(similarity/ivf.py)",
+    )
 
 
 def hard_negatives(

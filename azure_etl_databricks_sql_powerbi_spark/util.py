@@ -45,6 +45,25 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def require_broadcastable(
+    df: DataFrame, cap: int, cap_name: str, role: str, remedy: str
+) -> None:
+    """LOUD driver-side bound on a frame about to be broadcast (the
+    ``pq.bounded_query_pandas`` cap pattern): broadcast sides ship to
+    every executor, so a corpus-sized frame must fail with ValueError
+    instead of OOMing the cluster mid-broadcast. Reads at most
+    ``cap + 1`` rows — the probe itself is bounded. Shared by
+    hard-negative anchor mining (``similarity/negatives.py``) and brute
+    semantic decontamination (``dedup/decontam.py``)."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{role} exceeds {cap_name}={cap}; the pair stage broadcasts "
+            f"it to every executor — {remedy}, or raise {cap_name} "
+            "deliberately"
+        )
+
+
 def pkg_parent() -> str:
     """Directory containing the engine package — captured DRIVER-side so
     executor closures can sys.path-bootstrap before importing engine

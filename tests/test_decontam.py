@@ -116,6 +116,89 @@ def test_semantic_contamination_flags_embedding_twins(spark):
     assert {r.vec_id for r in clean.collect()} == {11, 12}
 
 
+# Module-owned DuckDB twin of semantic_contamination on the real embeddings
+# table — formerly the driver oracle of `semantic_decontam_docs`, RETIRED
+# r11 (ROTATION_POLICY.md §5 swap #2: the brute |corpus|x|bench| pairing
+# measured 8.9x wall at 10x data; `semantic_decontam_pruned` is the declared
+# decontamination contract). Per §3, retirement removes driver evidence
+# obligations, never capability: the twin and its hash-exact proof live on
+# here.
+SEMANTIC_DECONTAM_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM read_parquet('{sf}/embeddings.parquet')),
+    b AS (SELECT * FROM e WHERE vec_id < 20),
+    c AS (SELECT * FROM e WHERE vec_id >= 20),
+    pairs AS (
+        SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+               CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(c.v, b.v)
+                         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+               END AS cos
+        FROM c, b
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC
+        ) AS rn FROM pairs
+    )
+    SELECT vec_id,
+           bench_id AS matched_bench_id,
+           ROUND(cos, 4) AS max_cosine,
+           CAST(ROUND(cos, 4) >= 0.4 AS INTEGER) AS contaminated
+    FROM best WHERE rn = 1
+    ORDER BY vec_id
+"""
+
+
+def test_semantic_contamination_matches_duckdb_twin(spark):
+    """Hash-exact (float_tol=0) vs the module-owned twin on the real
+    embeddings table — preserves the retired driver query's full
+    oracle-parity proof as a unit fixture."""
+    import duckdb
+
+    from oracle_harness import compare
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = semantic_contamination(
+        emb.filter("vec_id >= 20"), emb.filter("vec_id < 20"), threshold=0.4
+    )
+    orc = duckdb.sql(SEMANTIC_DECONTAM_SQL.format(sf=sf)).df()
+    assert compare(out, orc, float_tol=0) == []
+
+
+def test_semantic_contamination_benchmark_cap_raises_loudly(spark):
+    """A benchmark set past ``max_benchmark`` must die with ValueError
+    BEFORE the broadcast cross product runs (the
+    ``_require_broadcastable_anchors`` precedent, r10 verdict directive):
+    the brute pairing is |corpus| x |bench| map-side work AND a full
+    broadcast of the benchmark — unbounded growth belongs on the
+    IVF-pruned path. The probe is bounded (limit(cap+1)), and at or
+    under the cap the operator runs unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.decontam import (
+        semantic_contamination,
+    )
+
+    bench = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_benchmark"):
+        semantic_contamination(corpus, bench, max_benchmark=4)
+    assert semantic_contamination(corpus, bench, max_benchmark=5).count() == 1
+
+
 def test_semantic_contamination_pruned_recall_and_pruning(spark):
     """The cell-pruned variant finds every planted twin the brute
     variant flags at the near-dup operating point (recall 1.0), while

@@ -49,6 +49,53 @@ NEGATIVES_SQL = """
 """
 
 
+# The DuckDB twin of triplet_candidates(corpus=embeddings, anchors=vec_id<4,
+# k_pos=2, k_neg=3): same cosine fold, same (anchor_id, same-label) ranking
+# windows, same tie-breaks, margin rounded from the UNROUNDED difference —
+# the module-owned oracle behind the r11-declared `triplet_candidates`
+# contract query (ROTATION_POLICY.md §5 swap #2).
+TRIPLETS_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM read_parquet('{sf}/embeddings.parquet')),
+    a AS (SELECT * FROM e WHERE vec_id < 4),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+               (c.label = a.label) AS same,
+               CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(c.v, c.v)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(c.v, c.v)))
+               END AS cos
+        FROM e c, a WHERE c.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+        ) AS rnk FROM scored
+    ),
+    pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pc
+            FROM ranked WHERE same AND rnk <= 2),
+    neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS nc
+            FROM ranked WHERE NOT same AND rnk <= 3)
+    SELECT p.anchor_id AS anchor_id, positive_id, negative_id,
+           ROUND(pc, 4) AS pos_sim, ROUND(nc, 4) AS neg_sim,
+           ROUND(pc - nc, 4) AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+"""
+
+
+def test_triplet_candidates_matches_duckdb_twin(spark):
+    """Hash-exact (float_tol=0) against the module-owned twin — the
+    pytest proof that gates declaring `triplet_candidates` on the driver
+    board (the NEGATIVES_SQL / graph-tier discipline)."""
+    emb = _emb(spark)
+    out = triplet_candidates(emb, emb.filter("vec_id < 4"), k_pos=2, k_neg=3)
+    orc = duckdb.sql(TRIPLETS_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []
+
+
 def test_hard_negatives_matches_duckdb_twin(spark):
     emb = _emb(spark)
     out = hard_negatives(emb, emb.filter("vec_id < 8"), k=5)

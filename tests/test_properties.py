@@ -736,3 +736,46 @@ def test_auto_srp_params_invariants(n, sim, recall):
     if n >= 2:
         smaller_bits, _ = auto_srp_params(n // 2, sim=sim, target_recall=recall)
         assert smaller_bits <= bits
+
+
+# ---- round_half_up_4 (r11 vectorized banded rounding) -----------------------
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            # adversarial: exact half-boundary decimals whose DOUBLE sits
+            # just above/below k*1e-4 + 5e-5 — where banker's rounding on
+            # the binary value diverges from decimal HALF_UP
+            st.integers(min_value=-9999, max_value=9999).map(
+                lambda k: (2 * k + 1) / 2e4
+            ),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_4_matches_decimal_reference(xs):
+    """The vectorized banded rounding must equal the all-Decimal
+    reference (Spark round(x,4): HALF_UP on the shortest round-trip
+    decimal repr) on EVERY double — bulk values via np.round, boundary
+    values via the Decimal band. This pins the r11 rewrite that removed
+    the per-pair interpreted Decimal loop from the SemDeDup GEMM stage."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.semantic import round_half_up_4
+
+    got = round_half_up_4(np.array(xs, dtype=np.float64))
+    want = [
+        float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in xs
+    ]
+    assert got.tolist() == want

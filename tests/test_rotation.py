@@ -99,7 +99,6 @@ def test_every_query_has_oracle_or_documented_exemption():
         "ann_ivf_topk",
         "ann_ivfpq_topk",
         "ann_ivfpq_day2",
-        "ann_pq_topk",
         "embedding_near_pairs_lsh",
         "semantic_dedup_embeddings",
         # codec featurization: roundtrip/determinism unit-tested
