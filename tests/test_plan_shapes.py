@@ -483,3 +483,25 @@ def test_triangle_closing_is_intersection_not_wedge_join(spark):
     # exactly one triangle, every corner credited once
     rows = {r.node: r.n_triangles for r in df.collect()}
     assert rows == {1: 1, 2: 1, 3: 1}
+
+
+def test_negative_mining_plans_broadcast_anchors_and_prune_topk(spark, entry):
+    """Scale contract of the r11-declared mining queries
+    (similarity/negatives): the ANCHOR side reaches the pairing as a
+    broadcast (BroadcastNestedLoopJoin — the corpus streams through
+    executors once, no corpus shuffle on the pair stage), and the
+    per-anchor top-k is pruned map-side BEFORE the one window exchange
+    (WindowGroupLimit Partial) — at 100 TB the shuffle carries at most
+    k rows per (anchor, partition), never the scored pair stream. A
+    regression to a shuffled (sort-merge) pairing or an unpruned window
+    would flip both markers."""
+    for name in ("hard_negatives", "triplet_candidates"):
+        plan = _plan(entry.queries()[name](spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "WindowGroupLimit" in plan, name
+        # the pairing itself must not shuffle: no sort-merge join anywhere
+        # in hard_negatives (its only join IS the pairing); triplet's
+        # final pos x neg combine is a small equi-join and MAY sort-merge,
+        # but its pairing stage is pinned by the two markers above.
+        if name == "hard_negatives":
+            assert "SortMergeJoin" not in plan, name

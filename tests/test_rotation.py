@@ -121,3 +121,34 @@ def test_every_query_has_oracle_or_documented_exemption():
             assert name not in oracles, f"{name} is listed rows-only but has an oracle"
         else:
             assert name in oracles, f"{name} has no oracle and no documented exemption"
+
+
+def test_bench_history_archived_for_every_completed_round():
+    """The r9 postmortem (VERDICT r10 item 4): per-query bench detail was
+    lost because the session never snapshotted BENCH_DETAIL.json before
+    bench.py overwrote it. Mechanize the discipline: every driver round
+    older than the newest committed BENCH_r*.json must have a snapshot in
+    tools/bench_history/ (rounds 1-3 predate the convention and r02/r03
+    were never captured — grandfathered). The newest round's snapshot is
+    exempt because its detail only becomes available when the driver runs
+    bench AFTER the session; the NEXT session archives it (from
+    BENCH_DETAIL.json at session start) and this test goes red if it
+    forgets."""
+    import re
+
+    rounds = sorted(
+        int(re.search(r"BENCH_r(\d+)\.json", p).group(1))
+        for p in glob.glob(str(REPO / "BENCH_r*.json"))
+    )
+    grandfathered = {2, 3}
+    missing = [
+        n
+        for n in rounds[:-1]
+        if n not in grandfathered
+        and not (REPO / "tools" / "bench_history" / f"r{n:02d}.json").exists()
+    ]
+    assert not missing, (
+        f"rounds without a bench_history snapshot: {missing} — archive "
+        "BENCH_DETAIL.json (or reconstruct from the BENCH_rNN tail) before "
+        "running bench.py this session"
+    )
