@@ -1,0 +1,110 @@
+"""PII scrubbing for training-data curation (north-star extension; the
+reference engine at /root/reference has no text surface at all — this
+fills the curation step a 100 TB pretraining pipeline runs between
+quality filtering and packing: redact personal identifiers before the
+corpus is frozen, the BigScience/CCNet-style regex pass).
+
+Everything is a Column expression over ``pyspark.sql.functions``
+(``regexp_replace`` / ``regexp_extract_all``) — JVM-side, whole-stage-
+codegen'd, zero Python in the hot path, runs at scan speed with full
+column pruning. No UDF fallback is needed.
+
+Pattern dialect contract: every pattern below is valid AND equivalent in
+Java's regex (Spark) and RE2 (DuckDB) — no lookaround, no backreferences
+— so counting/redaction is oracle-checkable cell-for-cell
+(tests/test_pii.py pins a DuckDB twin on planted rows). Patterns are
+deliberately conservative (precision over recall): a false redaction
+destroys training signal silently, while residual PII is caught by the
+audit count (`pii_counts`) reviewers act on.
+
+Order matters and is part of the contract: kinds are applied in
+``PII_PATTERNS`` insertion order, so longer/more-specific matches
+(credit-card digit runs) fire before subsumable ones (phone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# kind -> (pattern, replacement token). Insertion order = application order.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the narrow classic; no quoted-locals/IP-literals
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # 13-16 digit runs, optionally space/dash separated in groups of 4
+    # (card shapes); anchored on word boundaries so order ids inside
+    # longer tokens survive
+    "card": r"\b\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{1,4}\b",
+    # US SSN shape NNN-NN-NNNN
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # international-ish phone: +CC then 8-14 digits with optional
+    # space/dash/paren separators; the leading + keeps precision high
+    "phone": r"\+\d{1,3}[ \-]?\(?\d{1,4}\)?(?:[ \-]?\d{2,4}){2,4}",
+    # dotted-quad IPv4 (also matches out-of-range quads like 999.…;
+    # redaction-safe: over-matching an almost-IP is acceptable)
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _replacement(kind: str) -> str:
+    return f"[{kind.upper()}]"
+
+
+def redact_pii(
+    c: Column | str, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Text with every PII match replaced by its ``[KIND]`` token — one
+    chained ``regexp_replace`` per kind, a single codegen stage.
+    Idempotent: replacement tokens contain no digits or ``@``, so no
+    pattern can match the output of another (unit-pinned)."""
+    out = F.col(c) if isinstance(c, str) else c
+    for kind in kinds or tuple(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], _replacement(kind))
+    return out
+
+
+def pii_match_count(c: Column | str, kind: str) -> Column:
+    """Number of matches of one PII kind in the column (audit metric)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-document audit row: (id, <kind>_n ... , pii_total). Counts are
+    computed BEFORE redaction (insertion order doesn't matter for
+    counting — kinds may overlap on pathological text, which the audit
+    deliberately surfaces rather than hides). One scan, one projection,
+    no shuffle; corpus-level totals are a follow-up agg the caller owns."""
+    kinds = kinds or tuple(PII_PATTERNS)
+    cols = [
+        pii_match_count(text_col, k).cast("long").alias(f"{k}_n") for k in kinds
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for k in kinds:
+        term = F.col(f"{k}_n")
+        total = term if total is None else (total + term)
+    return out.withColumn("pii_total", total.cast("long"))
+
+
+def scrub_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The pipeline form: same frame with ``text_col`` redacted in place
+    plus a ``pii_total`` audit column (matches found pre-redaction), so a
+    curation plan can both scrub and quarantine-by-threshold in one pass."""
+    kinds = kinds or tuple(PII_PATTERNS)
+    total = None
+    for k in kinds:
+        term = pii_match_count(text_col, k)
+        total = term if total is None else (total + term)
+    return df.withColumn("pii_total", total.cast("long")).withColumn(
+        text_col, redact_pii(text_col, kinds)
+    )

@@ -1,0 +1,106 @@
+"""PII scrubbing: planted-identifier redaction, audit counts, pattern
+dialect parity with DuckDB (RE2) — the module's patterns promise to mean
+the same thing in both engines, so a DuckDB twin pins every count and
+every redacted string cell-for-cell."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.functions.pii import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+    scrub_documents,
+)
+
+ROWS = [
+    (1, "contact me at jane.doe+spam@example.co.uk or at work"),
+    (2, "card 4111 1111 1111 1111 expires soon; backup 5500-0000-0000-0004"),
+    (3, "ssn 123-45-6789 leaked next to phone +1 (415) 555-0199"),
+    (4, "server at 10.0.0.1 and 192.168.255.255 no pii otherwise"),
+    (5, "clean document with order number 12345 and year 2026"),
+    (6, "mixed: bob@host.io from 8.8.8.8 called +44 20 7946 0958"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_redaction_removes_every_planted_identifier(spark, docs):
+    out = {r.doc_id: r.text for r in docs.select("doc_id", redact_pii("text").alias("text")).collect()}
+    assert "[EMAIL]" in out[1] and "example.co.uk" not in out[1]
+    assert out[2].count("[CARD]") == 2 and "4111" not in out[2]
+    assert "[SSN]" in out[3] and "[PHONE]" in out[3]
+    assert out[4].count("[IPV4]") == 2
+    # precision: clean text with short digit runs is untouched
+    assert out[5] == ROWS[4][1]
+    assert "[EMAIL]" in out[6] and "[IPV4]" in out[6] and "[PHONE]" in out[6]
+
+
+def test_redaction_is_idempotent(spark, docs):
+    once = docs.select("doc_id", redact_pii("text").alias("text"))
+    twice = once.select("doc_id", redact_pii("text").alias("text"))
+    assert {(r.doc_id, r.text) for r in once.collect()} == {
+        (r.doc_id, r.text) for r in twice.collect()
+    }
+
+
+def test_audit_counts_match_hand_counts(spark, docs):
+    got = {r.doc_id: r.asDict() for r in pii_counts(docs).collect()}
+    assert got[1]["email_n"] == 1 and got[1]["pii_total"] == 1
+    assert got[2]["card_n"] == 2 and got[2]["pii_total"] == 2
+    assert got[3]["ssn_n"] == 1 and got[3]["phone_n"] == 1
+    assert got[4]["ipv4_n"] == 2
+    assert got[5]["pii_total"] == 0
+    assert got[6]["pii_total"] == 3
+
+
+def test_scrub_documents_pipeline_form(spark, docs):
+    out = {r.doc_id: r for r in scrub_documents(docs).collect()}
+    assert out[3].pii_total == 2 and "[SSN]" in out[3].text
+    assert out[5].pii_total == 0 and out[5].text == ROWS[4][1]
+
+
+def test_counts_and_redaction_match_duckdb_twin(spark, docs):
+    """Dialect-parity pin: per-doc counts (regexp_extract_all length) and
+    the fully-redacted text (chained regexp_replace, 'g') must be
+    cell-for-cell identical between Spark (Java regex) and DuckDB (RE2)
+    — the property that makes every pattern here oracle-checkable if a
+    scrub query is ever declared on the driver board."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ROWS)
+
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {kind}_n"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"{kind}_n" for kind in PII_PATTERNS)
+    orc_counts = {
+        r[0]: r
+        for r in con.execute(
+            f"SELECT doc_id, {count_cols}, CAST({total} AS BIGINT) AS pii_total "
+            f"FROM (SELECT doc_id, text, {count_cols} FROM t)"
+        ).fetchall()
+    }
+    got_counts = {r.doc_id: tuple(r) for r in pii_counts(docs).collect()}
+    assert got_counts == orc_counts
+
+    redacted_expr = "text"
+    for kind, pat in PII_PATTERNS.items():
+        redacted_expr = (
+            f"regexp_replace({redacted_expr}, '{pat}', '[{kind.upper()}]', 'g')"
+        )
+    orc_text = dict(
+        con.execute(f"SELECT doc_id, {redacted_expr} FROM t").fetchall()
+    )
+    got_text = {
+        r.doc_id: r.text
+        for r in docs.select("doc_id", redact_pii("text").alias("text")).collect()
+    }
+    assert got_text == orc_text
