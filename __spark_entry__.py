@@ -1400,8 +1400,11 @@ def _parquet_num_rows(sf_dir: str, table: str) -> int:
     files = (
         [path]
         if os.path.isfile(path)
-        else _glob.glob(os.path.join(path, "*.parquet"))
+        else _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+    if not files:
+        # a silent 0 would size LSH params from an empty corpus — fail loud
+        raise FileNotFoundError(f"no parquet files under {path}")
     return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

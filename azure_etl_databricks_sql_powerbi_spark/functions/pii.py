@@ -41,9 +41,27 @@ PII_PATTERNS: dict[str, str] = {
     # space/dash/paren separators; the leading + keeps precision high
     "phone": r"\+\d{1,3}[ \-]?\(?\d{1,4}\)?(?:[ \-]?\d{2,4}){2,4}",
     # dotted-quad IPv4 (also matches out-of-range quads like 999.…;
-    # redaction-safe: over-matching an almost-IP is acceptable)
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # redaction-safe: over-matching an almost-IP is acceptable). Named
+    # "ip", not "ipv4": replacement tokens must stay digit-free so the
+    # idempotency invariant holds by construction, not by accident.
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
+
+
+def _selected(kinds):
+    """`kinds is None` means all patterns; an explicit empty tuple means
+    NONE (a truthiness test here would silently scrub everything when a
+    programmatic filter comes out empty)."""
+    return tuple(PII_PATTERNS) if kinds is None else tuple(kinds)
+
+
+def _total_expr(text_col, kinds):
+    """Sum of per-kind match counts — the ONE definition both pii_counts
+    and scrub_documents report, so the audit metric cannot fork."""
+    total = F.lit(0)
+    for k in kinds:
+        total = total + pii_match_count(text_col, k)
+    return total.cast("long")
 
 
 def _replacement(kind: str) -> str:
@@ -55,18 +73,27 @@ def redact_pii(
 ) -> Column:
     """Text with every PII match replaced by its ``[KIND]`` token — one
     chained ``regexp_replace`` per kind, a single codegen stage.
-    Idempotent: replacement tokens contain no digits or ``@``, so no
-    pattern can match the output of another (unit-pinned)."""
+    Idempotent: replacement tokens contain no digits or ``@`` (enforced
+    by a unit test over PII_PATTERNS keys), so no pattern can match the
+    output of another (unit-pinned). ``kinds=None`` selects all patterns;
+    an explicit empty tuple is a no-op."""
     out = F.col(c) if isinstance(c, str) else c
-    for kind in kinds or tuple(PII_PATTERNS):
+    for kind in _selected(kinds):
         out = F.regexp_replace(out, PII_PATTERNS[kind], _replacement(kind))
     return out
 
 
 def pii_match_count(c: Column | str, kind: str) -> Column:
-    """Number of matches of one PII kind in the column (audit metric)."""
+    """Number of matches of one PII kind in the column (audit metric).
+    NULL text counts as 0 matches — the coalesce keeps the metric
+    config-independent (size(NULL) is NULL under ANSI but -1 with ANSI
+    off; the dedup/boilerplate.py coverage-metric lesson) and matches a
+    DuckDB twin written with the same COALESCE."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0))),
+        F.lit(0),
+    )
 
 
 def pii_counts(
@@ -80,16 +107,13 @@ def pii_counts(
     counting — kinds may overlap on pathological text, which the audit
     deliberately surfaces rather than hides). One scan, one projection,
     no shuffle; corpus-level totals are a follow-up agg the caller owns."""
-    kinds = kinds or tuple(PII_PATTERNS)
+    kinds = _selected(kinds)
     cols = [
         pii_match_count(text_col, k).cast("long").alias(f"{k}_n") for k in kinds
     ]
-    out = df.select(F.col(id_col), *cols)
-    total = None
-    for k in kinds:
-        term = F.col(f"{k}_n")
-        total = term if total is None else (total + term)
-    return out.withColumn("pii_total", total.cast("long"))
+    return df.select(
+        F.col(id_col), *cols, _total_expr(text_col, kinds).alias("pii_total")
+    )
 
 
 def scrub_documents(
@@ -100,11 +124,7 @@ def scrub_documents(
     """The pipeline form: same frame with ``text_col`` redacted in place
     plus a ``pii_total`` audit column (matches found pre-redaction), so a
     curation plan can both scrub and quarantine-by-threshold in one pass."""
-    kinds = kinds or tuple(PII_PATTERNS)
-    total = None
-    for k in kinds:
-        term = pii_match_count(text_col, k)
-        total = term if total is None else (total + term)
-    return df.withColumn("pii_total", total.cast("long")).withColumn(
+    kinds = _selected(kinds)
+    return df.withColumn("pii_total", _total_expr(text_col, kinds)).withColumn(
         text_col, redact_pii(text_col, kinds)
     )

@@ -129,6 +129,58 @@ def _global_sorted_rank(
     ).drop("__pid")
 
 
+def snm_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    max_distance: int = 2,
+    partitions: int = 32,
+    sort_key=None,
+) -> DataFrame:
+    """The candidate stage of one sorted-neighborhood pass, shared by the
+    verify pipeline (``sorted_neighborhood_pairs``) and the scaling
+    decomposition tool (``tools/fuzzy_sf1_decomp.py``) so measurements
+    can never drift from the shipped plan: global sorted rank via range
+    partitioning, bucket-adjacency equi-join (each record probes its own
+    ``floor(rank/window)`` bucket and the previous one, so any two rows
+    within ``window`` ranks share a bucket key in exactly one side),
+    exact ``|rank diff| <= window`` filter, and the cheap length
+    prefilter. Output columns: (id_a, id_b, __text_a, __text_b, __ra,
+    __rb) — candidates ENTERING the levenshtein verify, N x window rows,
+    linear in N by construction."""
+    base = df.select(id_col, text_col)
+    if sort_key is not None:
+        base = base.withColumn("__sortkey", sort_key)
+        sort_cols = ["__sortkey", id_col]
+    else:
+        sort_cols = [text_col, id_col]
+    ranked = _global_sorted_rank(base, sort_cols, partitions).drop("__sortkey")
+    bucket = F.floor(F.col("__rank") / window)
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__text_a"),
+        F.col("__rank").alias("__ra"),
+        bucket.alias("__b"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__text_b"),
+        F.col("__rank").alias("__rb"),
+        F.explode(F.array(bucket, bucket - 1)).alias("__b"),
+    )
+    return (
+        a.join(b, on="__b")
+        .filter(
+            (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") - F.col("__ra") <= window)
+        )
+        .filter(
+            F.abs(F.length("__text_a") - F.length("__text_b")) <= max_distance
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     text_col: str,
@@ -157,38 +209,11 @@ def sorted_neighborhood_pairs(
     far from its twin. Production runs multi-pass with rotated sort keys;
     the single-pass recall contract is unit-tested on planted mid/late
     typos."""
-    base = df.select(id_col, text_col)
-    if sort_key is not None:
-        base = base.withColumn("__sortkey", sort_key)
-        sort_cols = ["__sortkey", id_col]
-    else:
-        sort_cols = [text_col, id_col]
-    ranked = _global_sorted_rank(base, sort_cols, partitions).drop("__sortkey")
-    bucket = F.floor(F.col("__rank") / window)
-    a = ranked.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("__text_a"),
-        F.col("__rank").alias("__ra"),
-        bucket.alias("__b"),
-    )
-    # each record probes its own bucket and the previous one, so any two
-    # rows within `window` ranks share a bucket key in exactly one side
-    b = ranked.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("__text_b"),
-        F.col("__rank").alias("__rb"),
-        F.explode(F.array(bucket, bucket - 1)).alias("__b"),
+    candidates = snm_candidate_pairs(
+        df, text_col, id_col, window, max_distance, partitions, sort_key
     )
     return (
-        a.join(b, on="__b")
-        .filter(
-            (F.col("__rb") > F.col("__ra"))
-            & (F.col("__rb") - F.col("__ra") <= window)
-        )
-        .filter(
-            F.abs(F.length("__text_a") - F.length("__text_b")) <= max_distance
-        )
-        .select(
+        candidates.select(
             # pairs are unique by RANK order; canonicalize to id order
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),

@@ -36,10 +36,10 @@ def test_redaction_removes_every_planted_identifier(spark, docs):
     assert "[EMAIL]" in out[1] and "example.co.uk" not in out[1]
     assert out[2].count("[CARD]") == 2 and "4111" not in out[2]
     assert "[SSN]" in out[3] and "[PHONE]" in out[3]
-    assert out[4].count("[IPV4]") == 2
+    assert out[4].count("[IP]") == 2
     # precision: clean text with short digit runs is untouched
     assert out[5] == ROWS[4][1]
-    assert "[EMAIL]" in out[6] and "[IPV4]" in out[6] and "[PHONE]" in out[6]
+    assert "[EMAIL]" in out[6] and "[IP]" in out[6] and "[PHONE]" in out[6]
 
 
 def test_redaction_is_idempotent(spark, docs):
@@ -55,7 +55,7 @@ def test_audit_counts_match_hand_counts(spark, docs):
     assert got[1]["email_n"] == 1 and got[1]["pii_total"] == 1
     assert got[2]["card_n"] == 2 and got[2]["pii_total"] == 2
     assert got[3]["ssn_n"] == 1 and got[3]["phone_n"] == 1
-    assert got[4]["ipv4_n"] == 2
+    assert got[4]["ip_n"] == 2
     assert got[5]["pii_total"] == 0
     assert got[6]["pii_total"] == 3
 
@@ -64,6 +64,44 @@ def test_scrub_documents_pipeline_form(spark, docs):
     out = {r.doc_id: r for r in scrub_documents(docs).collect()}
     assert out[3].pii_total == 2 and "[SSN]" in out[3].text
     assert out[5].pii_total == 0 and out[5].text == ROWS[4][1]
+
+
+def test_null_text_counts_zero_and_tokens_stay_digit_free(spark):
+    """NULL text must report 0 for every kind (config-independent — the
+    size(NULL) hazard), and every replacement token must be digit- and
+    @-free, the invariant the idempotency contract rests on."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.pii import _replacement
+
+    for kind in PII_PATTERNS:
+        tok = _replacement(kind)
+        assert not any(ch.isdigit() for ch in tok) and "@" not in tok, tok
+
+    spark_df = spark.createDataFrame([(1, None)], SCHEMA)
+    row = pii_counts(spark_df).collect()[0]
+    assert row.pii_total == 0 and all(
+        row[f"{k}_n"] == 0 for k in PII_PATTERNS
+    )
+    # redaction of NULL stays NULL (regexp_replace null-propagates)
+    assert (
+        spark_df.select(redact_pii("text").alias("t")).collect()[0].t is None
+    )
+
+
+def test_empty_kinds_tuple_is_a_noop_not_scrub_everything(spark, docs):
+    """An explicit empty kinds tuple must select NO patterns — a
+    truthiness test would silently scrub the whole corpus when a
+    programmatic kind filter comes out empty."""
+    out = {
+        r.doc_id: r.text
+        for r in docs.select(
+            "doc_id", redact_pii("text", kinds=()).alias("text")
+        ).collect()
+    }
+    assert out == dict(ROWS)
+    scrubbed = scrub_documents(docs, kinds=()).collect()
+    assert all(r.pii_total == 0 for r in scrubbed)
 
 
 def test_counts_and_redaction_match_duckdb_twin(spark, docs):

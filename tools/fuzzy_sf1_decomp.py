@@ -30,11 +30,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from azure_etl_databricks_sql_powerbi_spark.operators.fuzzy import (  # noqa: E402
     _global_sorted_rank,
     multi_pass_snm_pairs,
+    snm_candidate_pairs,
 )
 from azure_etl_databricks_sql_powerbi_spark.session import get_spark  # noqa: E402
 
@@ -44,32 +43,11 @@ WINDOW, MAXD = 10, 2
 
 
 def _candidates(df):
-    """Pairs entering the levenshtein verify for ONE pass (forward sort):
-    rank-window join + length prefilter, before edit distance."""
-    base = df.select("c_custkey", "c_name")
-    ranked = _global_sorted_rank(base, ["c_name", "c_custkey"], 32)
-    bucket = F.floor(F.col("__rank") / WINDOW)
-    a = ranked.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("__text_a"),
-        F.col("__rank").alias("__ra"),
-        bucket.alias("__b"),
-    )
-    b = ranked.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("__text_b"),
-        F.col("__rank").alias("__rb"),
-        F.explode(F.array(bucket, bucket - 1)).alias("__b"),
-    )
-    return (
-        a.join(b, on="__b")
-        .filter(
-            (F.col("__rb") > F.col("__ra"))
-            & (F.col("__rb") - F.col("__ra") <= WINDOW)
-        )
-        .filter(F.abs(F.length("__text_a") - F.length("__text_b")) <= MAXD)
-        .count()
-    )
+    """Pairs entering the levenshtein verify for ONE pass (forward sort)
+    — the operator's OWN candidate stage (operators/fuzzy.
+    snm_candidate_pairs), so the decomposition can never drift from the
+    shipped plan."""
+    return snm_candidate_pairs(df, "c_name", "c_custkey", WINDOW, MAXD).count()
 
 
 def main() -> None:
