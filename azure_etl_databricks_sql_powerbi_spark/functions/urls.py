@@ -1,0 +1,145 @@
+"""URL / domain functions for corpus provenance filtering (north-star
+extension; the reference engine has no text surface — this is the
+web-crawl curation step that runs before content filters: extract each
+document's host and registered domain, drop blocklisted domains, and
+report per-domain concentration).
+
+All Column expressions over ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero UDF. Host extraction deliberately uses a
+regex (not ``F.parse_url``) so the SAME pattern runs in DuckDB's RE2 —
+the functions/pii.py dialect contract: no lookaround, no backreferences,
+every result oracle-checkable cell-for-cell (tests/test_urls.py pins a
+DuckDB twin for host, registered domain, and the blocklist verdict).
+
+Registered-domain semantics: last two host labels, or last three when
+the two-label suffix is a known multi-part public suffix (co.uk,
+com.au, …). The embedded suffix set is a small, documented subset of the
+Mozilla Public Suffix List — enough for provenance bucketing; a
+production deployment with exotic ccTLD needs swaps in the full PSL as a
+broadcast table (`registered_domain_psl`), same plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://[userinfo@]HOST[:port][/|?|#...] — capture group 1 = host.
+# Java-regex AND RE2 valid/equivalent (character classes + one group).
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+# Two-label suffixes under which the REGISTERED domain has three labels.
+# Subset of the Public Suffix List (documented limitation, see module
+# docstring); sorted for deterministic plan text.
+MULTI_PART_SUFFIXES: tuple[str, ...] = (
+    "ac.uk",
+    "co.in",
+    "co.jp",
+    "co.kr",
+    "co.nz",
+    "co.uk",
+    "co.za",
+    "com.au",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "com.sg",
+    "com.tr",
+    "gov.uk",
+    "net.au",
+    "or.jp",
+    "org.au",
+    "org.uk",
+)
+
+
+def url_host(c: Column | str) -> Column:
+    """Lower-cased host of an absolute URL; NULL for text that is not an
+    absolute URL (no scheme). Ports, userinfo, paths, queries, and
+    fragments are stripped by the single regex."""
+    c = F.col(c) if isinstance(c, str) else c
+    host = F.lower(F.regexp_extract(c, HOST_RE, 1))
+    return F.when(host == "", None).otherwise(host)
+
+
+def registered_domain(c: Column | str) -> Column:
+    """Registered (pay-level) domain of an absolute URL: last two host
+    labels, or three under a known multi-part suffix. IPv4 hosts pass
+    through whole (a dotted quad is provenance of its own); NULL
+    propagates from non-URLs."""
+    host = url_host(c)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return (
+        F.when(host.isNull(), None)
+        .when(is_ip | (n <= 2), host)
+        .when(last2.isin(*MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def filter_blocklisted_domains(
+    df: DataFrame,
+    url_col: str,
+    blocked: DataFrame | Sequence[str],
+    keep_unparseable: bool = False,
+) -> DataFrame:
+    """Rows whose registered domain is NOT on the blocklist.
+
+    ``blocked`` is either a 1-column DataFrame of domains (scale path —
+    a multi-million-row blocklist anti-joins on the domain key; Spark/AQE
+    broadcasts it when it is small) or an in-memory sequence (convenience
+    path, compiled into the plan as a literal IN-set — keep it small).
+    Documents without a parseable absolute URL are dropped by default
+    (provenance-unknown is blocklist-unknown); ``keep_unparseable=True``
+    retains them."""
+    dom = registered_domain(url_col)
+    if isinstance(blocked, DataFrame):
+        key = blocked.columns[0]
+        out = df.withColumn("__dom", dom).join(
+            blocked.select(F.col(key).alias("__dom")).distinct(),
+            on="__dom",
+            how="left_anti",
+        )
+        if not keep_unparseable:
+            out = out.filter(F.col("__dom").isNotNull())
+        return out.drop("__dom")
+    cond = ~dom.isin(*blocked) if blocked else F.lit(True)
+    if keep_unparseable:
+        cond = dom.isNull() | cond
+    else:
+        cond = dom.isNotNull() & cond
+    return df.filter(cond)
+
+
+def domain_stats(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain concentration: (domain, n_docs, share),
+    share of PARSEABLE documents, descending — the provenance data card
+    a mixing/cap policy reads (one aggregate + one 1-row total broadcast,
+    the domain_mix_allocation shape). Unparseable URLs are reported as
+    the NULL-domain row so coverage loss is never silent."""
+    counts = df.select(registered_domain(url_col).alias("domain")).groupBy(
+        "domain"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    total = counts.filter(F.col("domain").isNotNull()).agg(
+        F.sum("n_docs").alias("__tot")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            F.when(
+                F.col("domain").isNotNull(),
+                F.round(F.col("n_docs") / F.col("__tot"), 6),
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("domain").asc_nulls_last())
+    )
