@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 # scheme://[userinfo@]HOST[:port][/|?|#...] — capture group 1 = host.
 # Java-regex AND RE2 valid/equivalent (character classes + one group).
 HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+# bracketed IPv6 literal host: scheme://[userinfo@][ADDR]... — without
+# this, HOST_RE would stop at the first ':' inside the address and
+# report a truncated garbage host like "[2001"
+HOST6_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?\[([^\]/]+)\]"
 
 # Two-label suffixes under which the REGISTERED domain has three labels.
 # Subset of the Public Suffix List (documented limitation, see module
@@ -58,23 +62,36 @@ MULTI_PART_SUFFIXES: tuple[str, ...] = (
 def url_host(c: Column | str) -> Column:
     """Lower-cased host of an absolute URL; NULL for text that is not an
     absolute URL (no scheme). Ports, userinfo, paths, queries, and
-    fragments are stripped by the single regex."""
+    fragments are stripped; a trailing root-label dot is normalized away
+    ("example.com." ≡ "example.com" per DNS — otherwise a single dot
+    would bypass any domain blocklist); bracketed IPv6 literals return
+    the bare address."""
     c = F.col(c) if isinstance(c, str) else c
-    host = F.lower(F.regexp_extract(c, HOST_RE, 1))
-    return F.when(host == "", None).otherwise(host)
+    host6 = F.lower(F.regexp_extract(c, HOST6_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(c, HOST_RE, 1)), r"\.+$", ""
+    )
+    return (
+        F.when(host6 != "", host6)
+        .when(host != "", host)
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def registered_domain(c: Column | str) -> Column:
     """Registered (pay-level) domain of an absolute URL: last two host
-    labels, or three under a known multi-part suffix. IPv4 hosts pass
-    through whole (a dotted quad is provenance of its own); NULL
+    labels, or three under a known multi-part suffix. IPv4 and IPv6
+    literal hosts pass through whole (an address is provenance of its
+    own — IPv6 is recognized by the ':' no hostname may contain); NULL
     propagates from non-URLs."""
     host = url_host(c)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, -2, 2), ".")
     last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    is_ip = host.rlike(
+        r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    ) | host.contains(":")
     return (
         F.when(host.isNull(), None)
         .when(is_ip | (n <= 2), host)
@@ -100,15 +117,27 @@ def filter_blocklisted_domains(
     retains them."""
     dom = registered_domain(url_col)
     if isinstance(blocked, DataFrame):
+        if "__dom" in df.columns:
+            # withColumn would silently REPLACE the clashing column (the
+            # functions/ensemble.py collision discipline) — refuse loudly
+            raise ValueError(
+                "filter_blocklisted_domains uses '__dom' as a temp column; "
+                "rename the existing '__dom' column first"
+            )
         key = blocked.columns[0]
+        # left_anti is duplicate-insensitive on the build side: no
+        # distinct() — it would add a full shuffle over a blocklist that
+        # can be millions of rows. Domains compare lowercase on BOTH
+        # sides (url_host lowercases the probe side).
         out = df.withColumn("__dom", dom).join(
-            blocked.select(F.col(key).alias("__dom")).distinct(),
+            blocked.select(F.lower(F.col(key)).alias("__dom")),
             on="__dom",
             how="left_anti",
         )
         if not keep_unparseable:
             out = out.filter(F.col("__dom").isNotNull())
         return out.drop("__dom")
+    blocked = [b.lower() for b in blocked]
     cond = ~dom.isin(*blocked) if blocked else F.lit(True)
     if keep_unparseable:
         cond = dom.isNull() | cond

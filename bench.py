@@ -47,10 +47,14 @@ def _auto_archive_previous_round() -> None:
     import shutil
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+    # filter, don't .group() blind: a stray BENCH_r10.old.json matches the
+    # glob but not the regex, and an exception HERE would kill the whole
+    # bench run this hook exists to protect
+    matches = [
+        re.search(r"BENCH_r(\d+)\.json$", p)
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-    )
+    ]
+    rounds = sorted(int(m.group(1)) for m in matches if m)
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     if not rounds or not os.path.exists(detail_path):
         return

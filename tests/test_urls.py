@@ -10,6 +10,7 @@ import duckdb
 import pytest
 
 from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+    HOST6_RE,
     HOST_RE,
     MULTI_PART_SUFFIXES,
     domain_stats,
@@ -27,6 +28,8 @@ ROWS = [
     (6, "not a url at all"),
     (7, "https://localhost/dev"),
     (8, "https://cdn.static.example.com.au/img.png"),
+    (9, "https://BadSite.com./trailing-root-dot"),
+    (10, "https://[2001:db8::1]:8443/v6"),
 ]
 SCHEMA = "doc_id long, url string"
 
@@ -39,6 +42,8 @@ WANT_HOST = {
     6: None,
     7: "localhost",
     8: "cdn.static.example.com.au",
+    9: "badsite.com",
+    10: "2001:db8::1",
 }
 WANT_DOMAIN = {
     1: "example.com",
@@ -49,6 +54,8 @@ WANT_DOMAIN = {
     6: None,
     7: "localhost",
     8: "example.com.au",
+    9: "badsite.com",
+    10: "2001:db8::1",
 }
 
 
@@ -73,12 +80,15 @@ def test_host_and_registered_domain(spark, docs):
 
 
 def test_blocklist_filtering_both_forms(spark, docs):
-    blocked = ["example.co.uk", "kernel.org"]
+    # mixed case on the blocklist side must still block (domains compare
+    # lowercase both sides), and the trailing-root-dot URL (9) must not
+    # evade its blocklist entry
+    blocked = ["Example.co.uk", "kernel.org", "BADSITE.com"]
     seq_kept = {
         r.doc_id
         for r in filter_blocklisted_domains(docs, "url", blocked).collect()
     }
-    assert seq_kept == {1, 2, 5, 7, 8}  # 3,4 blocked; 6 unparseable dropped
+    assert seq_kept == {1, 2, 5, 7, 8, 10}  # 3,4,9 blocked; 6 unparseable dropped
     df_blocked = spark.createDataFrame([(d,) for d in blocked], "domain string")
     df_kept = {
         r.doc_id
@@ -95,16 +105,26 @@ def test_blocklist_filtering_both_forms(spark, docs):
     # empty blocklist keeps every parseable row
     assert {
         r.doc_id for r in filter_blocklisted_domains(docs, "url", []).collect()
-    } == {1, 2, 3, 4, 5, 7, 8}
+    } == {1, 2, 3, 4, 5, 7, 8, 9, 10}
+    # a pre-existing __dom column must refuse loudly, never be clobbered
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="__dom"):
+        filter_blocklisted_domains(
+            docs.withColumn("__dom", F.lit("x")), "url", df_blocked
+        )
 
 
 def test_domain_stats_shares_and_null_row(spark, docs):
     rows = {r.domain: r for r in domain_stats(docs, "url").collect()}
     assert rows["example.com"].n_docs == 1
-    assert abs(rows["example.com"].share - round(1 / 7, 6)) < 1e-9
+    assert abs(rows["example.com"].share - round(1 / 9, 6)) < 1e-9
     assert rows[None].n_docs == 1 and rows[None].share is None  # coverage loss visible
     parseable = [r for d, r in rows.items() if d is not None]
-    assert abs(sum(r.share for r in parseable) - 1.0) < 1e-6
+    # shares are display-rounded to 6 dp, so the sum is off by at most
+    # one rounding quantum per domain
+    assert abs(sum(r.share for r in parseable) - 1.0) <= 1e-6 * len(parseable)
 
 
 def test_host_domain_and_verdict_match_duckdb_twin(spark, docs):
@@ -117,16 +137,21 @@ def test_host_domain_and_verdict_match_duckdb_twin(spark, docs):
     suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
     blocked = "'example.co.uk', 'kernel.org'"
     sql = f"""
-        WITH h AS (
+        WITH h0 AS (
             SELECT doc_id,
-                   nullif(lower(regexp_extract(url, '{HOST_RE}', 1)), '') AS host
+                   nullif(lower(regexp_extract(url, '{HOST6_RE}', 1)), '') AS host6,
+                   nullif(regexp_replace(
+                       lower(regexp_extract(url, '{HOST_RE}', 1)),
+                       '\\.+$', ''), '') AS hostn
             FROM t
         ),
+        h AS (SELECT doc_id, coalesce(host6, hostn) AS host FROM h0),
         d AS (
             SELECT doc_id, host,
                    CASE
                      WHEN host IS NULL THEN NULL
                      WHEN regexp_matches(host, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                          OR contains(host, ':')
                           OR len(string_split(host, '.')) <= 2 THEN host
                      WHEN array_to_string(string_split(host, '.')[-2:], '.')
                           IN ({suffixes})
