@@ -146,9 +146,7 @@ def filter_blocklisted_domains(
     return df.filter(cond)
 
 
-def domain_stats(
-    df: DataFrame, url_col: str, id_col: str = "doc_id"
-) -> DataFrame:
+def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
     """Per-registered-domain concentration: (domain, n_docs, share),
     share of PARSEABLE documents, descending — the provenance data card
     a mixing/cap policy reads (one aggregate + one 1-row total broadcast,
