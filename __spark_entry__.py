@@ -2397,11 +2397,39 @@ def _q_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20-shaped nested-threshold semi-join (plans/gold.dominant_shippers)."""
-    return gold.dominant_shippers(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
+def _q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with deterministic planted identifiers (functions/pii.
+    scrub_documents): every 7th document gets an email + IPv4 appended
+    in-plan (the _plant_near_dups discipline — reproducible across
+    runs/sf, no RNG), then the one-pass scrub-and-audit runs: per-doc
+    match counts BEFORE redaction, text redacted by the chained
+    regexp_replace codegen stage. Hash-exact: every pattern is
+    Java-regex ≡ RE2 (no lookaround/backrefs, parity pinned by
+    tests/test_pii.py), so counts AND redacted text compare
+    cell-for-cell against the DuckDB twin. Declared r11 via
+    ROTATION_POLICY.md §5 swap #3 (retired dominant_shippers, a §4.4
+    near-duplicate star shape of top_quarter_shippers; its twin lives
+    on in tests/test_gold_twins.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.pii import scrub_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        scrub_documents(planted)
+        .select("doc_id", "pii_total", F.col("text").alias("clean_text"))
+        .orderBy("doc_id")
     )
 
 
@@ -2992,7 +3020,7 @@ QUERIES: dict[str, QueryFn] = {
     "important_suppliers": _q_important_suppliers,
     "top_quarter_shippers": _q_top_quarter_shippers,
     "part_supplier_breadth": _q_part_supplier_breadth,
-    "dominant_shippers": _q_dominant_shippers,
+    "pii_scrub_docs": _q_pii_scrub_docs,
     "corpus_stats": _q_corpus_stats,
     "hard_negatives": _q_hard_negatives,
     "domain_mix_allocation": _q_domain_mix,
@@ -4867,24 +4895,6 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
-    "dominant_shippers": """
-        WITH per_ps AS (
-            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
-            FROM lineitem GROUP BY 1, 2
-        ),
-        per_p AS (
-            SELECT l_partkey, SUM(ps_qty) AS p_qty FROM per_ps GROUP BY 1
-        ),
-        dom AS (
-            SELECT DISTINCT l_suppkey
-            FROM per_ps JOIN per_p USING (l_partkey)
-            WHERE ps_qty > 0.2 * p_qty
-        )
-        SELECT s_suppkey, s_name, s_acctbal
-        FROM supplier
-        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
-        ORDER BY s_suppkey
-    """,
     "corpus_stats": r"""
         SELECT COUNT(*)::BIGINT AS n_docs,
                COUNT(DISTINCT source)::BIGINT AS n_sources,
@@ -5625,6 +5635,42 @@ def _mixture_curation_oracle() -> str:
 
 
 ORACLES["mixture_curation_budget"] = _mixture_curation_oracle()
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of _q_pii_scrub_docs, BUILT from the module's own
+    PII_PATTERNS so the oracle can never desync from the operator (the
+    mixture_curation_budget generated-oracle precedent). Same planting
+    CASE, same pre-redaction counts, same chained global regexp_replace
+    in insertion order; patterns are Java-regex ≡ RE2 by module
+    contract (tests/test_pii.py pins the parity)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.pii import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    redacted = "text"
+    for kind, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com from 10.0.0.'
+                             || CAST(doc_id % 256 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({counts} AS BIGINT) AS pii_total,
+               {redacted} AS clean_text
+        FROM planted
+        ORDER BY doc_id
+    """
+
+
+ORACLES["pii_scrub_docs"] = _pii_scrub_oracle()
 
 # Twin of the one-row diagnostics union: the skew summary's raw IEEE
 # divisions and the exact Σ cl·cr join cardinality, cross-joined
