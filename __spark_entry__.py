@@ -5638,20 +5638,17 @@ ORACLES["mixture_curation_budget"] = _mixture_curation_oracle()
 
 
 def _pii_scrub_oracle() -> str:
-    """DuckDB twin of _q_pii_scrub_docs, BUILT from the module's own
-    PII_PATTERNS so the oracle can never desync from the operator (the
-    mixture_curation_budget generated-oracle precedent). Same planting
-    CASE, same pre-redaction counts, same chained global regexp_replace
-    in insertion order; patterns are Java-regex ≡ RE2 by module
-    contract (tests/test_pii.py pins the parity)."""
-    from azure_etl_databricks_sql_powerbi_spark.functions.pii import PII_PATTERNS
-
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    """DuckDB twin of _q_pii_scrub_docs, BUILT from the pii module's OWN
+    SQL twin builders (duckdb_count_sql/duckdb_redact_sql — one
+    definition shared with tests/test_pii.py, the NEGATIVES_SQL
+    module-owned-twin discipline) so the oracle can never desync from
+    the operator, including the NULL-text COALESCE semantics. Same
+    planting CASE as the Spark side."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.pii import (
+        duckdb_count_sql,
+        duckdb_redact_sql,
     )
-    redacted = "text"
-    for kind, pat in PII_PATTERNS.items():
-        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+
     return f"""
         WITH planted AS (
             SELECT doc_id,
@@ -5663,8 +5660,8 @@ def _pii_scrub_oracle() -> str:
             FROM documents
         )
         SELECT doc_id,
-               CAST({counts} AS BIGINT) AS pii_total,
-               {redacted} AS clean_text
+               {duckdb_count_sql("text")} AS pii_total,
+               {duckdb_redact_sql("text")} AS clean_text
         FROM planted
         ORDER BY doc_id
     """

@@ -68,6 +68,42 @@ def _replacement(kind: str) -> str:
     return f"[{kind.upper()}]"
 
 
+def duckdb_count_sql(text_expr: str = "text", kinds=None) -> str:
+    """Module-owned DuckDB twin of ``_total_expr`` — the ONE definition
+    every oracle/test uses (the NEGATIVES_SQL module-owned-twin
+    discipline), with the SAME NULL semantics as the Spark side:
+    ``len(regexp_extract_all(NULL, ...))`` is NULL in DuckDB, so each
+    term is COALESCEd to 0 exactly as ``pii_match_count`` does."""
+    kinds = _selected(kinds)
+    terms = " + ".join(
+        f"COALESCE(len(regexp_extract_all({text_expr}, "
+        f"'{PII_PATTERNS[k]}')), 0)"
+        for k in kinds
+    )
+    return f"CAST({terms or '0'} AS BIGINT)"
+
+
+def duckdb_kind_count_sql(kind: str, text_expr: str = "text") -> str:
+    """DuckDB twin of ``pii_match_count`` for one kind (NULL-coalesced)."""
+    return (
+        f"CAST(COALESCE(len(regexp_extract_all({text_expr}, "
+        f"'{PII_PATTERNS[kind]}')), 0) AS BIGINT)"
+    )
+
+
+def duckdb_redact_sql(text_expr: str = "text", kinds=None) -> str:
+    """DuckDB twin of ``redact_pii``: the same chained global
+    regexp_replace in insertion order (NULL text stays NULL — both
+    engines' regexp_replace null-propagates)."""
+    out = text_expr
+    for k in _selected(kinds):
+        out = (
+            f"regexp_replace({out}, '{PII_PATTERNS[k]}', "
+            f"'{_replacement(k)}', 'g')"
+        )
+    return out
+
+
 def redact_pii(
     c: Column | str, kinds: tuple[str, ...] | None = None
 ) -> Column:

@@ -110,35 +110,41 @@ def test_counts_and_redaction_match_duckdb_twin(spark, docs):
     cell-for-cell identical between Spark (Java regex) and DuckDB (RE2)
     — the property that makes every pattern here oracle-checkable if a
     scrub query is ever declared on the driver board."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.pii import (
+        duckdb_count_sql,
+        duckdb_kind_count_sql,
+        duckdb_redact_sql,
+    )
+
     con = duckdb.connect()
     con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO t VALUES (?, ?)", ROWS)
+    # include a NULL-text row: the twin builders must COALESCE it to 0
+    # exactly like the Spark side (len(regexp_extract_all(NULL)) is NULL
+    # in DuckDB — the gap a non-shared twin had)
+    twin_rows = ROWS + [(99, None)]
+    con.executemany("INSERT INTO t VALUES (?, ?)", twin_rows)
+    sdf = spark.createDataFrame(twin_rows, SCHEMA)
 
     count_cols = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {kind}_n"
-        for kind, pat in PII_PATTERNS.items()
+        f"{duckdb_kind_count_sql(kind)} AS {kind}_n" for kind in PII_PATTERNS
     )
-    total = " + ".join(f"{kind}_n" for kind in PII_PATTERNS)
     orc_counts = {
         r[0]: r
         for r in con.execute(
-            f"SELECT doc_id, {count_cols}, CAST({total} AS BIGINT) AS pii_total "
-            f"FROM (SELECT doc_id, text, {count_cols} FROM t)"
+            f"SELECT doc_id, {count_cols}, "
+            f"{duckdb_count_sql('text')} AS pii_total FROM t"
         ).fetchall()
     }
-    got_counts = {r.doc_id: tuple(r) for r in pii_counts(docs).collect()}
+    got_counts = {r.doc_id: tuple(r) for r in pii_counts(sdf).collect()}
     assert got_counts == orc_counts
 
-    redacted_expr = "text"
-    for kind, pat in PII_PATTERNS.items():
-        redacted_expr = (
-            f"regexp_replace({redacted_expr}, '{pat}', '[{kind.upper()}]', 'g')"
-        )
     orc_text = dict(
-        con.execute(f"SELECT doc_id, {redacted_expr} FROM t").fetchall()
+        con.execute(
+            f"SELECT doc_id, {duckdb_redact_sql('text')} FROM t"
+        ).fetchall()
     )
     got_text = {
         r.doc_id: r.text
-        for r in docs.select("doc_id", redact_pii("text").alias("text")).collect()
+        for r in sdf.select("doc_id", redact_pii("text").alias("text")).collect()
     }
     assert got_text == orc_text
