@@ -1822,7 +1822,12 @@ def _q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # money sum accumulates in DECIMAL and casts the exact result
+            # to double (the decimal_star_rollup discipline): a double-sum
+            # ROUND diverged from DuckDB by a half-cent at sf1 (r11 sweep)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("n_name")
     )
@@ -4683,7 +4688,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT n_name,
                COUNT(*)                       AS n_orders,
-               ROUND(SUM(o_totalprice), 2)    AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                              AS revenue
         FROM big JOIN dim USING (hot_key)
         GROUP BY n_name
         ORDER BY n_name

@@ -32,6 +32,11 @@ SF = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     s = df.astype(str)
+    if s.empty:
+        # apply(axis=1) on an empty frame returns a DataFrame, not a
+        # Series — sort_values would then need `by` and crash; an empty
+        # frame is already canonical
+        return s.reset_index(drop=True)
     key = s.apply(lambda r: "\x00".join(r.values), axis=1)
     return s.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
 
