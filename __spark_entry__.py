@@ -1355,7 +1355,21 @@ def _q_brand_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("p_brand", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # money product accumulates in DECIMAL, exact-rounds, then
+            # casts to double (the decimal_star_rollup contract): the
+            # double-sum ROUND diverged by a half-cent at sf1 (r11 sweep)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -4371,7 +4385,10 @@ ORACLES: dict[str, str] = {
     """,
     "brand_nation_volume": """
         SELECT p_brand, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE)                                   AS revenue,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,
                COUNT(*)                                          AS n_lines
         FROM lineitem
