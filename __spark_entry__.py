@@ -177,7 +177,12 @@ def _q_qbo_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QC check metrics (A2/A3 + uniqueness) as ONE aggregate pass."""
+    """QC check metrics (A2/A3 + uniqueness) as ONE aggregate pass.
+    n_custkeys is the ROTATION_POLICY §4.2 fold of the retired
+    approx_distinct_orders query (r12 swap #4): the distinct-cardinality
+    QC signal rides this aggregate exactly (count_distinct), while the
+    approximate HLL surface keeps its driver evidence on
+    incremental_distinct_day2 and its ±5% bound unit test."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -186,18 +191,71 @@ def _q_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("o_orderkey").alias("n_keys"),
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
+        F.count_distinct("o_custkey").alias("n_custkeys"),
     )
 
 
-def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (A6) — HLL sketches differ between engines, so
-    this is a rows-only check; the unit test asserts the ±5% rel-error bound
-    against the exact count instead."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.approx_count_distinct("o_orderkey").alias("approx_orders"),
+# URL construction for _q_url_provenance_docs, written once in the SQL
+# dialect both engines parse identically (CASE/%/CAST/|| only) and used
+# verbatim on BOTH sides — Spark via F.expr, DuckDB inlined in the
+# oracle — so the planting can never desync. Branches exercise every
+# urls.py path: unparseable text, multi-part suffixes (co.uk/com.au),
+# deep subdomains, IPv4 + port, trailing root dot + mixed case,
+# userinfo, bracketed IPv6, and plain two-label hosts.
+_URL_PLANT_SQL = """CASE doc_id % 10
+  WHEN 0 THEN 'plain text ref ' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'https://WWW.News' || CAST(doc_id % 7 AS STRING)
+       || '.co.uk/s/' || CAST(doc_id AS STRING)
+  WHEN 2 THEN 'https://cdn' || CAST(doc_id % 5 AS STRING)
+       || '.assets.site' || CAST(doc_id % 3 AS STRING) || '.com/a.png'
+  WHEN 3 THEN 'http://10.' || CAST(doc_id % 4 AS STRING) || '.0.'
+       || CAST(doc_id % 256 AS STRING) || ':8080/x'
+  WHEN 4 THEN 'https://BadSite' || CAST(doc_id % 3 AS STRING) || '.COM./p'
+  WHEN 5 THEN 'https://blog.shop' || CAST(doc_id % 4 AS STRING)
+       || '.com.au/item'
+  WHEN 6 THEN 'ftp://mirror.kernel.org/pub/' || CAST(doc_id AS STRING)
+  WHEN 7 THEN 'https://user:pw@portal.example' || CAST(doc_id % 2 AS STRING)
+       || '.org:444/q?x=1'
+  WHEN 8 THEN 'https://[2001:db8::' || CAST(doc_id % 9 + 1 AS STRING)
+       || ']/v6'
+  ELSE 'https://site' || CAST(doc_id % 25 AS STRING) || '.net/page#f'
+END"""
+
+# badsite0/1 (but not 2) prove the anti-join blocks selectively;
+# kernel.org wipes a whole branch; news3.co.uk blocks one multi-part
+# registered domain while its co.uk siblings survive.
+_URL_BLOCKLIST = ("badsite0.com", "badsite1.com", "kernel.org", "news3.co.uk")
+
+
+def _q_url_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl provenance card (functions/urls): deterministic planted
+    URLs (shared _URL_PLANT_SQL, the pii planting discipline) → host +
+    registered-domain extraction (regex-only, Java ≡ RE2) → DataFrame
+    blocklist anti-join (keep_unparseable=True so the NULL-domain
+    coverage row stays visible) → per-domain concentration with the
+    EXACT IEEE share quotient (round_to=None — n/total double division
+    is bit-identical across engines; ROUND of it is not). Hash-exact vs
+    the oracle generated from the module's own duckdb_host_sql /
+    duckdb_registered_domain_sql builders; hand-written planted-URL
+    expectations live in tests/test_urls.py (the generated-twin
+    mitigation norm). Declared r12 via ROTATION_POLICY.md §5 swap #4
+    (retired approx_distinct_orders, a §4.2 foldable scalar — its exact
+    distinct-custkey fold now rides qc_metrics_orders; HLL evidence
+    remains on incremental_distinct_day2 + tests/test_incremental_dedup)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        domain_stats,
+        filter_blocklisted_domains,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", F.expr(_URL_PLANT_SQL).alias("url"))
+    blocked = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    )
+    kept = filter_blocklisted_domains(
+        planted, "url", blocked, keep_unparseable=True
+    )
+    return domain_stats(kept, "url", round_to=None)
 
 
 # ------------------------------------------------------ EXT: text analysis
@@ -3009,11 +3067,61 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-11 window: the ex-r7-evidence cohort (stalest on the
-    # board, re-greens this round per ROTATION_POLICY.md §2) with ONE
-    # §5 retirement swap: ann_pq_topk (flat PQ/ADC ⊂ ann_ivfpq_topk +
-    # ann_ivfpq_day2) retired; hard_negatives declared in its slot with
-    # the module-owned NEGATIVES_SQL hash-exact oracle ---
+    # --- round-12 window: the r9-evidence cohort (stalest on the
+    # board, re-greens this round per ROTATION_POLICY.md §2) ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "sales_rollup": _q_sales_rollup,
+    "customer_running_total": _q_running_total,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "url_provenance_docs": _q_url_provenance_docs,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "customer_order_gaps": _q_customer_order_gaps,
+    "gopher_quality_docs": _q_gopher_quality_docs,
+    # ================= end of the 50-entry driver window =================
+    # --- round-11-window cohort (ex-r7 cohort with the three §5
+    # swaps; last green r11 — re-greens in the r14 window) ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
     "bm25_rank_docs": _q_bm25_rank_docs,
@@ -3064,58 +3172,6 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # ================= end of the 50-entry driver window =================
-    # --- round-9-evidence cohort (re-greens in the r12 window) ---
-    "triangle_counts_parts": _q_triangle_counts_parts,
-    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
-    "label_propagation_parts": _q_label_propagation_parts,
-    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
-    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
-    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
-    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
-    "customer_running_total": _q_running_total,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "approx_distinct_orders": _q_approx_distinct,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
-    "gopher_quality_docs": _q_gopher_quality_docs,
     # --- round-10-evidence cohort (3 composed queries + 47 ex-r6;
     # freshest — re-greens in the r13 window) ---
     "strip_boilerplate_docs": _q_strip_boilerplate_docs,
@@ -3343,7 +3399,8 @@ ORACLES: dict[str, str] = {
         SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_rows,
                ROUND(AVG(CAST(o_custkey IS NULL AS INT)), 6)              AS custkey_null_rate,
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                 AS n_keys,
-               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS dup_keys
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS dup_keys,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)                  AS n_custkeys
         FROM orders
     """,
     "text_stats": r"""
@@ -5691,6 +5748,49 @@ def _pii_scrub_oracle() -> str:
 
 
 ORACLES["pii_scrub_docs"] = _pii_scrub_oracle()
+
+
+def _url_provenance_oracle() -> str:
+    """DuckDB twin of _q_url_provenance_docs, BUILT from the urls
+    module's OWN twin builders (duckdb_host_sql /
+    duckdb_registered_domain_sql — one definition shared with
+    tests/test_urls.py) over the verbatim _URL_PLANT_SQL, so neither the
+    planting nor the extraction can desync. Share is the exact IEEE
+    double quotient on both sides (no ROUND — the r11 half-cent
+    contract)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents
+        ),
+        h AS (SELECT doc_id, {duckdb_host_sql("url")} AS host FROM planted),
+        d AS (
+            SELECT doc_id, {duckdb_registered_domain_sql("host")} AS dom
+            FROM h
+        ),
+        kept AS (
+            SELECT dom FROM d WHERE dom IS NULL OR dom NOT IN ({blocked})
+        ),
+        counts AS (
+            SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM kept GROUP BY dom
+        ),
+        tot AS (SELECT SUM(n_docs) AS t FROM counts WHERE domain IS NOT NULL)
+        SELECT domain, n_docs,
+               CASE WHEN domain IS NOT NULL
+                    THEN CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE)
+               END AS share
+        FROM counts, tot
+        ORDER BY n_docs DESC, domain ASC NULLS LAST
+    """
+
+
+ORACLES["url_provenance_docs"] = _url_provenance_oracle()
 
 # Twin of the one-row diagnostics union: the skew summary's raw IEEE
 # divisions and the exact Σ cl·cr join cardinality, cross-joined

@@ -146,27 +146,63 @@ def filter_blocklisted_domains(
     return df.filter(cond)
 
 
-def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+def domain_stats(
+    df: DataFrame, url_col: str, round_to: int | None = 6
+) -> DataFrame:
     """Per-registered-domain concentration: (domain, n_docs, share),
     share of PARSEABLE documents, descending — the provenance data card
     a mixing/cap policy reads (one aggregate + one 1-row total broadcast,
     the domain_mix_allocation shape). Unparseable URLs are reported as
-    the NULL-domain row so coverage loss is never silent."""
+    the NULL-domain row so coverage loss is never silent. ``round_to``
+    display-rounds the share; pass ``None`` for the exact IEEE quotient
+    (the hash-compare contract: n/total double division is bit-identical
+    across engines, ROUND of it is not — the r11 half-cent lesson)."""
     counts = df.select(registered_domain(url_col).alias("domain")).groupBy(
         "domain"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     total = counts.filter(F.col("domain").isNotNull()).agg(
         F.sum("n_docs").alias("__tot")
     )
+    share = F.col("n_docs") / F.col("__tot")
+    if round_to is not None:
+        share = F.round(share, round_to)
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
             "domain",
             "n_docs",
-            F.when(
-                F.col("domain").isNotNull(),
-                F.round(F.col("n_docs") / F.col("__tot"), 6),
-            ).alias("share"),
+            F.when(F.col("domain").isNotNull(), share).alias("share"),
         )
         .orderBy(F.col("n_docs").desc(), F.col("domain").asc_nulls_last())
     )
+
+
+def duckdb_host_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`url_host`, built from the module's OWN
+    regexes (the functions/pii.py module-owned-twin discipline: the
+    oracle can never desync from the operator). Returns a SQL expression
+    string over ``url_expr``."""
+    return (
+        f"coalesce("
+        f"nullif(lower(regexp_extract({url_expr}, '{HOST6_RE}', 1)), ''), "
+        f"nullif(regexp_replace("
+        f"lower(regexp_extract({url_expr}, '{HOST_RE}', 1)), '\\.+$', ''), ''))"
+    )
+
+
+def duckdb_registered_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain` over an already-extracted
+    ``host_expr`` (compose with :func:`duckdb_host_sql`), replaying the
+    same label arithmetic and the same MULTI_PART_SUFFIXES set."""
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    return f"""CASE
+        WHEN {host_expr} IS NULL THEN NULL
+        WHEN regexp_matches({host_expr},
+                 '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+             OR contains({host_expr}, ':')
+             OR len(string_split({host_expr}, '.')) <= 2 THEN {host_expr}
+        WHEN array_to_string(string_split({host_expr}, '.')[-2:], '.')
+             IN ({suffixes})
+          THEN array_to_string(string_split({host_expr}, '.')[-3:], '.')
+        ELSE array_to_string(string_split({host_expr}, '.')[-2:], '.')
+    END"""

@@ -93,7 +93,9 @@ _ALLOWED_FLAGS = {
     "events_watermark_7d": {"BNLJoin", "SinglePartitionExchange"},  # scalar max(ts)
     "qc_metrics_orders": {"SinglePartitionExchange"},  # one-row result
     "dbt_qc_report_orders": {"SinglePartitionExchange"},  # one-row QC report
-    "approx_distinct_orders": {"SinglePartitionExchange"},  # one-row result
+    # domain_stats: 1-row parseable-total broadcast (BNLJoin) + global
+    # aggregate over the bounded per-domain counts + global final sort
+    "url_provenance_docs": {"BNLJoin", "SinglePartitionExchange"},
     "token_jaccard_pairs": {"BNLJoin"},  # bounded exact ground truth (id<100)
     "ann_cosine_topk": {"BNLJoin"},  # brute-force baseline by design
     "embedding_near_pairs": {"BNLJoin"},  # bounded exact ground truth

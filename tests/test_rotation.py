@@ -84,7 +84,6 @@ def test_every_query_has_oracle_or_documented_exemption():
         "stream_upsert_replay",
         "sessionize_stream",
         # approximate ops: ±bound/recall unit-tested, no SQL equivalent
-        "approx_distinct_orders",
         "approx_percentiles_by_status",
         "minhash_near_dup",
         "simhash_near_dup",

@@ -10,10 +10,9 @@ import duckdb
 import pytest
 
 from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
-    HOST6_RE,
-    HOST_RE,
-    MULTI_PART_SUFFIXES,
     domain_stats,
+    duckdb_host_sql,
+    duckdb_registered_domain_sql,
     filter_blocklisted_domains,
     registered_domain,
     url_host,
@@ -134,30 +133,14 @@ def test_host_domain_and_verdict_match_duckdb_twin(spark, docs):
     con = duckdb.connect()
     con.execute("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", ROWS)
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
     blocked = "'example.co.uk', 'kernel.org'"
     sql = f"""
-        WITH h0 AS (
-            SELECT doc_id,
-                   nullif(lower(regexp_extract(url, '{HOST6_RE}', 1)), '') AS host6,
-                   nullif(regexp_replace(
-                       lower(regexp_extract(url, '{HOST_RE}', 1)),
-                       '\\.+$', ''), '') AS hostn
-            FROM t
+        WITH h AS (
+            SELECT doc_id, {duckdb_host_sql("url")} AS host FROM t
         ),
-        h AS (SELECT doc_id, coalesce(host6, hostn) AS host FROM h0),
         d AS (
             SELECT doc_id, host,
-                   CASE
-                     WHEN host IS NULL THEN NULL
-                     WHEN regexp_matches(host, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
-                          OR contains(host, ':')
-                          OR len(string_split(host, '.')) <= 2 THEN host
-                     WHEN array_to_string(string_split(host, '.')[-2:], '.')
-                          IN ({suffixes})
-                       THEN array_to_string(string_split(host, '.')[-3:], '.')
-                     ELSE array_to_string(string_split(host, '.')[-2:], '.')
-                   END AS dom
+                   {duckdb_registered_domain_sql("host")} AS dom
             FROM h
         )
         SELECT doc_id, host, dom,
@@ -181,3 +164,64 @@ def test_host_domain_and_verdict_match_duckdb_twin(spark, docs):
         ).collect()
     }
     assert got == orc
+
+
+def test_url_provenance_planting_hand_written_expectations(spark):
+    """The driver query url_provenance_docs generates its oracle FROM the
+    module's own twin builders, which proves engine-equivalence but not
+    correctness (the pii_scrub_docs caveat, VERDICT r11 "What's wrong"
+    #3). This test pins HAND-WRITTEN hosts/domains/verdicts for the
+    planted-URL mapping on a known doc_id range, so a wrong regex or a
+    wrong CASE branch fails here even though both engines would agree."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __spark_entry__ import _URL_BLOCKLIST, _URL_PLANT_SQL
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id").select(
+        "doc_id",
+        F.expr(_URL_PLANT_SQL).alias("url"),
+    )
+    got = {
+        r.doc_id: (r.h, r.d)
+        for r in df.select(
+            "doc_id",
+            url_host("url").alias("h"),
+            registered_domain("url").alias("d"),
+        ).collect()
+    }
+    # Hand-derived from the CASE mapping: doc_id 0 unparseable; 1 is
+    # WWW.News1.co.uk (multi-part, lowercased); 2 cdn2.assets.site2.com;
+    # 3 IPv4 10.3.0.3 with port; 4 BadSite1.COM. (trailing root dot);
+    # 5 blog.shop1.com.au (multi-part); 6 mirror.kernel.org;
+    # 7 userinfo + portal.example1.org:444; 8 bracketed IPv6 2001:db8::9;
+    # 9 site9.net; 10 unparseable again; 11 News4.co.uk.
+    want = {
+        0: (None, None),
+        1: ("www.news1.co.uk", "news1.co.uk"),
+        2: ("cdn2.assets.site2.com", "site2.com"),
+        3: ("10.3.0.3", "10.3.0.3"),
+        4: ("badsite1.com", "badsite1.com"),
+        5: ("blog.shop1.com.au", "shop1.com.au"),
+        6: ("mirror.kernel.org", "kernel.org"),
+        7: ("portal.example1.org", "example1.org"),
+        8: ("2001:db8::9", "2001:db8::9"),
+        9: ("site9.net", "site9.net"),
+        10: (None, None),
+        11: ("www.news4.co.uk", "news4.co.uk"),
+    }
+    assert got == want
+    # Blocklist semantics on the planted mapping: badsite1.com (doc 4)
+    # and kernel.org (doc 6) are blocked; badsite2.com would survive
+    # (selective anti-join), unparseable rows survive via
+    # keep_unparseable=True in the driver query.
+    kept = {
+        r.doc_id
+        for r in filter_blocklisted_domains(
+            df, "url", list(_URL_BLOCKLIST), keep_unparseable=True
+        ).collect()
+    }
+    assert kept == {0, 1, 2, 3, 5, 7, 8, 9, 10, 11}
