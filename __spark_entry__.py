@@ -22,7 +22,7 @@ from azure_etl_databricks_sql_powerbi_spark.operators.incremental import relativ
 from azure_etl_databricks_sql_powerbi_spark.operators.upsert import merge_upsert
 from azure_etl_databricks_sql_powerbi_spark.plans import gold, medallion
 from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
-from azure_etl_databricks_sql_powerbi_spark.util import spread
+from azure_etl_databricks_sql_powerbi_spark.util import exact_avg, money_sum, spread
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -128,8 +128,8 @@ def _q_events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            money_sum("value").alias("total_value"),
+            exact_avg("k", cents=False).alias("avg_k"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -186,9 +186,10 @@ def _q_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg(F.col("o_custkey").isNull().cast("int")), 6).alias(
-            "custkey_null_rate"
-        ),
+        (
+            F.sum(F.col("o_custkey").isNull().cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("custkey_null_rate"),
         F.count_distinct("o_orderkey").alias("n_keys"),
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
         F.count_distinct("o_custkey").alias("n_custkeys"),
@@ -322,7 +323,7 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union("ws_a", "ws_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.9)
         .select("id_a", "id_b", "jaccard")
     )
@@ -529,7 +530,7 @@ def _q_range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("win_start", "win_end")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
     )
 
@@ -540,7 +541,7 @@ def _q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(money_sum("o_totalprice"))
         .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
     )
 
@@ -565,7 +566,7 @@ def _q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -1058,7 +1059,7 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(F.broadcast(cust), on="user_id")
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum("value").alias("total_value"),
     )
     table = os.path.basename(tmp)
     structured.run_to_memory(
@@ -1369,7 +1370,8 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*)                    AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                           AS total_price
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """)
@@ -1392,7 +1394,20 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -1507,7 +1522,7 @@ def _q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gets a copy): no Spark action, so the planting pipeline runs once.
     base_n = _parquet_num_rows(sf_dir, "embeddings")
     n_bits, n_tables = auto_srp_params(
-        base_n + base_n // 10, sim=0.99, target_recall=0.99999, target_bucket=16
+        base_n + (base_n + 9) // 10, sim=0.99, target_recall=0.99999, target_bucket=16
     )
     return lsh_near_pairs(emb, threshold=0.92, n_bits=n_bits, n_tables=n_tables)
 
@@ -1669,7 +1684,7 @@ def _q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        money_sum("o_totalprice").alias("revenue")
     )
     return ntile_bucket(
         per,
@@ -1701,7 +1716,7 @@ def _q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(money_sum("o_totalprice"))
     )
     return wide.unpivot(
         ids=["o_orderpriority"],
@@ -1731,8 +1746,10 @@ def _q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count_if(big).alias("n_big"),
-        F.round(F.sum(F.when(big, F.col("o_totalprice"))), 2).alias("big_rev"),
-        F.round(F.avg(big.cast("int")), 6).alias("big_share"),
+        money_sum(F.when(big, F.col("o_totalprice"))).alias("big_rev"),
+        (F.sum(big.cast("int")).cast("double") / F.count(F.lit(1))).alias(
+            "big_share"
+        ),
     )
 
 
@@ -1789,8 +1806,11 @@ def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate") == 2001
     )
+    # threshold must be the EXACT mean: a raw double AVG differs between
+    # engines in its last bits (order-dependent sum) and can flip the
+    # strict inequality for a boundary customer (r12 money sweep)
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        exact_avg("c_acctbal").alias("avg_bal")
     )
     return (
         customer.join(
@@ -1801,7 +1821,7 @@ def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_sum("c_acctbal").alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -2698,7 +2718,7 @@ def _q_dpp_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2731,7 +2751,7 @@ def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(bin_id.alias("bin_id"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
         .orderBy("bin_id")
     )
@@ -3265,12 +3285,15 @@ ORACLES: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-               ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                   * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+               CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity)          AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
                COUNT(*)                                                     AS count_order
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '2001-09-01'
@@ -3295,7 +3318,8 @@ ORACLES: dict[str, str] = {
     """,
     "star_revenue_by_region": """
         SELECT r_name, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
                COUNT(DISTINCT o_orderkey)                        AS order_count
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -3333,7 +3357,7 @@ ORACLES: dict[str, str] = {
     "top_customers_by_segment": """
         WITH per_customer AS (
             SELECT c_mktsegment, o_custkey, c_name,
-                   ROUND(SUM(o_totalprice), 2) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment, o_custkey, c_name
         )
@@ -3351,19 +3375,20 @@ ORACLES: dict[str, str] = {
     "sales_rollup": """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*)                      AS n_orders,
-               ROUND(SUM(o_totalprice), 2)   AS total_price,
-               ROUND(AVG(o_totalprice), 4)   AS avg_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(o_totalprice)     AS avg_price
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
     """,
     "customer_running_total": """
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-               ROUND(SUM(o_totalprice) OVER (
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS running_revenue
+               ) AS DOUBLE) AS running_revenue
         FROM orders
     """,
     "events_watermark_7d": """
@@ -3375,8 +3400,9 @@ ORACLES: dict[str, str] = {
     "events_json_kpis": """
         SELECT event_type,
                COUNT(*)                                        AS n_events,
-               ROUND(SUM(value), 2)                            AS total_value,
-               ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4)    AS avg_k,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                   / COUNT(CAST(props->>'$.k' AS BIGINT))      AS avg_k,
                COUNT(DISTINCT user_id)                         AS n_users
         FROM events
         GROUP BY event_type
@@ -3397,7 +3423,7 @@ ORACLES: dict[str, str] = {
     """,
     "qc_metrics_orders": """
         SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_rows,
-               ROUND(AVG(CAST(o_custkey IS NULL AS INT)), 6)              AS custkey_null_rate,
+               CAST(SUM(CAST(o_custkey IS NULL AS INT)) AS DOUBLE) / COUNT(*) AS custkey_null_rate,
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                 AS n_keys,
                CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS dup_keys,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT)                  AS n_custkeys
@@ -3807,7 +3833,7 @@ ORACLES: dict[str, str] = {
     "stream_static_enrich": """
         SELECT c.c_mktsegment,
                COUNT(*)             AS n_events,
-               ROUND(SUM(e.value), 2) AS total_value
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events e
         JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY c.c_mktsegment
@@ -4170,11 +4196,11 @@ ORACLES: dict[str, str] = {
             FROM documents WHERE doc_id < 100
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(len(list_intersect(a.ws, b.ws))
-                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+               len(list_intersect(a.ws, b.ws))
+                   / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-        WHERE ROUND(len(list_intersect(a.ws, b.ws))
-                    / len(list_distinct(list_concat(a.ws, b.ws))), 6) >= 0.9
+        WHERE len(list_intersect(a.ws, b.ws))
+                  / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
     """,
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4260,7 +4286,7 @@ ORACLES: dict[str, str] = {
                               + 86400000000)                               AS window_end,
                event_type,
                COUNT(*)             AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM e
         GROUP BY 1, 2, 3
     """,
@@ -4275,7 +4301,7 @@ ORACLES: dict[str, str] = {
         SELECT window_start,
                window_start + INTERVAL 1 DAY AS window_end,
                COUNT(*)             AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM w
         GROUP BY 1, 2
     """,
@@ -4295,7 +4321,7 @@ ORACLES: dict[str, str] = {
                MIN(ts)                     AS session_start,
                MAX(ts) + INTERVAL 2 HOUR   AS session_end,
                COUNT(*)                    AS n_events,
-               ROUND(SUM(value), 2)        AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)        AS total_value
         FROM g GROUP BY user_id, sid
     """,
     "media_metadata": """
@@ -4335,7 +4361,7 @@ ORACLES: dict[str, str] = {
     "stateful_running_totals": """
         SELECT user_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+               CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY user_id
     """,
@@ -4381,7 +4407,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.win_start, d.win_end,
                COUNT(*)             AS n_events,
-               ROUND(SUM(e.value), 2) AS total_value
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events e JOIN days d
           ON CAST(e.ts AS TIMESTAMP) >= d.win_start
          AND CAST(e.ts AS TIMESTAMP) <  d.win_end
@@ -4389,9 +4415,9 @@ ORACLES: dict[str, str] = {
     """,
     "status_pivot_by_priority": """
         SELECT o_orderpriority,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -4407,7 +4433,7 @@ ORACLES: dict[str, str] = {
     "sales_cube": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*)                    AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -4423,13 +4449,14 @@ ORACLES: dict[str, str] = {
     "grouping_sets_orders": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*)                    AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
     "shipping_priority_top10": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -4599,7 +4626,7 @@ ORACLES: dict[str, str] = {
     """,
     "customer_revenue_quartiles": """
         WITH per AS (
-            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY o_custkey
         )
         SELECT o_custkey, revenue,
@@ -4621,9 +4648,9 @@ ORACLES: dict[str, str] = {
     "unpivot_status_revenue": """
         WITH wide AS (
             SELECT o_orderpriority,
-                   ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
-                   ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
-                   ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
             FROM orders GROUP BY o_orderpriority
         )
         SELECT o_orderpriority, 'F' AS o_orderstatus, rev_f AS revenue FROM wide
@@ -4644,9 +4671,9 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus,
                COUNT(*)                                              AS n_orders,
                COUNT(*) FILTER (WHERE o_totalprice > 150000)         AS n_big,
-               ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 150000) AS DOUBLE)
                                                                      AS big_rev,
-               ROUND(AVG(CAST(o_totalprice > 150000 AS INT)), 6)     AS big_share
+               CAST(SUM(CAST(o_totalprice > 150000 AS INT)) AS DOUBLE) / COUNT(*) AS big_share
         FROM orders GROUP BY o_orderstatus
     """,
     "small_qty_part_revenue": """
@@ -4658,7 +4685,7 @@ ORACLES: dict[str, str] = {
             SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
             FROM li GROUP BY l_partkey
         )
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
         FROM li JOIN thresh ON l_partkey = t_partkey
         WHERE l_quantity < qty_thresh
     """,
@@ -4687,13 +4714,15 @@ ORACLES: dict[str, str] = {
     "idle_customer_balance": """
         SELECT c_nationkey,
                COUNT(*)                 AS n_custs,
-               ROUND(SUM(c_acctbal), 2) AS total_bal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2001
         )
-          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                               / COUNT(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0.0)
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
@@ -4771,7 +4800,9 @@ ORACLES: dict[str, str] = {
     "resample_daily_ffill": r"""
         WITH daily AS (
             SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-                   COUNT(*) AS n_events, AVG(value) AS avg_value
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(value) AS avg_value
             FROM events GROUP BY 1
         ),
         spine AS (
@@ -4783,9 +4814,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT s.day,
                COALESCE(d.n_events, 0) AS n_events,
-               ROUND(LAST_VALUE(d.avg_value IGNORE NULLS) OVER (
+               LAST_VALUE(d.avg_value IGNORE NULLS) OVER (
                    ORDER BY s.day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS avg_value_ffill
         FROM spine s LEFT JOIN daily d USING (day)
         ORDER BY s.day
@@ -4935,13 +4966,18 @@ ORACLES: dict[str, str] = {
     "important_suppliers": """
         WITH per_supp AS (
             SELECT l_suppkey,
-                   SUM(l_extendedprice * (1 - l_discount)) AS supp_revenue
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST('1.00' AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
             FROM lineitem GROUP BY 1
         )
-        SELECT l_suppkey, ROUND(supp_revenue, 2) AS supp_revenue
+        SELECT l_suppkey, CAST(ROUND(rev_dec, 2) AS DOUBLE) AS supp_revenue
         FROM per_supp
-        WHERE supp_revenue > (
-            SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.001 FROM lineitem
+        WHERE CAST(rev_dec AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST('1.00' AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) * 0.001
+            FROM lineitem
         )
         ORDER BY supp_revenue DESC, l_suppkey ASC
     """,
@@ -5010,7 +5046,8 @@ ORACLES: dict[str, str] = {
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders    ON l_orderkey = o_orderkey
         JOIN customer  ON o_custkey = c_custkey
@@ -5025,10 +5062,14 @@ ORACLES: dict[str, str] = {
     """,
     "market_share_q8": """
         SELECT year(o_orderdate) AS o_year,
-               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (CAST('1.00' AS DECIMAL(3,2))
+                                      - CAST(l_discount AS DECIMAL(3,2)))
+                              ELSE CAST('0.0000' AS DECIMAL(16,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS mkt_share
         FROM lineitem
         JOIN part      ON l_partkey = p_partkey
         JOIN orders    ON l_orderkey = o_orderkey
@@ -5056,7 +5097,8 @@ ORACLES: dict[str, str] = {
         LIMIT 100
     """,
     "bracket_revenue_q19": """
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -5289,7 +5331,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_orderpriority,
                COUNT(*)                    AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN dim USING (o_orderpriority)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -5319,20 +5361,21 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
         )
         SELECT doc_id,
-               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_2gram_share,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_share,
                CAST(SUM(c) AS BIGINT)                    AS n_2grams
         FROM per GROUP BY doc_id
     """,
     "price_histogram": """
         SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 19) AS bin_id,
                COUNT(*)                    AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY 1
         ORDER BY 1
     """,
     "revenue_change_q6": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -5390,12 +5433,15 @@ ORACLES: dict[str, str] = {
         ORDER BY l_linestatus
     """,
     "promo_revenue_q14": """
-        SELECT ROUND(
-                 100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                       / SUM(l_extendedprice * (1 - l_discount)), 4
-               ) AS promo_revenue_pct
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (CAST('1.00' AS DECIMAL(3,2))
+                                          - CAST(l_discount AS DECIMAL(3,2)))
+                                  ELSE CAST('0.0000' AS DECIMAL(16,4)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST('1.00' AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-02-01'
@@ -5413,8 +5459,8 @@ ORACLES: dict[str, str] = {
     """,
     "order_rank_distribution": """
         SELECT o_orderkey, o_orderstatus, o_totalprice,
-               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-               ROUND(CUME_DIST() OVER w, 6)    AS cume_dist
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w    AS cume_dist
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC)
     """,

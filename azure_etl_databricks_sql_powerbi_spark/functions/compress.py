@@ -75,5 +75,16 @@ def compression_band_filter(
     get longer (more context to exploit), so tune per-corpus from the
     ``compression_ratio`` distribution (``approx_percentiles`` is the
     cheap way at scale)."""
-    r = compression_ratio(text_col)
-    return df.filter((r >= lo) & (r <= hi))
+    # materialize the ratio ONCE: referencing the pandas UDF twice in the
+    # filter would let a planner that doesn't dedup equal UDF expressions
+    # run the deflate twice per row (r11 ADVICE)
+    if "__cr" in df.columns:
+        raise ValueError(
+            "compression_band_filter uses '__cr' as a temp column; "
+            "rename the existing '__cr' column first"
+        )
+    return (
+        df.withColumn("__cr", compression_ratio(text_col))
+        .filter((F.col("__cr") >= lo) & (F.col("__cr") <= hi))
+        .drop("__cr")
+    )

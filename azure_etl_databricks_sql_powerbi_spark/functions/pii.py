@@ -31,10 +31,19 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — the narrow classic; no quoted-locals/IP-literals
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
-    # 13-16 digit runs, optionally space/dash separated in groups of 4
-    # (card shapes); anchored on word boundaries so order ids inside
-    # longer tokens survive
-    "card": r"\b\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{1,4}\b",
+    # card shapes, precision-first (r11 ADVICE): every form requires a
+    # real issuer prefix digit [3-6] (Amex/Visa/MC/Discover), and the
+    # separated forms must use ONE uniform separator in 4-4-4-N groups.
+    # The old \d{4}[ \-]?... shape redacted 13-digit epoch-millis
+    # timestamps, year runs like '2021 2022 2023 2024' (prefix 1/2 —
+    # excluded here), and mixed-separator ids as [CARD], destroying
+    # training signal silently. Alternation only — no lookaround or
+    # backrefs, Java ≡ RE2.
+    "card": (
+        r"\b(?:[3-6]\d{3} \d{4} \d{4} \d{1,4}"
+        r"|[3-6]\d{3}-\d{4}-\d{4}-\d{1,4}"
+        r"|[3-6]\d{12,15})\b"
+    ),
     # US SSN shape NNN-NN-NNNN
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     # international-ish phone: +CC then 8-14 digits with optional

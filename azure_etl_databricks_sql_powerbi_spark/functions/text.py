@@ -229,7 +229,10 @@ def top_ngram_share(df, n: int = 2, text_col: str = "text", id_col: str = "doc_i
     )
     per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy(id_col).agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias(f"top_{n}gram_share"),
+        # UNROUNDED max/sum quotient of exact integers: one IEEE division,
+        # bit-identical in every engine (ROUND(q, 6) is the dyadic-half
+        # hazard — the r12 sweep)
+        (F.max("c") / F.sum("c")).alias(f"top_{n}gram_share"),
         F.sum("c").alias(f"n_{n}grams"),
     )
 

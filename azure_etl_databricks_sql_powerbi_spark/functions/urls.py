@@ -14,9 +14,11 @@ DuckDB twin for host, registered domain, and the blocklist verdict).
 Registered-domain semantics: last two host labels, or last three when
 the two-label suffix is a known multi-part public suffix (co.uk,
 com.au, …). The embedded suffix set is a small, documented subset of the
-Mozilla Public Suffix List — enough for provenance bucketing; a
-production deployment with exotic ccTLD needs swaps in the full PSL as a
-broadcast table (`registered_domain_psl`), same plan shape.
+Mozilla Public Suffix List — the zero-dependency default, enough for
+provenance bucketing. Deployments with exotic ccTLD needs load a full
+PSL snapshot as a 1-column table and use :func:`registered_domain_psl`
+(r12): longest-match via ``max_suffix_labels`` broadcast hash joins,
+zero shuffles, zero UDFs — same 100 TB posture as the embedded path.
 """
 
 from __future__ import annotations
@@ -206,3 +208,69 @@ def duckdb_registered_domain_sql(host_expr: str) -> str:
           THEN array_to_string(string_split({host_expr}, '.')[-3:], '.')
         ELSE array_to_string(string_split({host_expr}, '.')[-2:], '.')
     END"""
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    url_col: str,
+    suffixes: DataFrame,
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Registered domain via a FULL public-suffix table (the scale path
+    the embedded :data:`MULTI_PART_SUFFIXES` subset approximates):
+    longest-match against a 1-column DataFrame of suffixes (a Public
+    Suffix List snapshot — ~10k rows, broadcast), then one more label.
+
+    Plan shape: ``max_suffix_labels`` broadcast hash joins (longest
+    candidate first), ZERO shuffles — each join probes the tiny suffix
+    relation with the host's last-k-label string; ``coalesce`` picks the
+    longest match, and unlisted TLDs fall back to PSL's implicit
+    one-label-suffix rule (registered = last two labels), identical to
+    :func:`registered_domain`'s default branch. IP hosts (v4 dotted quad
+    or anything with ':') and single-label hosts pass through whole;
+    NULL propagates from non-URLs. Wildcard/exception PSL rules are not
+    modeled (documented limitation — the snapshot should be
+    pre-expanded)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"registered_domain_psl writes '{out_col}'; rename the "
+            f"existing '{out_col}' column first (withColumn would "
+            "silently replace it)"
+        )
+    key = suffixes.columns[0]
+    host = url_host(url_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_ip = host.rlike(
+        r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    ) | host.contains(":")
+    out = df.withColumn("__host", host).withColumn(
+        "__skip", host.isNull() | is_ip | (n <= 1)
+    )
+    # candidate last-k-label strings, longest first; NULL when the host
+    # has <= k labels (a suffix must be a PROPER suffix of the host)
+    for k in range(max_suffix_labels, 0, -1):
+        cand = F.when(
+            ~F.col("__skip") & (F.size(F.split("__host", r"\.")) > k),
+            F.array_join(F.slice(F.split("__host", r"\."), -k, k), "."),
+        )
+        sfx = F.broadcast(
+            suffixes.select(F.lower(F.col(key)).alias(f"__sfx{k}")).distinct()
+        )
+        out = out.withColumn(f"__cand{k}", cand).join(
+            sfx, F.col(f"__cand{k}") == F.col(f"__sfx{k}"), "left"
+        )
+    hl = F.split("__host", r"\.")
+    dom = F.when(F.col("__skip"), F.col("__host"))
+    for k in range(max_suffix_labels, 0, -1):
+        dom = dom.when(
+            F.col(f"__sfx{k}").isNotNull(),
+            F.array_join(F.slice(hl, -(k + 1), k + 1), "."),
+        )
+    # unlisted TLD: implicit one-label suffix -> last two labels
+    dom = dom.otherwise(F.array_join(F.slice(hl, -2, 2), "."))
+    drop = ["__host", "__skip"] + [
+        c for k in range(1, max_suffix_labels + 1) for c in (f"__cand{k}", f"__sfx{k}")
+    ]
+    return out.withColumn(out_col, dom).drop(*drop)

@@ -178,6 +178,9 @@ def snm_candidate_pairs(
         .filter(
             F.abs(F.length("__text_a") - F.length("__text_b")) <= max_distance
         )
+        # the bucket key is join plumbing, not part of the documented
+        # (id_a, id_b, __text_a, __text_b, __ra, __rb) contract
+        .drop("__b")
     )
 
 

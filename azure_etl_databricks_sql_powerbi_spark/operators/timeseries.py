@@ -36,11 +36,16 @@ def resample_daily_ffill(
     """Calendar-complete daily series: avg(value) per day with gap days
     present, count 0-filled and the average forward-filled from the last
     observed day (leading gaps stay null)."""
+    # exact_avg (util.py): the daily mean is an exact DECIMAL(18,2)
+    # numerator over one IEEE division — ROUND(AVG(double), 4) is the
+    # cross-engine quotient-rounding hazard (r12 money sweep)
+    from azure_etl_databricks_sql_powerbi_spark.util import exact_avg
+
     daily = (
         events.groupBy(F.to_date(ts_col).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.avg(value_col).alias("avg_value"),
+            exact_avg(value_col).alias("avg_value"),
         )
     )
     spine = (
@@ -55,7 +60,7 @@ def resample_daily_ffill(
         .select(
             "day",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias(
+            F.last("avg_value", ignorenulls=True).over(w).alias(
                 "avg_value_ffill"
             ),
         )

@@ -107,8 +107,12 @@ def rank_distribution(
         *keys,
         *partition_by,
         F.col(order_by),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        # UNROUNDED: (rank-1)/(n-1) and rank/n are single IEEE divisions
+        # of exact integers — bit-identical in every engine, while
+        # ROUND(q, 6) splits on dyadic quotients whose shortest repr ends
+        # in 5 at the 7th digit (e.g. n-1 = 128) — the r12 sweep
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
     )
 
 

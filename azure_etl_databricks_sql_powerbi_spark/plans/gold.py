@@ -9,15 +9,23 @@ reference's gold layer, expressed as Catalyst plans:
 - filters sit directly on the fact scan so parquet predicate pushdown and
   partition pruning bound the IO (at 100 TB this is the difference between
   scanning a week and scanning the lake).
-- double aggregates are rounded at the edge so results are stable to
-  float summation order (needed for the order-insensitive oracle hash;
-  also what a BI surface would display).
+- money aggregates follow the r12 DECIMAL-accumulate contract
+  (``util.money_sum``): sums and products of 2-dp money columns
+  accumulate in DecimalType (order-independent, exact), round — if at
+  all — on the exact decimal, and cast to double ONCE at the edge;
+  means/shares are UNROUNDED IEEE quotients of exact numerators.
+  ``ROUND(SUM(double), 2)`` looks stable but diverges across engines at
+  half-cent boundaries (two real one-cent splits surfaced in the r11
+  sf1 sweep); quantity sums stay raw doubles because whole-number
+  addends sum exactly in any order.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.util import exact_avg, money_sum
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-01") -> DataFrame:
@@ -27,26 +35,31 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-01") -> Dat
     4 groups -> tiny shuffle. The canonical 'curated analytics table' the
     reference's gold layer feeds to Power BI (README.md:10-11,27).
     """
+    # Money math follows the r12 DECIMAL-accumulate sweep (util.money_sum
+    # rationale): exact decimal sums / products, ONE double cast at the
+    # end, and UNROUNDED IEEE quotients for the averages. Factor types
+    # stay tight (price DECIMAL(12,2), rate DECIMAL(3,2)) so the 3-factor
+    # sum_charge product keeps full precision under the 38-digit cap.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_c = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    tax_c = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")
     return (
         lineitem.filter(F.col("l_shipdate") < F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(price * disc_c), 2).cast("double").alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(price * disc_c * tax_c), 2).cast("double").alias(
+                "sum_charge"
+            ),
+            exact_avg("l_quantity", cents=False).alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -86,8 +99,17 @@ def star_revenue_by_region(
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     order_count = (
@@ -111,8 +133,8 @@ def sales_rollup(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            money_sum("o_totalprice").alias("total_price"),
+            exact_avg("o_totalprice").alias("avg_price"),
         )
         .orderBy(
             F.col("o_orderpriority").asc_nulls_first(),
@@ -125,7 +147,7 @@ def top_customers_by_segment(orders: DataFrame, customer: DataFrame, k: int = 3)
     """Top-k revenue customers per market segment (W3 + broadcast dim)."""
     per_customer = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
         .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
     )
     from azure_etl_databricks_sql_powerbi_spark.operators.windows import top_k_per_group
@@ -161,7 +183,7 @@ def small_quantity_part_revenue(
     return (
         li.join(thresh, on="l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((money_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
 
 
@@ -169,14 +191,25 @@ def customer_order_running_total(orders: DataFrame) -> DataFrame:
     """Running revenue per customer over order time (W2)."""
     from azure_etl_databricks_sql_powerbi_spark.operators.windows import running_agg
 
+    # The cumulative sum accumulates in DECIMAL (cast BEFORE the window)
+    # so every prefix total is exact; one double cast replaces the old
+    # ROUND(double, 2), which could land a prefix on a half-cent boundary
+    # and split across engines (the r12 money sweep).
     out = running_agg(
-        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        ),
         partition_by=["o_custkey"],
         order_by=["o_orderdate", "o_orderkey"],
         agg_col="o_totalprice",
         out_col="running_revenue",
     )
-    return out.withColumn("running_revenue", F.round("running_revenue", 2))
+    return out.withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    ).withColumn("running_revenue", F.col("running_revenue").cast("double"))
 
 
 def trade_volume(
@@ -218,8 +251,17 @@ def trade_volume(
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -253,7 +295,12 @@ def market_share(
     n_supp = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal volume; the share is an UNROUNDED IEEE quotient of
+    # the two exact sums (ROUND(x, 6) of a quotient is the cross-engine
+    # half-at-6dp hazard — the r12 money sweep)
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     return (
         lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -264,10 +311,13 @@ def market_share(
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                        F.lit(0).cast("decimal(16,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -324,8 +374,17 @@ def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .where(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -435,15 +494,28 @@ def important_suppliers(lineitem: DataFrame, fraction: float = 0.001) -> DataFra
     broadcast nested-loop of exactly one row — the allow-listed scalar
     subquery shape); the per-supplier aggregate shuffles once on s_suppkey.
     """
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    per_supp = lineitem.groupBy("l_suppkey").agg(rev.alias("supp_revenue"))
-    total = lineitem.agg((rev * F.lit(fraction)).alias("__threshold"))
+    # revenue accumulates in DECIMAL so BOTH the threshold comparison and
+    # the reported value are exact: with raw double sums the strict
+    # inequality can flip for a boundary supplier across engines, and
+    # ROUND of the double sum is the half-cent hazard (r12 money sweep).
+    # The threshold itself is one IEEE product of the exact total.
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(3,2)")
+        )
+    )
+    per_supp = lineitem.groupBy("l_suppkey").agg(rev.alias("__rev_dec"))
+    total = lineitem.agg(
+        (rev.cast("double") * F.lit(fraction)).alias("__threshold")
+    )
     return (
         per_supp.join(F.broadcast(total))
-        .where(F.col("supp_revenue") > F.col("__threshold"))
+        .where(F.col("__rev_dec").cast("double") > F.col("__threshold"))
         .select(
             "l_suppkey",
-            F.round("supp_revenue", 2).alias("supp_revenue"),
+            F.round("__rev_dec", 2).cast("double").alias("supp_revenue"),
         )
         .orderBy(F.col("supp_revenue").desc(), F.col("l_suppkey").asc())
     )
@@ -566,8 +638,14 @@ def revenue_change_q6(
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(3,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -717,7 +795,13 @@ def promo_revenue_q14(
     broadcast, both the conditional and total sums computed in ONE
     aggregate pass (no second scan, no self-join).
     """
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal numerator/denominator, UNROUNDED IEEE arithmetic for
+    # the percentage (r12 money sweep: ROUND of a money quotient is the
+    # cross-engine half-at-4dp hazard); 100.0 * num / den associates
+    # left-to-right on both sides
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -725,11 +809,14 @@ def promo_revenue_q14(
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
-                / F.sum(disc_price),
-                4,
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                        F.lit(0).cast("decimal(16,4)")
+                    )
+                ).cast("double")
+                / F.sum(disc_price).cast("double")
             ).alias("promo_revenue_pct")
         )
     )

@@ -39,21 +39,28 @@ def running_totals(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, total = state.get
+            n, cents = state.get
         else:
-            n, total = 0, 0.0
+            n, cents = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].fillna(0.0).sum())
-        state.update((n, total))
+            # 2-dp money folds as INTEGER CENTS: float accumulation is
+            # order-dependent and round(total, 2) splits across engines
+            # at half-cent boundaries (the r12 money sweep). The cents
+            # sum is exact at any stream length, and cents/100.0 is one
+            # correctly-rounded IEEE division — bit-identical to the
+            # oracle's DECIMAL(18,2)->DOUBLE cast of the same total.
+            v = pdf[value_col].fillna(0.0).to_numpy()
+            cents += int((v * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {key_col: [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     return stream.groupBy(key_col).applyInPandasWithState(
         _update,
         outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

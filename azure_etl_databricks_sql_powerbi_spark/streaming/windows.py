@@ -20,11 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_etl_databricks_sql_powerbi_spark.util import money_sum
+
 
 def _kpi_aggs() -> list[Column]:
+    # money_sum contract (util.py): DECIMAL-accumulate then one double
+    # cast — ROUND(SUM(double),2) is the cross-engine half-cent hazard
     return [
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum("value").alias("total_value"),
     ]
 
 

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 # Catalyst reports this sentinel (spark.sql.defaultSizeInBytes = Long.Max)
 # when a relation has no size estimate (e.g. RDD-backed frames).
@@ -90,3 +91,41 @@ def double_hash_positions(hashes, width: int, depth: int):
     h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
     i = np.arange(depth, dtype=np.int64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % width
+
+
+def money_sum(c: Column | str) -> Column:
+    """Exact money sum: DECIMAL(18,2)-accumulate, then ONE double cast.
+
+    ``ROUND(SUM(double), 2)`` is a latent cross-engine hash hazard: the
+    double sum is order-dependent in its last bits, and when the true
+    total sits on a half-cent boundary Spark (BigDecimal HALF_UP) and
+    DuckDB (multiply + nearbyint) round apart — the r11 sf1 sweep caught
+    two such one-cent divergences on queries that were exact at sf0.01.
+    Accumulating in DecimalType is order-independent and exact (2-dp
+    money doubles cast losslessly to DECIMAL(18,2); DECIMAL(38,2) holds
+    ~1e36 so no overflow at any realistic corpus scale), and the final
+    decimal→double cast is correctly rounded identically in both
+    engines. DuckDB twin: ``CAST(SUM(CAST(c AS DECIMAL(18,2))) AS
+    DOUBLE)``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def exact_avg(c: Column | str, cents: bool = True) -> Column:
+    """Deterministic mean: exact numerator, one IEEE double division.
+
+    ``ROUND(AVG(x), n)`` compounds two cross-engine hazards — the
+    order-dependent double sum AND rounding a quotient whose shortest
+    decimal repr can land exactly on a half at the n-th digit. Both
+    vanish by (a) accumulating the numerator exactly (DECIMAL(18,2) for
+    2-dp money columns; the raw sum is already exact for whole-number
+    or integer columns — pass cents=False) and (b) emitting the
+    UNROUNDED quotient: double division of identical operands is
+    correctly rounded by IEEE 754 in every engine, bit-for-bit. DuckDB
+    twin: ``CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c)``
+    (or ``CAST(SUM(c) AS DOUBLE) / COUNT(c)`` with cents=False)."""
+    c = F.col(c) if isinstance(c, str) else c
+    num = (
+        F.sum(c.cast("decimal(18,2)")) if cents else F.sum(c)
+    ).cast("double")
+    return num / F.count(c)

@@ -22,6 +22,16 @@ ROWS = [
     (4, "server at 10.0.0.1 and 192.168.255.255 no pii otherwise"),
     (5, "clean document with order number 12345 and year 2026"),
     (6, "mixed: bob@host.io from 8.8.8.8 called +44 20 7946 0958"),
+    # precision fixtures for the r12 card tightening: NONE of these may
+    # redact — a 13-digit epoch-millis timestamp (no issuer prefix 3-6),
+    # a run of years (mixed groups are not 4-4-4-N with ONE separator),
+    # a mixed-separator almost-card, and a 16-digit id starting with 7
+    (7, "event at 1755244800000 during 2021 2022 2023 2024 review"),
+    (8, "ref 4111 1111-1111 1111 is an order id, not a card"),
+    (9, "tracking 7000123412341234 confirmed"),
+    # true positives the tightened pattern must still catch: unseparated
+    # Visa-prefix 16-digit and Amex-prefix 15-digit
+    (10, "pay with 4111111111111111 or amex 371449635398431"),
 ]
 SCHEMA = "doc_id long, text string"
 
@@ -40,6 +50,13 @@ def test_redaction_removes_every_planted_identifier(spark, docs):
     # precision: clean text with short digit runs is untouched
     assert out[5] == ROWS[4][1]
     assert "[EMAIL]" in out[6] and "[IP]" in out[6] and "[PHONE]" in out[6]
+    # r12 card precision contract: timestamps / year runs / mixed
+    # separators / non-issuer 16-digit ids all SURVIVE...
+    assert out[7] == ROWS[6][1]
+    assert out[8] == ROWS[7][1]
+    assert out[9] == ROWS[8][1]
+    # ...while unseparated true cards with issuer prefixes still redact
+    assert out[10].count("[CARD]") == 2 and "4111111111111111" not in out[10]
 
 
 def test_redaction_is_idempotent(spark, docs):
@@ -58,6 +75,9 @@ def test_audit_counts_match_hand_counts(spark, docs):
     assert got[4]["ip_n"] == 2
     assert got[5]["pii_total"] == 0
     assert got[6]["pii_total"] == 3
+    assert got[7]["pii_total"] == 0 and got[8]["pii_total"] == 0
+    assert got[9]["pii_total"] == 0
+    assert got[10]["card_n"] == 2 and got[10]["pii_total"] == 2
 
 
 def test_scrub_documents_pipeline_form(spark, docs):

@@ -127,7 +127,9 @@ def test_stateful_running_totals(spark, events_dir, tmp_path):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+            F.sum(F.coalesce("value", F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in expected.collect()}
@@ -345,7 +347,9 @@ def test_tws_running_totals_matches_batch_and_3x_tier(spark, events_dir, tmp_pat
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+            F.sum(F.coalesce("value", F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in expected.collect()}

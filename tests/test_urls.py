@@ -225,3 +225,92 @@ def test_url_provenance_planting_hand_written_expectations(spark):
         ).collect()
     }
     assert kept == {0, 1, 2, 3, 5, 7, 8, 9, 10, 11}
+
+
+def test_registered_domain_psl_full_table_path(spark):
+    """Directive r12 #4: the full-PSL broadcast-table path must parse
+    multi-part suffixes ABSENT from the embedded subset correctly. The
+    snapshot here includes 'k12.ma.us' (3 labels) and 'gov.bd' — neither
+    is in MULTI_PART_SUFFIXES, so the embedded path gets them wrong and
+    the table path must not. A DuckDB twin replays the same longest-match
+    join so the semantics stay oracle-checkable."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        MULTI_PART_SUFFIXES,
+        registered_domain_psl,
+    )
+
+    assert "k12.ma.us" not in MULTI_PART_SUFFIXES
+    assert "gov.bd" not in MULTI_PART_SUFFIXES
+    psl = ["com", "org", "uk", "co.uk", "us", "ma.us", "k12.ma.us", "bd", "gov.bd"]
+    rows = [
+        (1, "https://school.boston.k12.ma.us/home"),    # 3-label suffix
+        (2, "https://Portal.Example.GOV.bd/x"),          # 2-label, case
+        (3, "https://www.news.co.uk/s"),                 # embedded-known too
+        (4, "https://cdn.example.com/a"),                # 1-label suffix
+        (5, "https://host.unlistedtld/x"),               # implicit fallback
+        (6, "https://10.0.0.7/x"),                       # IP passthrough
+        (7, "not a url"),                                # NULL
+        (8, "https://k12.ma.us/"),                       # host == suffix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    sfx = spark.createDataFrame([(s,) for s in psl], "suffix string")
+    got = {
+        r.doc_id: r.domain
+        for r in registered_domain_psl(df, "url", sfx).collect()
+    }
+    want = {
+        1: "boston.k12.ma.us",
+        2: "example.gov.bd",
+        3: "news.co.uk",
+        4: "example.com",
+        5: "host.unlistedtld",
+        6: "10.0.0.7",
+        7: None,
+        # host equal to a 3-label suffix: the longest PROPER suffix is
+        # 'ma.us', so the result is the whole host — itself a public
+        # suffix (PSL calls it unregistrable; provenance keeps it whole)
+        8: "k12.ma.us",
+    }
+    assert got == want
+    # embedded-subset path is WRONG on the exotic suffixes — that gap is
+    # exactly what the table path closes
+    emb = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", registered_domain("url").alias("d")
+        ).collect()
+    }
+    assert emb[1] == "ma.us" and emb[2] == "gov.bd"
+    # DuckDB twin: same longest-match semantics via a suffix join
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE psl(suffix VARCHAR)")
+    con.executemany("INSERT INTO psl VALUES (?)", [(s,) for s in psl])
+    sql = f"""
+        WITH h AS (SELECT doc_id, {duckdb_host_sql("url")} AS host FROM t),
+        m AS (
+            SELECT h.doc_id, h.host,
+                   MAX(len(string_split(p.suffix, '.'))) AS klen
+            FROM h LEFT JOIN psl p
+              ON len(string_split(h.host, '.')) > len(string_split(p.suffix, '.'))
+             AND array_to_string(
+                     string_split(h.host, '.')[-len(string_split(p.suffix, '.')):],
+                     '.') = lower(p.suffix)
+            GROUP BY h.doc_id, h.host
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN host IS NULL THEN NULL
+                 WHEN regexp_matches(host,
+                          '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                      OR contains(host, ':')
+                      OR len(string_split(host, '.')) <= 1 THEN host
+                 WHEN klen IS NOT NULL THEN array_to_string(
+                     string_split(host, '.')[-(klen + 1):], '.')
+                 ELSE array_to_string(string_split(host, '.')[-2:], '.')
+               END AS domain
+        FROM m
+    """
+    orc = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert orc == got
