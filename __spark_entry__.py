@@ -104,8 +104,26 @@ def _q_top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.sales_rollup(load_table(spark, sf_dir, "orders"))
+def _q_compression_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio band filter (functions/compress): survivors of
+    the [0.20, 0.75] two-sided junk band — drops templated/repetitive
+    spam (over-compressible) AND base64/garbled tails (incompressible)
+    in one Arrow-batched stdlib-zlib pass, the documented built-ins-first
+    exception. Rows-only BY NECESSITY: no SQL oracle can exist (DuckDB
+    has no zlib scalar); the exact len(compress)/len(raw) arithmetic,
+    the repetitive << prose < random ordering anchors, determinism, and
+    the single-UDF-evaluation plan are pinned by tests/test_compress.py.
+    Declared r12 via ROTATION_POLICY.md §5 swap #5 (retired sales_rollup,
+    whose ROLLUP grouping sets are a strict subset of the still-declared
+    sales_cube power set; its twin lives on in tests/test_gold_twins.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.compress import (
+        compression_band_filter,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return compression_band_filter(docs, lo=0.20, hi=0.75).select(
+        "doc_id", "source"
+    )
 
 
 def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3110,7 +3128,7 @@ QUERIES: dict[str, QueryFn] = {
     "fact_payments": _q_fact_payments,
     "latest_order_per_customer": _q_latest_order_per_customer,
     "top_customers_by_segment": _q_top_customers_by_segment,
-    "sales_rollup": _q_sales_rollup,
+    "compression_band_docs": _q_compression_band_docs,
     "customer_running_total": _q_running_total,
     "events_watermark_7d": _q_events_watermark,
     "events_json_kpis": _q_events_json_kpis,
@@ -3371,16 +3389,6 @@ ORACLES: dict[str, str] = {
             FROM per_customer
         ) WHERE rnk <= 3
         ORDER BY c_mktsegment, rnk
-    """,
-    "sales_rollup": """
-        SELECT o_orderpriority, o_orderstatus,
-               COUNT(*)                      AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(o_totalprice)     AS avg_price
-        FROM orders
-        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-        ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
     """,
     "customer_running_total": """
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -43,3 +43,28 @@ def test_dominant_shippers_matches_duckdb_twin(spark):
     )
     orc = duckdb.sql(DOMINANT_SHIPPERS_SQL.format(sf=SF)).df()
     assert compare(out, orc, float_tol=0) == []
+
+
+# Twin of plans/gold.sales_rollup — formerly the driver oracle of
+# `sales_rollup`, retired r12 (§5 swap #5: its ROLLUP grouping sets are
+# a strict subset of the still-declared `sales_cube` power set, and the
+# explicit-sets API keeps driver evidence via `grouping_sets_orders`).
+# Money columns carry the r12 DECIMAL-accumulate contract on both sides.
+SALES_ROLLUP_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*)                      AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(o_totalprice)     AS avg_price
+    FROM read_parquet('{sf}/orders.parquet')
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def test_sales_rollup_matches_duckdb_twin(spark):
+    from azure_etl_databricks_sql_powerbi_spark.plans import gold
+
+    out = gold.sales_rollup(spark.read.parquet(f"{SF}/orders.parquet"))
+    orc = duckdb.sql(SALES_ROLLUP_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []

@@ -100,6 +100,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "ann_ivfpq_day2",
         "embedding_near_pairs_lsh",
         "semantic_dedup_embeddings",
+        # zlib band filter: DuckDB has no zlib scalar, so no SQL oracle
+        # can exist; exact arithmetic + ordering anchors + determinism
+        # pinned in tests/test_compress.py (declared r12, §5 swap #5)
+        "compression_band_docs",
         # codec featurization: roundtrip/determinism unit-tested
         "media_frames",
         "media_decode_features",
