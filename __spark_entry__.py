@@ -290,9 +290,9 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.char_count("text").alias("n_chars"),
         T.token_count("text").alias("n_tokens"),
-        F.round(T.avg_token_len("text"), 4).alias("avg_token_len"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text", T.LANG_PROFILES["en"]), 6).alias("stop_ratio_en"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text", T.LANG_PROFILES["en"]).alias("stop_ratio_en"),
         T.quality_score("text").alias("quality"),
     )
 
@@ -2168,7 +2168,7 @@ def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
-        .select("doc_id", "token", "tf", "df", F.round("raw", 6).alias("score"), "rank")
+        .select("doc_id", "token", "tf", "df", F.col("raw").alias("score"), "rank")
     )
 
 
@@ -3454,13 +3454,13 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(LENGTH(text) AS INT)  AS n_chars,
                n_tokens,
-               ROUND(LENGTH(regexp_replace(text, '\s', '', 'g'))
-                     / GREATEST(n_tokens, 1), 4)                 AS avg_token_len,
-               ROUND(praw, 6)                                    AS punct_ratio,
-               ROUND(hits / GREATEST(n_tokens, 1), 6)            AS stop_ratio_en,
-               ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
-                     + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
-                     + 0.4 * LEAST((hits / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+               LENGTH(regexp_replace(text, '\s', '', 'g'))
+                   / GREATEST(n_tokens, 1)                       AS avg_token_len,
+               praw                                              AS punct_ratio,
+               hits / GREATEST(n_tokens, 1)                      AS stop_ratio_en,
+               0.3 * LEAST(n_tokens / 50.0, 1.0)
+                   + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                   + 0.4 * LEAST((hits / GREATEST(n_tokens, 1)) * 4, 1.0) AS quality
         FROM t
     """,
     "lang_id_docs": r"""
@@ -3745,8 +3745,8 @@ ORACLES: dict[str, str] = {
         neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS nc
                 FROM ranked WHERE NOT same AND rnk <= 3)
         SELECT p.anchor_id AS anchor_id, positive_id, negative_id,
-               ROUND(pc, 4) AS pos_sim, ROUND(nc, 4) AS neg_sim,
-               ROUND(pc - nc, 4) AS margin
+               pc AS pos_sim, nc AS neg_sim,
+               pc - nc AS margin
         FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
     """,
     "quality_classifier_docs": r"""
@@ -4223,7 +4223,7 @@ ORACLES: dict[str, str] = {
             FROM e c, q WHERE c.vec_id <> q.vec_id
         )
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-               ROUND(cos, 4) AS cosine_sim
+               cos AS cosine_sim
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
@@ -4249,7 +4249,7 @@ ORACLES: dict[str, str] = {
             FROM e c, a WHERE c.label <> a.label
         )
         SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id,
-               negative_label, ROUND(cos, 4) AS cosine_sim
+               negative_label, cos AS cosine_sim
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
@@ -4261,11 +4261,11 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
-                          THEN 0.0
-                          ELSE list_dot_product(a.v, b.v)
-                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                     END, 4) AS cosine_sim
+               CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               END AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
                    THEN 0.0
@@ -4522,9 +4522,9 @@ ORACLES: dict[str, str] = {
                         WHEN es >= de AND es >= fr THEN 'es'
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang,
-                   ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
-                         + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
-                         + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+                   0.3 * LEAST(n_tokens / 50.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                       + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0) AS quality
             FROM feat
         )
         SELECT doc_id, quality, n_tokens, n_chars, fp
@@ -4899,7 +4899,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, token, tf, df, tf::DOUBLE / df AS raw
             FROM tf JOIN dfreq USING (token)
         )
-        SELECT doc_id, token, tf, df, ROUND(raw, 6) AS score,
+        SELECT doc_id, token, tf, df, raw AS score,
                CAST(rn AS BIGINT) AS rank
         FROM (
             SELECT *, ROW_NUMBER() OVER (
@@ -5504,9 +5504,9 @@ ORACLES: dict[str, str] = {
                         WHEN es >= de AND es >= fr THEN 'es'
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang,
-                   ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
-                         + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
-                         + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0), 6) AS quality
+                   0.3 * LEAST(n_tokens / 50.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(praw * 5, 1.0))
+                       + 0.4 * LEAST((en / GREATEST(n_tokens, 1)) * 4, 1.0) AS quality
             FROM feat
         ), deduped AS (
             SELECT doc_id, text

@@ -85,7 +85,10 @@ def quality_score(c: Column | str, stopwords: Sequence[str] = LANG_PROFILES["en"
     length_term = F.least(token_count(c) / F.lit(50.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
     stop_term = F.least(stopword_ratio(c, stopwords) * 4, F.lit(1.0))
-    return F.round(0.3 * length_term + 0.3 * punct_term + 0.4 * stop_term, 6)
+    # UNROUNDED: every term is pure IEEE arithmetic over exact counts,
+    # identical expression-for-expression in the DuckDB twin — rounding
+    # only added the half-at-6dp hazard (r12 sweep)
+    return 0.3 * length_term + 0.3 * punct_term + 0.4 * stop_term
 
 
 def lang_scores(c: Column | str) -> dict[str, Column]:

@@ -55,7 +55,7 @@ def cosine_topk(
             "query_id",
             "rank",
             "neighbor_id",
-            F.round("__cos", 4).alias("cosine_sim"),
+            F.col("__cos").alias("cosine_sim"),
         )
     )
 
@@ -78,5 +78,5 @@ def cosine_near_pairs(
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("__cos", cosine("va", "vb"))
         .filter(F.col("__cos") >= threshold)
-        .select("id_a", "id_b", F.round("__cos", 4).alias("cosine_sim"))
+        .select("id_a", "id_b", F.col("__cos").alias("cosine_sim"))
     )

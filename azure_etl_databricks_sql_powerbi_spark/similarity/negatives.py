@@ -106,7 +106,7 @@ def hard_negatives(
             "rank",
             "negative_id",
             "negative_label",
-            F.round("__cos", 4).alias("cosine_sim"),
+            F.col("__cos").alias("cosine_sim"),
         )
     )
 
@@ -170,9 +170,9 @@ def triplet_candidates(
         "anchor_id",
         "positive_id",
         "negative_id",
-        F.round("__pos_cos", 4).alias("pos_sim"),
-        F.round("__neg_cos", 4).alias("neg_sim"),
-        F.round(F.col("__pos_cos") - F.col("__neg_cos"), 4).alias("margin"),
+        F.col("__pos_cos").alias("pos_sim"),
+        F.col("__neg_cos").alias("neg_sim"),
+        (F.col("__pos_cos") - F.col("__neg_cos")).alias("margin"),
     )
 
 
@@ -258,6 +258,6 @@ def hard_negatives_ivf(
             "rank",
             "negative_id",
             "negative_label",
-            F.round("__cos", 4).alias("cosine_sim"),
+            F.col("__cos").alias("cosine_sim"),
         )
     )

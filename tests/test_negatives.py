@@ -40,7 +40,7 @@ NEGATIVES_SQL = """
         FROM e c, a WHERE c.label <> a.label
     )
     SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id,
-           negative_label, ROUND(cos, 4) AS cosine_sim
+           negative_label, cos AS cosine_sim
     FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
@@ -80,8 +80,8 @@ TRIPLETS_SQL = """
     neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS nc
             FROM ranked WHERE NOT same AND rnk <= 3)
     SELECT p.anchor_id AS anchor_id, positive_id, negative_id,
-           ROUND(pc, 4) AS pos_sim, ROUND(nc, 4) AS neg_sim,
-           ROUND(pc - nc, 4) AS margin
+           pc AS pos_sim, nc AS neg_sim,
+           pc - nc AS margin
     FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
 """
 
