@@ -22,7 +22,12 @@ from azure_etl_databricks_sql_powerbi_spark.operators.incremental import relativ
 from azure_etl_databricks_sql_powerbi_spark.operators.upsert import merge_upsert
 from azure_etl_databricks_sql_powerbi_spark.plans import gold, medallion
 from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
-from azure_etl_databricks_sql_powerbi_spark.util import exact_avg, money_sum, spread
+from azure_etl_databricks_sql_powerbi_spark.util import (
+    disc_price,
+    exact_avg,
+    money_sum,
+    spread,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -271,10 +276,14 @@ def _q_url_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [(d,) for d in _URL_BLOCKLIST], "domain string"
     )
+    # extract ONCE: the anti-join keeps its computed domain column and
+    # the stats consume it, instead of re-running the regex chain per
+    # row (r12 review)
     kept = filter_blocklisted_domains(
-        planted, "url", blocked, keep_unparseable=True
+        planted, "url", blocked, keep_unparseable=True,
+        keep_domain_col="__prov_dom",
     )
-    return domain_stats(kept, "url", round_to=None)
+    return domain_stats(kept, "url", round_to=None, domain_col="__prov_dom")
 
 
 # ------------------------------------------------------ EXT: text analysis
@@ -1413,18 +1422,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            F.round(F.sum(disc_price()), 2).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)

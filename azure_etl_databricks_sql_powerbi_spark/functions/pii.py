@@ -32,17 +32,19 @@ PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — the narrow classic; no quoted-locals/IP-literals
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
     # card shapes, precision-first (r11 ADVICE): every form requires a
-    # real issuer prefix digit [3-6] (Amex/Visa/MC/Discover), and the
+    # real issuer prefix — [3-6] (Amex/JCB/Visa/MC-5x/Discover) or the
+    # Mastercard 2-series BIN band 22-27 (issued since 2017) — and the
     # separated forms must use ONE uniform separator in 4-4-4-N groups.
     # The old \d{4}[ \-]?... shape redacted 13-digit epoch-millis
-    # timestamps, year runs like '2021 2022 2023 2024' (prefix 1/2 —
-    # excluded here), and mixed-separator ids as [CARD], destroying
-    # training signal silently. Alternation only — no lookaround or
-    # backrefs, Java ≡ RE2.
+    # timestamps, year runs like '2021 2022 2023 2024' (20xx stays
+    # excluded: 2-series requires the SECOND digit in 2-7), and
+    # mixed-separator ids as [CARD], destroying training signal
+    # silently. Alternation only — no lookaround or backrefs,
+    # Java ≡ RE2.
     "card": (
-        r"\b(?:[3-6]\d{3} \d{4} \d{4} \d{1,4}"
-        r"|[3-6]\d{3}-\d{4}-\d{4}-\d{1,4}"
-        r"|[3-6]\d{12,15})\b"
+        r"\b(?:(?:2[2-7]\d{2}|[3-6]\d{3}) \d{4} \d{4} \d{1,4}"
+        r"|(?:2[2-7]\d{2}|[3-6]\d{3})-\d{4}-\d{4}-\d{1,4}"
+        r"|(?:2[2-7]\d{11,14}|[3-6]\d{12,15}))\b"
     ),
     # US SSN shape NNN-NN-NNNN
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",

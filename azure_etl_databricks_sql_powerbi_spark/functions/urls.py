@@ -107,6 +107,7 @@ def filter_blocklisted_domains(
     url_col: str,
     blocked: DataFrame | Sequence[str],
     keep_unparseable: bool = False,
+    keep_domain_col: str | None = None,
 ) -> DataFrame:
     """Rows whose registered domain is NOT on the blocklist.
 
@@ -116,40 +117,55 @@ def filter_blocklisted_domains(
     path, compiled into the plan as a literal IN-set — keep it small).
     Documents without a parseable absolute URL are dropped by default
     (provenance-unknown is blocklist-unknown); ``keep_unparseable=True``
-    retains them."""
+    retains them. ``keep_domain_col`` names an output column carrying
+    the already-extracted registered domain, so a downstream consumer
+    (``domain_stats(domain_col=...)``) never re-runs the regex chain —
+    at corpus scale the extraction is the dominant per-row cost."""
     dom = registered_domain(url_col)
     if isinstance(blocked, DataFrame):
-        if "__dom" in df.columns:
+        tmp = keep_domain_col or "__dom"
+        if tmp in df.columns:
             # withColumn would silently REPLACE the clashing column (the
             # functions/ensemble.py collision discipline) — refuse loudly
             raise ValueError(
-                "filter_blocklisted_domains uses '__dom' as a temp column; "
-                "rename the existing '__dom' column first"
+                f"filter_blocklisted_domains uses '{tmp}' as a temp "
+                f"column; rename the existing '{tmp}' column first"
             )
         key = blocked.columns[0]
         # left_anti is duplicate-insensitive on the build side: no
         # distinct() — it would add a full shuffle over a blocklist that
         # can be millions of rows. Domains compare lowercase on BOTH
         # sides (url_host lowercases the probe side).
-        out = df.withColumn("__dom", dom).join(
-            blocked.select(F.lower(F.col(key)).alias("__dom")),
-            on="__dom",
+        out = df.withColumn(tmp, dom).join(
+            blocked.select(F.lower(F.col(key)).alias(tmp)),
+            on=tmp,
             how="left_anti",
         )
         if not keep_unparseable:
-            out = out.filter(F.col("__dom").isNotNull())
-        return out.drop("__dom")
+            out = out.filter(F.col(tmp).isNotNull())
+        return out if keep_domain_col else out.drop(tmp)
     blocked = [b.lower() for b in blocked]
     cond = ~dom.isin(*blocked) if blocked else F.lit(True)
     if keep_unparseable:
         cond = dom.isNull() | cond
     else:
         cond = dom.isNotNull() & cond
-    return df.filter(cond)
+    out = df.filter(cond)
+    if keep_domain_col:
+        if keep_domain_col in df.columns:
+            raise ValueError(
+                f"filter_blocklisted_domains uses '{keep_domain_col}' as "
+                f"a temp column; rename the existing column first"
+            )
+        out = out.withColumn(keep_domain_col, dom)
+    return out
 
 
 def domain_stats(
-    df: DataFrame, url_col: str, round_to: int | None = 6
+    df: DataFrame,
+    url_col: str,
+    round_to: int | None = 6,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Per-registered-domain concentration: (domain, n_docs, share),
     share of PARSEABLE documents, descending — the provenance data card
@@ -159,9 +175,12 @@ def domain_stats(
     display-rounds the share; pass ``None`` for the exact IEEE quotient
     (the hash-compare contract: n/total double division is bit-identical
     across engines, ROUND of it is not — the r11 half-cent lesson)."""
-    counts = df.select(registered_domain(url_col).alias("domain")).groupBy(
-        "domain"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dom = (
+        F.col(domain_col) if domain_col else registered_domain(url_col)
+    )
+    counts = df.select(dom.alias("domain")).groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     total = counts.filter(F.col("domain").isNotNull()).agg(
         F.sum("n_docs").alias("__tot")
     )
@@ -232,13 +251,24 @@ def registered_domain_psl(
     NULL propagates from non-URLs. Wildcard/exception PSL rules are not
     modeled (documented limitation — the snapshot should be
     pre-expanded)."""
-    if out_col in df.columns:
+    reserved = ["__host", "__skip", out_col] + [
+        c
+        for k in range(1, max_suffix_labels + 1)
+        for c in (f"__cand{k}", f"__sfx{k}")
+    ]
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        # withColumn would silently REPLACE (and the final drop would
+        # DELETE) clashing caller columns — refuse loudly, the
+        # filter_blocklisted_domains/'__dom' discipline
         raise ValueError(
-            f"registered_domain_psl writes '{out_col}'; rename the "
-            f"existing '{out_col}' column first (withColumn would "
-            "silently replace it)"
+            f"registered_domain_psl uses temp columns {clash}; rename "
+            "the existing column(s) first"
         )
     key = suffixes.columns[0]
+    # ONE lowercase+distinct over the suffix table, re-aliased per k —
+    # not one distinct aggregation per join (r12 review)
+    sfx_base = suffixes.select(F.lower(F.col(key)).alias("__sfx")).distinct()
     host = url_host(url_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -255,9 +285,7 @@ def registered_domain_psl(
             ~F.col("__skip") & (F.size(F.split("__host", r"\.")) > k),
             F.array_join(F.slice(F.split("__host", r"\."), -k, k), "."),
         )
-        sfx = F.broadcast(
-            suffixes.select(F.lower(F.col(key)).alias(f"__sfx{k}")).distinct()
-        )
+        sfx = F.broadcast(sfx_base.withColumnRenamed("__sfx", f"__sfx{k}"))
         out = out.withColumn(f"__cand{k}", cand).join(
             sfx, F.col(f"__cand{k}") == F.col(f"__sfx{k}"), "left"
         )

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from azure_etl_databricks_sql_powerbi_spark.util import exact_avg, money_sum
+from azure_etl_databricks_sql_powerbi_spark.util import (
+    disc_price,
+    exact_avg,
+    money_sum,
+)
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-01") -> DataFrame:
@@ -100,11 +104,7 @@ def star_revenue_by_region(
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
+                    disc_price()
                 ),
                 2,
             )
@@ -252,11 +252,7 @@ def trade_volume(
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
+                    disc_price()
                 ),
                 2,
             )
@@ -298,9 +294,7 @@ def market_share(
     # exact decimal volume; the share is an UNROUNDED IEEE quotient of
     # the two exact sums (ROUND(x, 6) of a quotient is the cross-engine
     # half-at-6dp hazard — the r12 money sweep)
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
+    vol = disc_price()
     return (
         lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -375,11 +369,7 @@ def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
+                    disc_price()
                 ),
                 2,
             )
@@ -499,13 +489,7 @@ def important_suppliers(lineitem: DataFrame, fraction: float = 0.001) -> DataFra
     # inequality can flip for a boundary supplier across engines, and
     # ROUND of the double sum is the half-cent hazard (r12 money sweep).
     # The threshold itself is one IEEE product of the exact total.
-    rev = F.sum(
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (
-            F.lit(1).cast("decimal(3,2)")
-            - F.col("l_discount").cast("decimal(3,2)")
-        )
-    )
+    rev = F.sum(disc_price())
     per_supp = lineitem.groupBy("l_suppkey").agg(rev.alias("__rev_dec"))
     total = lineitem.agg(
         (rev.cast("double") * F.lit(fraction)).alias("__threshold")
@@ -799,9 +783,7 @@ def promo_revenue_q14(
     # the percentage (r12 money sweep: ROUND of a money quotient is the
     # cross-engine half-at-4dp hazard); 100.0 * num / den associates
     # left-to-right on both sides
-    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
+    dp = disc_price()
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -812,11 +794,11 @@ def promo_revenue_q14(
             (
                 F.lit(100.0)
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                    F.when(F.col("p_type") == "PROMO", dp).otherwise(
                         F.lit(0).cast("decimal(16,4)")
                     )
                 ).cast("double")
-                / F.sum(disc_price).cast("double")
+                / F.sum(dp).cast("double")
             ).alias("promo_revenue_pct")
         )
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -50,8 +51,33 @@ def running_totals(
             # sum is exact at any stream length, and cents/100.0 is one
             # correctly-rounded IEEE division — bit-identical to the
             # oracle's DECIMAL(18,2)->DOUBLE cast of the same total.
-            v = pdf[value_col].fillna(0.0).to_numpy()
-            cents += int((v * 100).round().astype("int64").sum())
+            # Per-value cents use the banded HALF_UP twin of that cast
+            # (the dedup.semantic.round_half_up_4 discipline): bare
+            # np.round is banker's on the BINARY double and disagrees on
+            # exact half-cent values (0.125 -> 12, the cast gives 13).
+            # Kept inline: applyInPandasWithState closures must not
+            # reference engine-module globals (cloudpickle ships them
+            # by module name; see the multimodal/ops.py pattern).
+            v = pdf[value_col].fillna(0.0).to_numpy(dtype="float64")
+            scaled = v * 100.0
+            c = np.round(scaled).astype("int64")
+            near = (
+                np.abs(np.abs(scaled) - np.floor(np.abs(scaled)) - 0.5)
+                < 1e-6
+            )
+            if near.any():
+                from decimal import ROUND_HALF_UP, Decimal
+
+                c[near] = [
+                    int(
+                        Decimal(repr(float(x))).quantize(
+                            Decimal("0.01"), rounding=ROUND_HALF_UP
+                        )
+                        * 100
+                    )
+                    for x in v[near]
+                ]
+            cents += int(c.sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

@@ -129,3 +129,19 @@ def exact_avg(c: Column | str, cents: bool = True) -> Column:
         F.sum(c.cast("decimal(18,2)")) if cents else F.sum(c)
     ).cast("double")
     return num / F.count(c)
+
+
+def disc_price(
+    price_col: str = "l_extendedprice", disc_col: str = "l_discount"
+) -> Column:
+    """Exact discounted-price product ``price × (1 − discount)`` in tight
+    decimals — price DECIMAL(12,2) × rate DECIMAL(3,2) → DECIMAL(16,4),
+    the one revenue expression the TPC-H-shaped tier sums (r12 review:
+    nine copy-pasted sites made the next precision tweak a 9-place
+    hazard). DuckDB twin: ``CAST(p AS DECIMAL(12,2)) * (CAST('1.00' AS
+    DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))``. Compose with
+    ``F.round(F.sum(disc_price()), 2).cast("double")`` for the money-sum
+    contract."""
+    return F.col(price_col).cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col(disc_col).cast("decimal(3,2)")
+    )

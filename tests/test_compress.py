@@ -77,3 +77,20 @@ def test_band_filter_drops_both_tails_and_nulls(spark, docs):
         for r in compression_band_filter(docs, lo=0.0, hi=10.0).collect()
     }
     assert wide == {1, 2, 3}  # NULL/empty still fail the band
+
+
+def test_band_filter_plans_exactly_one_udf_evaluation(spark):
+    """The band references the ratio twice (>= lo AND <= hi); the plan
+    must still evaluate the pandas UDF ONCE per row — Spark's
+    ExtractPythonUDFs dedups the equal expressions into a single
+    ArrowEvalPython node whose output the Filter references twice. This
+    pins the claim (r12 review: the docstring asserted it untested)."""
+    df = spark.createDataFrame([(1, "hello world " * 20)], "doc_id long, text string")
+    plan = (
+        compression_band_filter(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("_ratio") == 1, plan

@@ -32,6 +32,10 @@ ROWS = [
     # true positives the tightened pattern must still catch: unseparated
     # Visa-prefix 16-digit and Amex-prefix 15-digit
     (10, "pay with 4111111111111111 or amex 371449635398431"),
+    # Mastercard 2-series BIN band (2221-2720, issued since 2017) must
+    # redact in all three forms — the r12 review caught the plain [3-6]
+    # prefix silently leaking these
+    (11, "ms 2221000012345678 also 2720 9999 8888 7777 and 2345-6789-0123-4567"),
 ]
 SCHEMA = "doc_id long, text string"
 
@@ -57,6 +61,7 @@ def test_redaction_removes_every_planted_identifier(spark, docs):
     assert out[9] == ROWS[8][1]
     # ...while unseparated true cards with issuer prefixes still redact
     assert out[10].count("[CARD]") == 2 and "4111111111111111" not in out[10]
+    assert out[11].count("[CARD]") == 3 and "2221" not in out[11]
 
 
 def test_redaction_is_idempotent(spark, docs):
@@ -78,6 +83,7 @@ def test_audit_counts_match_hand_counts(spark, docs):
     assert got[7]["pii_total"] == 0 and got[8]["pii_total"] == 0
     assert got[9]["pii_total"] == 0
     assert got[10]["card_n"] == 2 and got[10]["pii_total"] == 2
+    assert got[11]["card_n"] == 3 and got[11]["pii_total"] == 3
 
 
 def test_scrub_documents_pipeline_form(spark, docs):

@@ -477,3 +477,37 @@ def test_streaming_dedup_against_persisted_state(spark, tmp_path):
     assert incremental.novel_documents_against_state(replay, final_state).count() == 0
     final_state.unpersist()
     holder["state"].unpersist()
+
+
+def test_stateful_running_totals_half_cent_boundary(spark, tmp_path):
+    """Exact binary half-cents must fold like the DECIMAL(18,2) cast
+    (HALF_UP on the shortest decimal repr: 0.125 -> 13 cents), not like
+    numpy's banker's rounding on the binary double (-> 12 cents) — the
+    r12 review caught bare np.round diverging from the batch twin and
+    the DuckDB oracle on exactly these values."""
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 7, 0.125), (2, 7, 0.375), (3, 7, 1.0), (4, 8, 2.625)],
+        "event_id bigint, user_id bigint, value double",
+    ).repartition(1).write.parquet(src_dir)
+    stream = structured.stream_files(
+        spark, src_dir, "event_id bigint, user_id bigint, value double"
+    )
+    structured.run_to_memory(
+        running_totals(stream),
+        "rt_halfcent",
+        output_mode="update",
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=4,
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("rt_halfcent")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    # HALF_UP per value: 0.13 + 0.38 + 1.00 = 1.51; 2.625 -> 2.63
+    # (banker's would give 0.12 + 0.38 + 1.00 = 1.50 and 2.62)
+    assert got[7] == (3, 1.51) and got[8] == (1, 2.63)
