@@ -135,7 +135,7 @@ def disc_price(
     price_col: str = "l_extendedprice", disc_col: str = "l_discount"
 ) -> Column:
     """Exact discounted-price product ``price × (1 − discount)`` in tight
-    decimals — price DECIMAL(12,2) × rate DECIMAL(3,2) → DECIMAL(16,4),
+    decimals — price DECIMAL(12,2) × rate DECIMAL(4,2) → DECIMAL(17,4),
     the one revenue expression the TPC-H-shaped tier sums (r12 review:
     nine copy-pasted sites made the next precision tweak a 9-place
     hazard). DuckDB twin: ``CAST(p AS DECIMAL(12,2)) * (CAST('1.00' AS
