@@ -131,8 +131,29 @@ def _q_compression_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.customer_order_running_total(load_table(spark, sf_dir, "orders"))
+def _q_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable window suite (W2; ROTATION_POLICY.md §4.3 merge, §5
+    swap #6): ONE shared window sort (PARTITION BY o_custkey ORDER BY
+    o_orderdate, o_orderkey) carries the exact DECIMAL running revenue
+    AND the prev/next order dates + consecutive-order day gap that the
+    retired customer_running_total / customer_order_gaps queries spent
+    two driver rows on — same partitioning and ordering, so Catalyst
+    plans a single Exchange+Sort feeding stacked Window nodes
+    (plan-pinned in tests/test_plan_shapes.py). The retired queries'
+    standalone SQL twins live on in tests/test_gold_twins.py."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import lag_lead
+
+    orders = load_table(spark, sf_dir, "orders")
+    run = gold.customer_order_running_total(orders)
+    out = lag_lead(
+        run,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        col="o_orderdate",
+        lag_col="prev_orderdate",
+        lead_col="next_orderdate",
+    )
+    return out.withColumn("gap_days", F.datediff("o_orderdate", "prev_orderdate"))
 
 
 def _q_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +270,41 @@ END"""
 # kernel.org wipes a whole branch; news3.co.uk blocks one multi-part
 # registered domain while its co.uk siblings survive.
 _URL_BLOCKLIST = ("badsite0.com", "badsite1.com", "kernel.org", "news3.co.uk")
+
+# Mojibake planting for _q_normalize_text_docs, written once in the SQL
+# dialect intersection (the _URL_PLANT_SQL discipline) and parsed
+# VERBATIM by F.expr and DuckDB. Non-ASCII code points are embedded RAW
+# (both parsers read literals as UTF-8 — verified code-point-identical);
+# chr(n) appears only for n <= 255, where Spark's mod-256 chr and
+# DuckDB's code-point chr agree. Each branch exercises one
+# functions/normalize.CLEAN_STEPS pattern or the NFC step.
+_NORM_PLANT_SQL = (
+    "CASE doc_id % 9\n"
+    # decomposed e + U+0301: the NFC composition target
+    "  WHEN 0 THEN text || ' caf" + "e\u0301" + " mojibake'\n"
+    # BOM prefix + ZWSP splitting a word
+    "  WHEN 1 THEN '" + "\ufeff" + "' || text || ' zero" + "\u200b"
+    + "width'\n"
+    # CRLF and lone CR -> LF
+    "  WHEN 2 THEN text || chr(13) || chr(10) || 'crlf' || chr(13)"
+    " || 'cr'\n"
+    # C0 (BEL), DEL, C1 (NEL) control junk
+    "  WHEN 3 THEN 'bel' || chr(7) || 'del' || chr(127) || 'nel'"
+    " || chr(133) || ' ' || text\n"
+    # NBSP run + plain double-space run
+    "  WHEN 4 THEN 'x" + "\u00a0\u00a0" + "y  z ' || text\n"
+    # trailing spaces + a 4-newline blank run + trailing junk
+    "  WHEN 5 THEN text || '   ' || chr(10) || chr(10) || chr(10)"
+    " || chr(10) || 'tail  '\n"
+    # soft hyphen and ZWJ inside words
+    "  WHEN 6 THEN 'co" + "\u00ad" + "operate zero" + "\u200d"
+    + "join ' || text\n"
+    # line-start indentation survives; the interior run collapses
+    "  WHEN 7 THEN 'head:' || chr(10) || '    indented   run'"
+    " || chr(10) || text\n"
+    "  ELSE text\n"
+    "END"
+)
 
 
 def _q_url_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,23 +1730,30 @@ def _q_orders_pit_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag/lead analytics (W2): previous/next order date per customer and
-    the day gap between consecutive orders."""
-    from azure_etl_databricks_sql_powerbi_spark.operators.windows import lag_lead
+def _q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/text canonicalization (functions/normalize; ROTATION_
+    POLICY.md §5 swap #7): deterministic mojibake planting — decomposed
+    NFC targets, BOM/zero-width invisibles, CRLF/CR, C0+C1 controls,
+    NBSP runs, trailing spaces, blank runs, preserved indent — via ONE
+    dual-dialect _NORM_PLANT_SQL string (raw non-ASCII code points parse
+    identically in Spark SQL and DuckDB literals, verified; chr(n) is
+    dual-dialect only for n<=255 — Spark's chr is mod-256), then
+    canonicalize_documents: clean (JVM regex chain) + NFC (Arrow
+    pandas_udf, single evaluation, plan-pinned) with norm_changed /
+    norm_len_delta audits. Hash-exact INCLUDING the canonicalized text
+    itself (the pii_scrub_docs precedent) vs the oracle generated from
+    the module's own duckdb_canonicalize_sql builder — which pits Python
+    unicodedata against DuckDB's native utf8proc nfc_normalize;
+    hand-written fixture expectations live in tests/test_normalize.py
+    (the generated-twin mitigation norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.normalize import (
+        canonicalize_documents,
+    )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_PLANT_SQL).alias("text")
     )
-    out = lag_lead(
-        orders,
-        partition_by=["o_custkey"],
-        order_by=["o_orderdate", "o_orderkey"],
-        col="o_orderdate",
-        lag_col="prev_orderdate",
-        lead_col="next_orderdate",
-    )
-    return out.withColumn("gap_days", F.datediff("o_orderdate", "prev_orderdate"))
+    return canonicalize_documents(docs, "text")
 
 
 def _q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3127,7 +3190,7 @@ QUERIES: dict[str, QueryFn] = {
     "latest_order_per_customer": _q_latest_order_per_customer,
     "top_customers_by_segment": _q_top_customers_by_segment,
     "compression_band_docs": _q_compression_band_docs,
-    "customer_running_total": _q_running_total,
+    "customer_order_windows": _q_customer_order_windows,
     "events_watermark_7d": _q_events_watermark,
     "events_json_kpis": _q_events_json_kpis,
     "union_schema_drift": _q_union_drift,
@@ -3153,7 +3216,7 @@ QUERIES: dict[str, QueryFn] = {
     "brand_nation_volume": _q_brand_nation_volume,
     "curate_documents": _q_curate_documents,
     "scd2_customer_status": _q_scd2_customer_status,
-    "customer_order_gaps": _q_customer_order_gaps,
+    "normalize_text_docs": _q_normalize_text_docs,
     "gopher_quality_docs": _q_gopher_quality_docs,
     # ================= end of the 50-entry driver window =================
     # --- round-11-window cohort (ex-r7 cohort with the three §5
@@ -3388,14 +3451,20 @@ ORACLES: dict[str, str] = {
         ) WHERE rnk <= 3
         ORDER BY c_mktsegment, rnk
     """,
-    "customer_running_total": """
+    "customer_order_windows": """
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_revenue
+               ) AS DOUBLE) AS running_revenue,
+               LAG(o_orderdate)  OVER w AS prev_orderdate,
+               LEAD(o_orderdate) OVER w AS next_orderdate,
+               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+                   AS INT) AS gap_days
         FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
     "events_watermark_7d": """
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
@@ -4621,15 +4690,6 @@ ORACLES: dict[str, str] = {
          AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
         ORDER BY o.o_orderkey
     """,
-    "customer_order_gaps": """
-        SELECT o_custkey, o_orderkey, o_orderdate,
-               LAG(o_orderdate)  OVER w AS prev_orderdate,
-               LEAD(o_orderdate) OVER w AS next_orderdate,
-               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
-                   AS gap_days
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
     "customer_revenue_quartiles": """
         WITH per AS (
             SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -5843,6 +5903,40 @@ def _url_provenance_oracle() -> str:
 
 
 ORACLES["url_provenance_docs"] = _url_provenance_oracle()
+
+
+def _normalize_docs_oracle() -> str:
+    """DuckDB twin of _q_normalize_text_docs, BUILT from the normalize
+    module's OWN duckdb_canonicalize_sql builder (one definition shared
+    with tests/test_normalize.py) over the verbatim _NORM_PLANT_SQL, so
+    neither planting nor canonicalization can desync. The canonical text
+    is computed ONCE in a CTE and both audit columns derive from it —
+    mirroring canonicalize_documents' single-evaluation shape — and the
+    NFC step pits DuckDB's native utf8proc nfc_normalize against Python
+    unicodedata cell-for-cell. Hand-written expectations:
+    tests/test_normalize.py FIXTURES (the generated-twin mitigation
+    norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.normalize import (
+        duckdb_canonicalize_sql,
+    )
+
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, {_NORM_PLANT_SQL} AS raw FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, raw,
+                   {duckdb_canonicalize_sql("raw")} AS text
+            FROM planted
+        )
+        SELECT doc_id, text,
+               text <> raw AS norm_changed,
+               CAST(length(raw) - length(text) AS BIGINT) AS norm_len_delta
+        FROM canon
+    """
+
+
+ORACLES["normalize_text_docs"] = _normalize_docs_oracle()
 
 # Twin of the one-row diagnostics union: the skew summary's raw IEEE
 # divisions and the exact Σ cl·cr join cardinality, cross-joined

@@ -58,12 +58,18 @@ from pyspark.sql import functions as F
 # \x{hhhh} parses identically in Java regex and RE2, so the same strings
 # drive Spark's regexp_replace and the DuckDB twin verbatim.
 CLEAN_STEPS: tuple[tuple[str, str], ...] = (
-    # C0 controls minus \t \n \r, plus DEL and the C1 block — junk bytes
-    # that survive bad charset transcodes; never legitimate in text.
-    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]", ""),
-    # zero-width space / non-joiner / joiner, BOM (also appears mid-text
+    # ONE deletion pass (each regexp_replace step is a full rewrite of
+    # every document — at corpus scale, passes are the cost unit, and
+    # disjoint-class deletions commute, so they share a class):
+    # C0 controls minus \t \n \r, DEL, the C1 block — junk bytes that
+    # survive bad charset transcodes — plus the invisible splitters:
+    # zero-width space / non-joiner / joiner, BOM (appears mid-text
     # after naive file concatenation), soft hyphen.
-    (r"[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]", ""),
+    (
+        r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}"
+        r"\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]",
+        "",
+    ),
     # CRLF and lone CR -> LF (before any newline-run handling).
     (r"\r\n?", "\n"),
     # NBSP -> plain space (folded BEFORE the run collapse below).

@@ -68,3 +68,64 @@ def test_sales_rollup_matches_duckdb_twin(spark):
     out = gold.sales_rollup(spark.read.parquet(f"{SF}/orders.parquet"))
     orc = duckdb.sql(SALES_ROLLUP_SQL.format(sf=SF)).df()
     assert compare(out, orc, float_tol=0) == []
+
+
+# Twin of plans/gold.customer_order_running_total — formerly the driver
+# oracle of `customer_running_total`, retired r12 (§5 swap #6: the §4.3
+# composable-window merge — the still-declared `customer_order_windows`
+# computes this exact running sum in its shared window sort). DECIMAL
+# accumulate -> one double cast on both sides (the r12 money contract).
+RUNNING_TOTAL_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_revenue
+    FROM read_parquet('{sf}/orders.parquet')
+"""
+
+
+def test_customer_running_total_matches_duckdb_twin(spark):
+    from azure_etl_databricks_sql_powerbi_spark.plans import gold
+
+    out = gold.customer_order_running_total(
+        spark.read.parquet(f"{SF}/orders.parquet")
+    )
+    orc = duckdb.sql(RUNNING_TOTAL_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []
+
+
+# Twin of the retired `customer_order_gaps` driver query (r12 §5 swap
+# #7 freed its slot; the lag/lead + datediff plan is a strict subset of
+# `customer_order_windows`). Exercises operators/windows.lag_lead
+# standalone, exactly as the retired query composed it.
+ORDER_GAPS_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate)  OVER w AS prev_orderdate,
+           LEAD(o_orderdate) OVER w AS next_orderdate,
+           CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
+               AS gap_days
+    FROM read_parquet('{sf}/orders.parquet')
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def test_customer_order_gaps_matches_duckdb_twin(spark):
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import lag_lead
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = lag_lead(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        col="o_orderdate",
+        lag_col="prev_orderdate",
+        lead_col="next_orderdate",
+    ).withColumn("gap_days", F.datediff("o_orderdate", "prev_orderdate"))
+    orc = duckdb.sql(ORDER_GAPS_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []

@@ -150,3 +150,65 @@ def test_canonicalize_documents_plans_one_udf_evaluation(spark):
     )
     assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("_nfc") == 1, plan
+
+
+# ---- property: dialect parity + idempotency over adversarial strings ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Curated adversarial alphabet: every CLEAN_STEPS class member, plain
+# text, and long-stable combining marks (Unicode 1.1 Latin diacritics —
+# deliberately NOT arbitrary unicode, where Python unicodedata and
+# DuckDB utf8proc may track different Unicode versions; the module
+# docstring states that caveat).
+_ALPHABET = (
+    " \t\n\r"
+    "\x00\x07\x0b\x0c\x7f\x85\x9f"
+    " ­​‌‍﻿"
+    "abcXYZ09. -"
+    "éèé̀ß"
+)
+
+_texts = st.lists(
+    st.text(alphabet=_ALPHABET, max_size=24), min_size=1, max_size=25
+)
+
+
+@given(texts=_texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_canonicalize_dialect_parity_and_idempotency_property(spark, texts):
+    """For any string over the adversarial alphabet: (1) Spark's
+    canonicalize_text equals the DuckDB twin cell-for-cell (the builder
+    cannot desync from CLEAN_STEPS, but Java-regex-vs-RE2 semantics
+    could — this hunts that), and (2) canonicalization is idempotent.
+    One Spark job + one DuckDB query per example (batched rows, the
+    test_properties.py cost discipline)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.canon, r.again)
+        for r in df.select(
+            "doc_id",
+            canonicalize_text("text").alias("canon"),
+            canonicalize_text(canonicalize_text("text")).alias("again"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    orc = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {duckdb_canonicalize_sql('text')} FROM t"
+        ).fetchall()
+    }
+    for i, _ in rows:
+        assert got[i][0] == orc[i], (i, repr(texts[i]), repr(got[i][0]), repr(orc[i]))
+        assert got[i][1] == got[i][0], (i, repr(texts[i]))

@@ -507,3 +507,28 @@ def test_negative_mining_plans_broadcast_anchors_and_prune_topk(spark, entry):
         # but its pairing stage is pinned by the two markers above.
         if name == "hard_negatives":
             assert "SortMergeJoin" not in plan, name
+
+
+def test_customer_order_windows_single_exchange_shared_sort(spark, entry):
+    """The §4.3 merged window suite: the running DECIMAL sum (ROWS
+    frame) and lag/lead (offset frame) share one PARTITION BY/ORDER BY,
+    so the plan must carry exactly ONE hash exchange and ONE sort —
+    stacked Window nodes, never a second shuffle (the merge's whole
+    point: two retired driver rows now cost one Exchange)."""
+    df = entry.queries()["customer_order_windows"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert plan.count("+- Sort") == 1, plan
+    assert plan.count("Window") >= 1
+
+
+def test_normalize_docs_single_scan_no_shuffle(spark, entry):
+    """Canonicalization is a pure per-row map: one parquet scan with
+    column pruning (doc_id, text only), the regex chain JVM-side, ONE
+    ArrowEvalPython for the NFC pandas_udf, and zero exchanges."""
+    df = entry.queries()["normalize_text_docs"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "n_chars" not in plan.split("ReadSchema")[-1], plan
