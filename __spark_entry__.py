@@ -285,14 +285,16 @@ _NORM_PLANT_SQL = (
     # BOM prefix + ZWSP splitting a word
     "  WHEN 1 THEN '" + "\ufeff" + "' || text || ' zero" + "\u200b"
     + "width'\n"
-    # CRLF and lone CR -> LF
+    # CRLF, lone CR, and U+2028 LINE SEPARATOR -> LF
     "  WHEN 2 THEN text || chr(13) || chr(10) || 'crlf' || chr(13)"
-    " || 'cr'\n"
+    " || 'cr" + "\u2028" + "ls'\n"
     # C0 (BEL), DEL, C1 (NEL) control junk
     "  WHEN 3 THEN 'bel' || chr(7) || 'del' || chr(127) || 'nel'"
     " || chr(133) || ' ' || text\n"
-    # NBSP run + plain double-space run
-    "  WHEN 4 THEN 'x" + "\u00a0\u00a0" + "y  z ' || text\n"
+    # Zs separators (NBSP+em-space run, ideographic space) + a plain
+    # double-space run
+    "  WHEN 4 THEN 'x" + "\u00a0\u2003" + "y" + "\u3000"
+    + " z  w ' || text\n"
     # trailing spaces + a 4-newline blank run + trailing junk
     "  WHEN 5 THEN text || '   ' || chr(10) || chr(10) || chr(10)"
     " || chr(10) || 'tail  '\n"

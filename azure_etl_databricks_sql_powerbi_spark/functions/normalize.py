@@ -10,8 +10,10 @@ Two layers, composed by :func:`canonicalize_text`:
    ``btrim``), JVM-side, whole-stage-codegen'd, zero Python: strip
    C0/C1 control characters (keeping tab/newline), strip zero-width
    code points (ZWSP/ZWNJ/ZWJ/BOM/soft hyphen — the classic web-crawl
-   invisibles that split tokens silently), normalize CRLF/CR to LF,
-   fold NBSP into space, collapse horizontal whitespace runs to one
+   invisibles that split tokens silently), normalize CRLF/CR and the
+   U+2028/U+2029 line/paragraph separators to LF, fold every Zs space
+   separator (NBSP through ideographic space) into a plain space,
+   collapse horizontal whitespace runs to one
    space while PRESERVING line-start indentation (meaningful in
    code/markdown corpora), drop whitespace-only line tails, cap blank
    runs at one empty line, and trim the ends.
@@ -70,10 +72,19 @@ CLEAN_STEPS: tuple[tuple[str, str], ...] = (
         r"\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]",
         "",
     ),
-    # CRLF and lone CR -> LF (before any newline-run handling).
-    (r"\r\n?", "\n"),
-    # NBSP -> plain space (folded BEFORE the run collapse below).
-    (r"\x{00A0}", " "),
+    # CRLF, lone CR, and the Unicode line/paragraph separators
+    # (U+2028/U+2029) -> LF, one pass (before any newline-run handling).
+    (r"\r\n?|[\x{2028}\x{2029}]", "\n"),
+    # every Zs space separator -> plain space (folded BEFORE the run
+    # collapse below): NBSP, Ogham space mark, the U+2000-200A quad/em/
+    # thin family, narrow NBSP, medium mathematical space, ideographic
+    # space. Without this fold, 'cafe<em space U+2003>' and 'cafe '
+    # still hash/shingle apart — the exact failure the module exists
+    # to remove (r12 review).
+    (
+        r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]",
+        " ",
+    ),
     # horizontal whitespace runs -> one space, but ONLY runs preceded by
     # a non-whitespace char: anchoring on the captured predecessor keeps
     # LINE-START INDENTATION intact (meaningful in code/markdown
@@ -86,11 +97,12 @@ CLEAN_STEPS: tuple[tuple[str, str], ...] = (
     (r"\n{3,}", "\n\n"),
 )
 
-# btrim character set for the final end-trim: space, tab, newline. After
-# the steps above these are the only whitespace left (\x0B \x0C stripped
-# as controls, \r folded to \n), so a char-set trim is exact and avoids
-# the one Java-vs-RE2 divergence in this module's reach ($ matches
-# before a final newline in Java but not in RE2).
+# btrim character set for the final end-trim: space, tab, newline.
+# After the steps above these ARE the only whitespace left — \x0B \x0C
+# \x85 stripped as controls, \r/LS/PS folded to \n, every Zs separator
+# folded to space — so a char-set trim is exact and avoids the one
+# Java-vs-RE2 divergence in this module's reach ($ matches before a
+# final newline in Java but not in RE2).
 _TRIM_CHARS = " \t\n"
 
 
@@ -135,8 +147,10 @@ def canonicalize_documents(
 ) -> DataFrame:
     """Pipeline form: ``text_col`` canonicalized in place plus two audit
     columns — ``norm_changed`` (did canonicalization touch this row) and
-    ``norm_len_delta`` (chars removed; negative means NFC shrank more
-    than cleanup added, never happens — composition only shrinks).
+    ``norm_len_delta`` (code points removed; NEGATIVE when
+    canonicalization GREW the text — rare but real: NFC decomposes
+    composition-excluded singletons, e.g. U+0344 becomes U+0308 U+0301,
+    fixture-pinned).
     Computes the canonical text ONCE (single pandas-UDF evaluation per
     row — the compression_band_filter lesson, r11 ADVICE) and derives
     both audit columns from the materialized result. NULL text yields

@@ -52,6 +52,15 @@ FIXTURES = [
     (16, "if x:\n\tdo(  1,   2 )", "if x:\n\tdo( 1, 2 )"),
     # whitespace-only "blank" lines become truly blank, then capped
     (17, "p1\n   \n\t\n \np2", "p1\n\np2"),
+    # Zs separators (em space, ideographic space) fold into the space
+    # run; U+2028 LINE SEPARATOR becomes a real LF (r12 review)
+    (18, "a\u2003\u2003b\u3000c\u2028d", "a b c\nd"),
+    # a trailing em space is folded, then end-trimmed
+    (19, "tail\u2003", "tail"),
+    # NFC can GROW text: U+0344 decomposes to U+0308 U+0301, and 'q'
+    # has no precomposed diaeresis form to recompose with — the
+    # negative norm_len_delta path ('x' would recompose into U+1E8D)
+    (20, "q\u0344", "q\u0308\u0301"),
 ]
 
 
@@ -126,6 +135,8 @@ def test_canonicalize_documents_audit_columns(spark, docs):
     assert out[1].norm_changed is True and out[1].norm_len_delta == 1
     # untouched ASCII: flagged unchanged, zero delta
     assert out[13].norm_changed is False and out[13].norm_len_delta == 0
+    # NFC growth: U+0344 decomposes, so the delta goes NEGATIVE
+    assert out[20].norm_changed is True and out[20].norm_len_delta == -1
     # NULL text: NULL audits (no signal)
     assert out[15].text is None
     assert out[15].norm_changed is None and out[15].norm_len_delta is None
@@ -167,6 +178,7 @@ _ALPHABET = (
     "\x00\x07\x0b\x0c\x7f\x85\x9f"
     " ­​‌‍﻿"
     "abcXYZ09. -"
+    "\u2003\u3000\u2028"
     "éèé̀ß"
 )
 

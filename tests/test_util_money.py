@@ -16,9 +16,14 @@ from azure_etl_databricks_sql_powerbi_spark.util import (
     money_sum,
 )
 
-# 2-dp money values whose raw double sum sits ON a half-cent boundary:
-# the classic ROUND(SUM(double), 2) splitter. Decimal ground truth is
-# unambiguous.
+# 2-dp money values whose NAIVE double accumulation lands one ULP off
+# the exact decimal total (sum() of these floats = 233.57999999999998,
+# exact = 233.58), so the == assert below is a live tripwire for any
+# regression back to a double accumulator. (A true half-cent .xx5
+# boundary cannot arise HERE: money_sum casts each value to
+# DECIMAL(18,2) first, and a sum of 2-dp decimals is itself 2-dp — the
+# historical splitters were rounded sums of 4-dp+ products, covered by
+# the disc_price/pricing tests.)
 VALUES = [0.01, 0.02, 10.10, 99.99, 123.45, 0.005 * 2]  # last = 0.01
 
 
