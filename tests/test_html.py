@@ -1,0 +1,144 @@
+"""HTML → text extraction: hand-written fixtures with exact expected
+outputs (the generated-twin mitigation norm), cell-for-cell DuckDB
+parity of the JVM path, the \\z-not-$ unclosed-block dialect case,
+entity-order semantics (&amp; last), full-entity unescape vs stdlib,
+composition with canonicalize, and the all-JVM plan pin."""
+
+from __future__ import annotations
+
+import html as _stdlib_html
+
+import duckdb
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+    duckdb_strip_html_sql,
+    html_to_text,
+    strip_html,
+    unescape_entities,
+)
+
+# (doc_id, raw_html, expected strip_html output) — expectations BY HAND.
+FIXTURES = [
+    (1, "<p>Hello <b>world</b></p>", "\nHello world\n"),
+    (2, "a<script type='t'>var q=1;</script>b", "ab"),
+    # unclosed script ending in a newline: the \z fallback must strip
+    # to END OF TEXT in both engines (Java's $ would stop before \n)
+    (3, "a<script>junk\n", "a"),
+    (4, "x<style>.c{color:red}</style>y", "xy"),
+    (5, "a<!-- hidden -->b<!--unclosed", "ab"),
+    (6, "a<![CDATA[var x;]]>b", "ab"),
+    # entity decode: the dominant named set, &nbsp; -> real NBSP
+    (
+        7,
+        "Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end",
+        'Tom & Jerry <3 "q" \'s\' end',
+    ),
+    # double-escape: &amp;lt; is the TEXT '&lt;', never '<'
+    (8, "&amp;lt;b&amp;gt;", "&lt;b&gt;"),
+    # markup smuggled as entities stays text (decode AFTER strip)
+    (9, "&lt;b&gt;not bold&lt;/b&gt;", "<b>not bold</b>"),
+    # stray < followed by space or digit is prose, not a tag
+    (10, "a < b and x<5 but y<z", "a < b and x<5 but y<z"),
+    # block tags keep paragraph structure as newlines
+    (11, "<h1>T</h1><p>a</p><p>b</p>", "\nT\n\na\n\nb\n"),
+    (12, "l1<br/>l2<BR>l3", "l1\nl2\nl3"),
+    (13, "<P CLASS='x'>a</P><SCRIPT>s()</SCRIPT>", "\na\n"),
+    (14, '<a href="u" title="t">link</a> <img src="i"/>', "link "),
+    (15, "", ""),
+    (16, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in FIXTURES], "doc_id long, text string"
+    )
+
+
+def test_strip_html_matches_handwritten_expectations(spark, docs):
+    got = {
+        r.doc_id: r.out
+        for r in docs.select(
+            "doc_id", strip_html("text").alias("out")
+        ).collect()
+    }
+    for doc_id, _, want in FIXTURES:
+        assert got[doc_id] == want, (doc_id, repr(got[doc_id]), repr(want))
+
+
+def test_duckdb_twin_matches_cell_for_cell(spark, docs):
+    pdf = docs.toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("fixtures", pdf)
+    oracle = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {duckdb_strip_html_sql('text')} "
+            "FROM fixtures ORDER BY doc_id"
+        ).fetchall()
+    }
+    got = {
+        r.doc_id: r.out
+        for r in docs.select(
+            "doc_id", strip_html("text").alias("out")
+        ).collect()
+    }
+    for doc_id, _, _ in FIXTURES:
+        assert got[doc_id] == oracle[doc_id], (
+            doc_id,
+            repr(got[doc_id]),
+            repr(oracle[doc_id]),
+        )
+
+
+def test_unescape_entities_full_table(spark):
+    rows = [
+        (1, "&#233;clair &#x2019;s &eacute; &hellip; &amp;"),
+        (2, "no entities"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.out
+        for r in df.select(
+            "doc_id", unescape_entities("text").alias("out")
+        ).collect()
+    }
+    for doc_id, raw in rows:
+        want = None if raw is None else _stdlib_html.unescape(raw)
+        assert got[doc_id] == want, (doc_id, repr(got[doc_id]), repr(want))
+    # numeric entities really decoded (the thing no regex can do)
+    assert got[1].startswith("éclair ’s")
+
+
+def test_html_to_text_composition(spark):
+    # decomposed e+U+0301 inside markup, NBSP entities, empty paragraph:
+    # strip -> canonicalize yields composed NFC text with capped blanks
+    raw = "<p>caf" + "e\u0301" + "&nbsp;&nbsp;shop</p><p></p><p>next</p>"
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out = df.select(html_to_text("text").alias("out")).collect()[0].out
+    assert out == "caf\u00e9 shop\n\nnext", repr(out)
+
+
+def test_strip_html_is_pure_jvm_and_composed_plan_has_one_udf(spark):
+    """strip_html must plan with ZERO Python evaluation nodes (the
+    100 TB scan-speed contract); html_to_text's only Python is
+    normalize's single NFC ArrowEvalPython."""
+    df = spark.createDataFrame([(1, "<p>a</p>")], "doc_id long, text string")
+    plan_strip = (
+        df.select(strip_html("text").alias("o"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan_strip, plan_strip
+    assert "BatchEvalPython" not in plan_strip, plan_strip
+    plan_full = (
+        df.select(html_to_text("text").alias("o"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan_full.count("ArrowEvalPython") == 1, plan_full
