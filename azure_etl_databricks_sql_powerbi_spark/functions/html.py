@@ -8,12 +8,15 @@ dedup hashes). Composes as ``canonicalize_text(strip_html(text))``.
 Two paths, the ``functions/normalize`` split:
 
 1. **``strip_html``** — pure Column expressions, JVM-side, zero Python:
-   drop ``<script>``/``<style>`` payloads (their CONTENT is never
-   prose), drop comments and CDATA wrappers, turn block-level tags into
-   newlines (so ``<p>a</p><p>b</p>`` keeps its paragraph structure for
-   the blank-run logic downstream), strip every remaining tag, then
-   decode the six named entities that dominate real crawls via literal
-   ``replace`` (no regex needed): ``&lt; &gt; &quot; &#39; &nbsp;``
+   drop comments and CDATA first (so a commented-out ``<script>``
+   opener can never arm the script pass), then ``<script>``/``<style>``
+   payloads (their CONTENT is never prose), then ``<!DOCTYPE>``
+   declarations and ``<?...?>`` processing instructions, turn
+   block-level tags into newlines (so ``<p>a</p><p>b</p>`` keeps its
+   paragraph structure for the blank-run logic downstream), strip every
+   remaining tag, then (by default) decode the named entities that
+   dominate real crawls via literal ``replace`` (no regex needed):
+   ``&lt; &gt; &quot; &#39; &apos; &nbsp;``
    and — LAST, so double-escapes like ``&amp;lt;`` correctly yield the
    literal ``&lt;`` rather than ``<`` — ``&amp;``. Entity decode runs
    AFTER tag stripping, so markup smuggled as ``&lt;b&gt;`` stays
@@ -52,6 +55,15 @@ from pyspark.sql import functions as F
 # ASCII-only; (?is) = case-insensitive + dot-matches-newline in both
 # Java and RE2.
 STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # comments and CDATA wrappers FIRST — a commented-out '<script>'
+    # opener must vanish harmlessly here, or the script pass below
+    # would treat it as live and delete every character up to the next
+    # '</script>' (or end of document) — r12 review, empirically a
+    # whole-document-body loss on real crawl HTML. (Keep CDATA's inner
+    # text? No: CDATA in crawl HTML is almost always JS/CSS payload —
+    # drop the whole block, same conservative rule as script.)
+    (r"(?s)<!--.*?(?:-->|\z)", ""),
+    (r"(?s)<!\[CDATA\[.*?(?:\]\]>|\z)", ""),
     # script/style payloads are code, never prose — drop tag AND body.
     # Lazy body + closing tag; an unclosed block strips to end-of-doc
     # (conservative: better to lose a tail than ship JavaScript into
@@ -60,11 +72,12 @@ STRIP_STEPS: tuple[tuple[str, str], ...] = (
     # end-of-text in both. The [^>]* after the name allows attributes.
     (r"(?is)<script\b[^>]*>.*?(?:</script\s*>|\z)", ""),
     (r"(?is)<style\b[^>]*>.*?(?:</style\s*>|\z)", ""),
-    # comments and CDATA wrappers (keep CDATA's inner text? No: CDATA
-    # in crawl HTML is almost always JS/CSS payload — drop whole block,
-    # same conservative rule as script).
-    (r"(?s)<!--.*?(?:-->|\z)", ""),
-    (r"(?s)<!\[CDATA\[.*?(?:\]\]>|\z)", ""),
+    # declarations ('<!DOCTYPE html>' heads ~every real page) and
+    # '<?xml ...?>' processing instructions — the generic tag strip
+    # below requires a LETTER after '<'/'</', so without these passes
+    # both survive verbatim into the corpus (r12 review).
+    (r"<![A-Za-z][^>]*>", ""),
+    (r"(?s)<\?.*?(?:\?>|\z)", ""),
     # block-level boundaries -> newline, so paragraph structure
     # survives for normalize's blank-run cap. br joins the list (it IS
     # a line break) — self-closing forms covered by [^>]*.
@@ -95,17 +108,23 @@ ENTITY_REPLACES: tuple[tuple[str, str], ...] = (
 )
 
 
-def strip_html(c: Column | str) -> Column:
-    """Markup stripped + the dominant named entities decoded, as one
-    chained JVM codegen stage (regexp_replace x5 + literal replace x7).
-    NULL -> NULL (both engines' replace/regexp_replace null-propagate).
-    Output whitespace is NOT normalized — compose with
-    ``functions/normalize.canonicalize_text`` for the canonical form."""
+def strip_html(c: Column | str, decode_entities: bool = True) -> Column:
+    """Markup stripped + (by default) the dominant named entities
+    decoded, as one chained JVM codegen stage (regexp_replace x7 +
+    literal replace x7). NULL -> NULL (both engines' replace/
+    regexp_replace null-propagate). ``decode_entities=False`` strips
+    tags ONLY — required when :func:`unescape_entities` runs next, so
+    entities decode exactly once (decoding twice breaks the
+    double-escape guarantee: '&amp;amp;' must yield the text '&amp;',
+    never '&' — r12 review). Output whitespace is NOT normalized —
+    compose with ``functions/normalize.canonicalize_text`` for the
+    canonical form."""
     out = F.col(c) if isinstance(c, str) else c
     for pattern, repl in STRIP_STEPS:
         out = F.regexp_replace(out, pattern, repl)
-    for search, repl in ENTITY_REPLACES:
-        out = F.replace(out, F.lit(search), F.lit(repl))
+    if decode_entities:
+        for search, repl in ENTITY_REPLACES:
+            out = F.replace(out, F.lit(search), F.lit(repl))
     return out
 
 
@@ -129,18 +148,22 @@ def unescape_entities(c: Column | str) -> Column:
 
 
 def html_to_text(c: Column | str, full_entities: bool = False) -> Column:
-    """The composed extractor: :func:`strip_html`, optionally followed
-    by the full :func:`unescape_entities` pass, then
+    """The composed extractor: :func:`strip_html`, optionally with the
+    full :func:`unescape_entities` pass, then
     ``normalize.canonicalize_text`` (whitespace + NFC). The default
     ``full_entities=False`` keeps the whole pipeline JVM-side except
-    normalize's single NFC batch."""
+    normalize's single NFC batch. With ``full_entities=True`` the JVM
+    entity replaces are SKIPPED (tag strip only) and ``html.unescape``
+    is the single decoder — entities must decode exactly once on
+    either path."""
     from azure_etl_databricks_sql_powerbi_spark.functions.normalize import (
         canonicalize_text,
     )
 
-    out = strip_html(c)
     if full_entities:
-        out = unescape_entities(out)
+        out = unescape_entities(strip_html(c, decode_entities=False))
+    else:
+        out = strip_html(c)
     return canonicalize_text(out)
 
 
@@ -154,16 +177,19 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def duckdb_strip_html_sql(text_expr: str = "text") -> str:
+def duckdb_strip_html_sql(
+    text_expr: str = "text", decode_entities: bool = True
+) -> str:
     """DuckDB twin of :func:`strip_html` — same regex passes (RE2
     accepts the (?is)/lazy forms verbatim), same literal entity
-    replaces, same order."""
+    replaces, same order, same ``decode_entities`` switch."""
     out = text_expr
     for pattern, repl in STRIP_STEPS:
         out = (
             f"regexp_replace({out}, {_sql_quote(pattern)}, "
             f"{_sql_quote(repl)}, 'g')"
         )
-    for search, repl in ENTITY_REPLACES:
-        out = f"replace({out}, {_sql_quote(search)}, {_sql_quote(repl)})"
+    if decode_entities:
+        for search, repl in ENTITY_REPLACES:
+            out = f"replace({out}, {_sql_quote(search)}, {_sql_quote(repl)})"
     return out

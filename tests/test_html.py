@@ -47,6 +47,13 @@ FIXTURES = [
     (14, '<a href="u" title="t">link</a> <img src="i"/>', "link "),
     (15, "", ""),
     (16, None, None),
+    # DOCTYPE and <?xml?> never reach the corpus (r12 review: the
+    # generic strip needs a letter after '<', so these need own passes)
+    (17, "<!DOCTYPE html><p>hi</p>", "\nhi\n"),
+    (18, "<?xml version='1.0'?><p>x</p>", "\nx\n"),
+    # a COMMENTED-OUT script opener must not arm the script pass and
+    # eat the document body (r12 review: comments strip first)
+    (19, "keep<!-- <script src=x.js> -->rest stays", "keeprest stays"),
 ]
 
 
@@ -120,6 +127,31 @@ def test_html_to_text_composition(spark):
     df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
     out = df.select(html_to_text("text").alias("out")).collect()[0].out
     assert out == "caf\u00e9 shop\n\nnext", repr(out)
+
+
+def test_full_entities_path_decodes_exactly_once(spark):
+    """html_to_text(full_entities=True) must skip the JVM entity
+    replaces so html.unescape is the single decoder — '&amp;amp;' is
+    the literal text '&amp;', never '&' (r12 review caught the double
+    decode)."""
+    rows = [(1, "<p>a &amp;amp; b</p>"), (2, "<p>&amp;lt;b&amp;gt;</p>")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.out
+        for r in df.select(
+            "doc_id", html_to_text("text", full_entities=True).alias("out")
+        ).collect()
+    }
+    assert got[1] == "a &amp; b", repr(got[1])
+    assert got[2] == "&lt;b&gt;", repr(got[2])
+    # and the default JVM path makes the same promise via &amp;-last
+    jvm = {
+        r.doc_id: r.out
+        for r in df.select(
+            "doc_id", html_to_text("text").alias("out")
+        ).collect()
+    }
+    assert jvm == got
 
 
 def test_strip_html_is_pure_jvm_and_composed_plan_has_one_udf(spark):
