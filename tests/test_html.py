@@ -174,3 +174,61 @@ def test_strip_html_is_pure_jvm_and_composed_plan_has_one_udf(spark):
         .toString()
     )
     assert plan_full.count("ArrowEvalPython") == 1, plan_full
+
+
+# ---- property: dialect parity over adversarial markup fragments ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Fragments chosen to recombine into every hazardous shape the
+# STRIP_STEPS patterns can meet: nested/unclosed/commented openers,
+# entity double-escapes, stray '<'/'&', case variants, \z-tail cases.
+_FRAGMENTS = [
+    "<script>", "</script>", "<SCRIPT src=x>", "<style>", "</style>",
+    "<!--", "-->", "<![CDATA[", "]]>", "<!DOCTYPE html>", "<?xml?>",
+    "<?", "?>", "<p>", "</p>", "<br/>", "<b>", "</b>", "<a href='u'>",
+    "&amp;", "&lt;", "&gt;", "&nbsp;", "&amp;lt;", "&#39;", "&",
+    "<", ">", "a < b", "x<5", "text", "var q=1;", " ", "\n", "\t",
+]
+
+_markup = st.lists(
+    st.lists(st.sampled_from(_FRAGMENTS), max_size=12).map("".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=_markup)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_strip_html_dialect_parity_property(spark, texts):
+    """For any recombination of hazardous markup fragments, Spark's
+    strip_html equals the DuckDB twin cell-for-cell — this hunts
+    Java-regex-vs-RE2 divergences in the lazy/(?is)/\\z pattern forms
+    that the hand fixtures can't enumerate. One Spark job + one DuckDB
+    query per example (the batched-rows cost discipline)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.out
+        for r in df.select(
+            "doc_id", strip_html("text").alias("out")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    orc = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {duckdb_strip_html_sql('text')} FROM t"
+        ).fetchall()
+    }
+    for i, _ in rows:
+        assert got[i] == orc[i], (i, repr(texts[i]), repr(got[i]), repr(orc[i]))
