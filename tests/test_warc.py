@@ -1,0 +1,122 @@
+"""WARC source: hand-built archives with exact Content-Length records
+(plain, member-per-record gzip, whole-file gzip), streaming-parser
+semantics (truncation drops the tail record only, padding tolerated),
+the Spark connector end-to-end over binaryFile, and the composed
+Common-Crawl-style ingestion warc_html_corpus ≡ html_to_text."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+    _iter_decompressed,
+    iter_warc_records,
+    read_warc,
+    warc_html_corpus,
+)
+
+
+def _record(warc_type: str, uri: str, rec_id: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + (
+            "Content-Type: application/http;msgtype=response\r\n"
+            if warc_type == "response"
+            else "Content-Type: application/warc-fields\r\n"
+        )
+        + f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+    )
+
+
+HTML_BODY = b"<p>Tom &amp; Jerry</p><script>x()</script><p>end</p>"
+
+RECORDS = [
+    _record("warcinfo", "", "info-1", b"software: test\r\n"),
+    _record("request", "http://ex.com/a", "req-1", b"GET /a HTTP/1.1\r\n"),
+    _record("response", "http://ex.com/a", "resp-1", _http(HTML_BODY)),
+    _record(
+        "response",
+        "http://ex.com/b.png",
+        "resp-2",
+        _http(b"\x89PNGnotreallytext", b"image/png"),
+    ),
+]
+PLAIN = b"".join(RECORDS)
+MEMBER_GZ = b"".join(gzip.compress(r) for r in RECORDS)  # CC layout
+WHOLE_GZ = gzip.compress(PLAIN)
+
+
+@pytest.mark.parametrize("blob", [PLAIN, MEMBER_GZ, WHOLE_GZ])
+def test_parser_all_layouts(blob):
+    recs = list(iter_warc_records(_iter_decompressed(blob)))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+        "response",
+    ]
+    resp = recs[2]
+    assert resp["target_uri"] == "http://ex.com/a"
+    assert resp["record_id"] == "<urn:uuid:resp-1>"
+    assert resp["http_status"] == 200
+    # WARC record header vs HTTP payload header: both surfaced
+    assert resp["content_type"].startswith("application/http")
+    assert resp["http_content_type"] == "text/html"
+    assert resp["body_text"] == HTML_BODY.decode()
+    # n_bytes counts the ORIGINAL payload (HTTP headers included)
+    assert resp["n_bytes"] == len(_http(HTML_BODY))
+    # non-HTTP payloads carry no status
+    assert recs[0]["http_status"] is None
+
+
+def test_parser_http_only_prunes_early():
+    recs = list(iter_warc_records(_iter_decompressed(PLAIN), http_only=True))
+    assert [r["record_id"] for r in recs] == [
+        "<urn:uuid:resp-1>",
+        "<urn:uuid:resp-2>",
+    ]
+
+
+def test_parser_truncation_drops_tail_record_only():
+    cut = PLAIN[: len(PLAIN) - len(RECORDS[-1]) + 10]  # last record cut
+    recs = list(iter_warc_records(_iter_decompressed(cut)))
+    assert len(recs) == 3  # first three intact, tail dropped, no raise
+
+
+def test_parser_tolerates_leading_padding():
+    recs = list(iter_warc_records(_iter_decompressed(b"\r\n\r\n" + PLAIN)))
+    assert len(recs) == 4
+
+
+def test_read_warc_spark_end_to_end(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(PLAIN)
+    (tmp_path / "b.warc.gz").write_bytes(MEMBER_GZ)
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 8  # 4 records x 2 shards
+    by = {(r.path.split("/")[-1], r.record_id): r for r in rows}
+    r = by[("a.warc", "<urn:uuid:resp-1>")]
+    assert r.warc_type == "response" and r.http_status == 200
+    assert r.body_text == HTML_BODY.decode()
+    assert by[("b.warc.gz", "<urn:uuid:resp-1>")].body_text == r.body_text
+
+
+def test_warc_html_corpus_composition(spark, tmp_path):
+    (tmp_path / "c.warc.gz").write_bytes(MEMBER_GZ)
+    out = warc_html_corpus(spark, str(tmp_path)).collect()
+    # only the HTML response survives (png filtered by content-type)
+    assert len(out) == 1
+    assert out[0].target_uri == "http://ex.com/a"
+    assert out[0].text == "Tom & Jerry\n\nend"
