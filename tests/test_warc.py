@@ -120,3 +120,27 @@ def test_warc_html_corpus_composition(spark, tmp_path):
     assert len(out) == 1
     assert out[0].target_uri == "http://ex.com/a"
     assert out[0].text == "Tom & Jerry\n\nend"
+
+
+def test_parser_correct_at_any_chunk_boundary():
+    """chunk_size=7 forces record headers, payloads, gzip members, and
+    the \\r\\n\\r\\n separators to split across feed windows — output
+    must be identical to the one-chunk parse (the streaming rewrite's
+    correctness pin, r12 review)."""
+    want = list(iter_warc_records(_iter_decompressed(PLAIN)))
+    for blob in (PLAIN, MEMBER_GZ, WHOLE_GZ):
+        got = list(iter_warc_records(_iter_decompressed(blob, chunk_size=7)))
+        assert got == want, blob[:20]
+
+
+def test_parser_resyncs_after_garbled_midshard_header():
+    """One corrupted Content-Length must lose ONE record, not the rest
+    of the shard (r12 review: the first cut returned, silently
+    discarding every later record)."""
+    bad = RECORDS[1].replace(b"Content-Length:", b"Content-Length: x")
+    blob = RECORDS[0] + bad + RECORDS[2] + RECORDS[3]
+    recs = list(iter_warc_records(_iter_decompressed(blob)))
+    ids = [r["record_id"] for r in recs]
+    assert "<urn:uuid:req-1>" not in ids  # the garbled record is lost
+    assert ids[0] == "<urn:uuid:info-1>"  # ...but its neighbors are not
+    assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids

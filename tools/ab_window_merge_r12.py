@@ -41,11 +41,11 @@ def main() -> None:
     from azure_etl_databricks_sql_powerbi_spark.operators.windows import lag_lead
     from azure_etl_databricks_sql_powerbi_spark.plans import gold
 
-    def run_retired_pair() -> int:
+    def run_retired_pair() -> None:
         orders = entry.load_table(spark, sf_dir, "orders")
-        n = gold.customer_order_running_total(orders).write.format(
+        gold.customer_order_running_total(orders).write.format(
             "noop"
-        ).mode("overwrite").save() or 0
+        ).mode("overwrite").save()
         lag_lead(
             orders.select("o_custkey", "o_orderkey", "o_orderdate"),
             partition_by=["o_custkey"],
@@ -56,13 +56,11 @@ def main() -> None:
         ).withColumn(
             "gap_days", F.datediff("o_orderdate", "prev_orderdate")
         ).write.format("noop").mode("overwrite").save()
-        return n
 
-    def run_merged() -> int:
+    def run_merged() -> None:
         entry.queries()["customer_order_windows"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
-        return 0
 
     best = {"retired_pair": float("inf"), "merged": float("inf")}
     for _ in range(reps):
