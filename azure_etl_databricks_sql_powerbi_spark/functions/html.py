@@ -30,8 +30,10 @@ Two paths, the ``functions/normalize`` split:
    overwhelming majority at scan speed.
 
 This is deliberately a TEXT EXTRACTOR, not an HTML parser: no DOM, no
-attribute semantics, no entity re-encoding — the 100 TB contract is
-one streaming regex pass per document. Pathological markup (unclosed
+attribute semantics, no entity re-encoding — the 100 TB contract is a
+fixed chain of codegen'd regex/replace passes per document (seven
+regex + seven literal replaces, no tree ever materialized, one
+whole-stage-codegen projection). Pathological markup (unclosed
 ``<script>``, tags split across documents) degrades to conservative
 behavior (strip to end / leave text alone), never to an error.
 
