@@ -31,9 +31,9 @@ Two paths, the ``functions/normalize`` split:
 
 This is deliberately a TEXT EXTRACTOR, not an HTML parser: no DOM, no
 attribute semantics, no entity re-encoding — the 100 TB contract is a
-fixed chain of codegen'd regex/replace passes per document (seven
+fixed chain of codegen'd regex/replace passes per document (eight
 regex + seven literal replaces, no tree ever materialized, one
-whole-stage-codegen projection). Pathological markup (unclosed
+whole-stage-codegen projection; pass-count pinned by a unit test). Pathological markup (unclosed
 ``<script>``, tags split across documents) degrades to conservative
 behavior (strip to end / leave text alone), never to an error.
 
@@ -112,8 +112,9 @@ ENTITY_REPLACES: tuple[tuple[str, str], ...] = (
 
 def strip_html(c: Column | str, decode_entities: bool = True) -> Column:
     """Markup stripped + (by default) the dominant named entities
-    decoded, as one chained JVM codegen stage (regexp_replace x7 +
-    literal replace x7). NULL -> NULL (both engines' replace/
+    decoded, as one chained JVM codegen stage (regexp_replace x8 +
+    literal replace x7 — the counts a unit test pins against
+    STRIP_STEPS/ENTITY_REPLACES). NULL -> NULL (both engines' replace/
     regexp_replace null-propagate). ``decode_entities=False`` strips
     tags ONLY — required when :func:`unescape_entities` runs next, so
     entities decode exactly once (decoding twice breaks the

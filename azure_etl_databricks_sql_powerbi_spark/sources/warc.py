@@ -159,11 +159,18 @@ def iter_warc_records(
             off = 0
 
     while True:
-        # locate the end of the header block, pulling chunks as needed
+        # locate the end of the header block, pulling chunks as needed.
+        # On a miss, the next search resumes 3 bytes before the old end
+        # (a separator can straddle the boundary) instead of rescanning
+        # from `off` — a garbled 100 MB binary payload would otherwise
+        # cost O(payload²/chunk) byte scans on the resync path (r12
+        # review).
+        search_from = off
         while True:
-            head_end = buf.find(b"\r\n\r\n", off)
+            head_end = buf.find(b"\r\n\r\n", search_from)
             if head_end != -1:
                 break
+            search_from = max(off, len(buf) - 3)
             nxt = next(chunk_iter, None)
             if nxt is None:
                 return
@@ -185,10 +192,16 @@ def iter_warc_records(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
             # one garbled header must not discard the rest of the shard
             # (r12 review): skip past this header block and let the
             # padding branch resync on the next 'WARC/'. The bad
             # record's payload scans as garbage blocks until then.
+            # Negative PARSEABLE lengths take the same branch — a
+            # negative offset would wrap find()/fill() arithmetic into
+            # an infinite duplicate-emitting loop (r12 review,
+            # empirically confirmed).
             advance(head_end + 4 - off)
             continue
         if not fill(head_end + 4 - off + length):

@@ -232,3 +232,14 @@ def test_strip_html_dialect_parity_property(spark, texts):
     }
     for i, _ in rows:
         assert got[i] == orc[i], (i, repr(texts[i]), repr(got[i]), repr(orc[i]))
+
+
+def test_docstring_pass_counts_match_the_constants():
+    """The module sells its scale contract as 'eight regex + seven
+    literal replaces' — pin the counts so the next pattern edit must
+    update the contract (the r12 review caught a stale 'seven')."""
+    from azure_etl_databricks_sql_powerbi_spark.functions import html as m
+
+    assert len(m.STRIP_STEPS) == 8
+    assert len(m.ENTITY_REPLACES) == 7
+    assert "eight\nregex + seven literal replaces" in m.__doc__

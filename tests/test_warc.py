@@ -144,3 +144,18 @@ def test_parser_resyncs_after_garbled_midshard_header():
     assert "<urn:uuid:req-1>" not in ids  # the garbled record is lost
     assert ids[0] == "<urn:uuid:info-1>"  # ...but its neighbors are not
     assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids
+
+
+def test_parser_negative_content_length_resyncs_not_loops():
+    """'Content-Length: -999999' parses as an int, and a negative
+    offset would wrap find()/fill() arithmetic into an INFINITE loop
+    re-emitting consumed records (r12 review, empirically confirmed on
+    the first resync cut) — it must take the garbled-header branch."""
+    bad = RECORDS[1].replace(b"Content-Length: 17", b"Content-Length: -999999")
+    assert bad != RECORDS[1]
+    blob = RECORDS[0] + bad + RECORDS[2] + RECORDS[3]
+    recs = list(iter_warc_records(_iter_decompressed(blob)))
+    ids = [r["record_id"] for r in recs]
+    assert len(recs) < 10  # terminates
+    assert ids[0] == "<urn:uuid:info-1>"
+    assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids
