@@ -34,7 +34,11 @@ gzip — under Spark's 2 GB ``binaryFile`` ceiling), decompression and
 record parsing stream in ~1 MiB windows with amortized-O(n) buffer
 compaction, rows leave the task in 10k-record DataFrame slices, and
 the output is a plain DataFrame that partitions/filters like any other
-source. ``http_only=True``
+source. Measured anchor (``tools/warc_scale_smoke.py``, 20k records,
+one shard = one task, warm session): ~12k records/s parse, ~8k
+records/s with the full HTML→canonical-text extraction — a 100k-record
+Common Crawl shard is ~10 s of single-task work, and shards
+parallelize across the scan. ``http_only=True``
 prunes non-response records (request/metadata/warcinfo) inside the
 generator, before any row materializes.
 
