@@ -271,6 +271,84 @@ END"""
 # registered domain while its co.uk siblings survive.
 _URL_BLOCKLIST = ("badsite0.com", "badsite1.com", "kernel.org", "news3.co.uk")
 
+# PSL snapshot for _q_registered_domain_psl_docs (ROTATION_POLICY.md §5
+# swap #10) — a deliberately overlapping slice of the real Public
+# Suffix List: k12.ma.us / ma.us / us all present so the k=3 match must
+# WIN over its own shorter suffixes (longest-match proof), plus a
+# 4-label entry at the max_suffix_labels edge and bare TLDs for the
+# host-equals-suffix proper-suffix rule.
+_PSL_SNAPSHOT = (
+    "co.uk",
+    "uk",
+    "k12.ma.us",
+    "ma.us",
+    "us",
+    "gov.bd",
+    "bd",
+    "cdn.prod.atlassian-dev.net",
+    "net",
+    "com",
+    "com.au",
+    "amazonaws.com",
+)
+
+# URL planting for the PSL query, the _URL_PLANT_SQL discipline (one
+# dual-dialect string, CAST(... AS STRING) concat, no backslashes or
+# apostrophes). Branches: multi-sub + UPPERCASE host under co.uk,
+# longest-match under k12.ma.us, the 4-label suffix edge, unlisted-TLD
+# fallback, IPv4 + single-label pass-through, non-URL NULL, gov.bd,
+# and host == suffix-with-one-extra-label (proper-suffix rule).
+_PSL_PLANT_SQL = """CASE doc_id % 9
+  WHEN 0 THEN 'https://A' || CAST(doc_id % 7 AS STRING)
+       || '.Shop.Example.CO.UK/p'
+  WHEN 1 THEN 'http://www' || CAST(doc_id % 3 AS STRING)
+       || '.district' || CAST(doc_id % 5 AS STRING) || '.k12.ma.us/pg'
+  WHEN 2 THEN 'https://site' || CAST(doc_id % 4 AS STRING)
+       || '.cdn.prod.atlassian-dev.net/a'
+  WHEN 3 THEN 'http://deep.sub.host' || CAST(doc_id % 3 AS STRING)
+       || '.zz/x'
+  WHEN 4 THEN 'http://192.168.' || CAST(doc_id % 200 AS STRING)
+       || '.1/x'
+  WHEN 5 THEN 'http://localhost:8080/admin'
+  WHEN 6 THEN 'no url here ' || CAST(doc_id AS STRING)
+  WHEN 7 THEN 'https://portal.ministry' || CAST(doc_id % 2 AS STRING)
+       || '.gov.bd/x'
+  ELSE 'http://co.uk/x'
+END"""
+
+
+def _q_registered_domain_psl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction against a FULL public-suffix table
+    (functions/urls.registered_domain_psl; ROTATION_POLICY.md §5 swap
+    #10) — the scale path behind url_provenance_docs' embedded-subset
+    heuristic: longest proper-suffix match via max_suffix_labels
+    BROADCAST hash joins against the (lowercased, deduped) snapshot,
+    ZERO shuffles before the final count. Planting exercises
+    longest-match precedence (k12.ma.us beats ma.us beats us), the
+    4-label edge, unlisted-TLD fallback, IPv4/single-label/NULL
+    pass-throughs, and the proper-suffix rule (host co.uk under a
+    listed uk). Hash-exact vs an oracle built from the module's own
+    duckdb_registered_domain_psl_sql (an INDEPENDENT SQL replay of the
+    documented semantics — CASE over string_split slices, no joins);
+    hand-written per-branch domain expectations live in
+    tests/test_urls.py (the generated-twin mitigation norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        registered_domain_psl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PSL_PLANT_SQL).alias("url")
+    )
+    sfx = spark.createDataFrame(
+        [(s,) for s in _PSL_SNAPSHOT], "suffix string"
+    )
+    dom = registered_domain_psl(docs, "url", sfx)
+    return (
+        dom.groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc_nulls_last("domain"))
+    )
+
 # Mojibake planting for _q_normalize_text_docs, written once in the SQL
 # dialect intersection (the _URL_PLANT_SQL discipline) and parsed
 # VERBATIM by F.expr and DuckDB. Non-ASCII code points are embedded RAW
@@ -307,6 +385,84 @@ _NORM_PLANT_SQL = (
     "  ELSE text\n"
     "END"
 )
+
+# HTML planting for _q_html_extract_docs (ROTATION_POLICY.md §5 swap
+# #8), written once in the SQL dialect intersection and parsed VERBATIM
+# by F.expr and DuckDB. No backslashes (Spark SQL treats them as
+# escapes, DuckDB does not) and no literal apostrophes (quote-doubling
+# differs); &#39; carries the apostrophe case instead. Each branch
+# arms one functions/html.STRIP_STEPS pass or ENTITY_REPLACES ordering
+# rule; hand-written expected outputs for the same shapes live in
+# tests/test_html.py FIXTURES.
+_HTML_PLANT_SQL = (
+    "CASE doc_id % 12\n"
+    # the dominant named entities, &nbsp; -> real NBSP
+    "  WHEN 0 THEN text || ' &lt;i&gt; &quot;q&quot; &#39;s&#39;"
+    " &apos;a&apos; nb&nbsp;sp &amp; done'\n"
+    # double-escapes: &amp;lt; is the TEXT &lt;, never '<'
+    "  WHEN 1 THEN '&amp;lt;b&amp;gt; &amp;amp; ' || text\n"
+    # live script with attributes; markup smuggled inside its body
+    '  WHEN 2 THEN \'pre<script type="text/javascript">var s ='
+    ' "<b>x</b>";</script>post \' || text\n'
+    # commented-out script opener must NOT arm the script pass; the
+    # unclosed trailing comment strips to end-of-text (\\z fallback)
+    "  WHEN 3 THEN 'keep<!-- <script src=x.js> -->mid ' || text"
+    " || '<!--unclosed tail'\n"
+    # style payload and a CDATA block both vanish whole
+    "  WHEN 4 THEN 's1<style>.c{color:red}</style>s2"
+    "<![CDATA[var j=1;]]>s3 ' || text\n"
+    # DOCTYPE + processing instruction + head/title wrapper
+    '  WHEN 5 THEN \'<!DOCTYPE html><?xml version="1.0"'
+    ' encoding="utf-8"?><html><head><title>T</title></head><body>\''
+    " || text || '</body></html>'\n"
+    # block-level tags become newlines (paragraph structure survives)
+    "  WHEN 6 THEN '<h1>Head</h1><p>p1</p><p>p2</p><ul><li>a</li>"
+    "<li>b</li></ul><br/>' || text\n"
+    # inline tags with attributes (the &amp; inside href dies WITH the
+    # tag, never reaches entity decode)
+    '  WHEN 7 THEN \'<a href="https://x.example/?a=1&amp;b=2"'
+    ' title="t">link</a> <span class="s">sp</span> <B CLASS="x">bold'
+    "</B> <img src=\"i.png\"/> ' || text\n"
+    # unclosed script strips to end-of-text, conservatively
+    "  WHEN 8 THEN text || ' tail<script>var x = 1;'\n"
+    # IE downlevel-revealed conditionals: markers strip, body stays
+    "  WHEN 9 THEN 'a<![if !IE]>revealed<![endif]>b ' || text\n"
+    # stray angle brackets in prose survive (letter-after-< rule)
+    "  WHEN 10 THEN 'a < b, x<5, 3>2, y >= z ' || text\n"
+    "  ELSE text\n"
+    "END"
+)
+
+
+def _q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html; ROTATION_POLICY.md §5
+    swap #8): deterministic markup planting — entities + double-escapes,
+    live/commented/unclosed scripts, style, CDATA, DOCTYPE/PI, IE
+    conditionals, block-vs-inline tags, stray angle brackets — via ONE
+    dual-dialect _HTML_PLANT_SQL string, then the pure-JVM strip_html
+    chain (8 regex + 7 literal replaces, one whole-stage-codegen
+    projection, zero Python). Hash-exact INCLUDING the extracted text
+    itself (the pii/normalize precedent) vs the oracle generated from
+    the module's own duckdb_strip_html_sql builder — Java regex vs RE2
+    cell-for-cell on every pass; hand-written fixture expectations live
+    in tests/test_html.py (the generated-twin mitigation norm). The
+    composed crawl chain read_warc → html_to_text → canonicalize gets
+    separate driver evidence via warc_html_corpus."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_PLANT_SQL).alias("html")
+    )
+    stripped = docs.select(
+        "doc_id", "html", strip_html("html").alias("text")
+    )
+    return stripped.select(
+        "doc_id",
+        "text",
+        (F.length("html") - F.length("text"))
+        .cast("bigint")
+        .alias("strip_len_delta"),
+    )
 
 
 def _q_url_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,21 +570,99 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: no xxhash64 in DuckDB); the
-    Jaccard-verification step is oracle-checked via token_jaccard_pairs."""
-    from azure_etl_databricks_sql_powerbi_spark.dedup.minhash import near_dup_pairs
+# WARC shard fixture for _q_warc_html_corpus: deterministic archives
+# generated ONCE per sf_dir from the documents table (the streaming
+# queries' tempdir-fixture discipline, cached like _MINHASH_INDEX_CACHE
+# because bench runs each query 3x). doc_id % 5 routes each document:
+# 0 -> text/plain response (survives http_only, dies at the HTML
+# content-type filter), 1 -> request record (pruned by http_only),
+# 2/3/4 -> HTML response. Expected output rows = |{docs: id%5 >= 2}|,
+# pinned by tests/test_warc.py::test_warc_fixture_row_arithmetic.
+_WARC_SHARD_CACHE: dict[str, str] = {}
+_WARC_N_SHARDS = 4
 
-    docs = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, threshold=0.5)
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _WARC_SHARD_CACHE:
+        return _WARC_SHARD_CACHE[sf_dir]
+    import gzip
+    import os
+
+    out_dir = _scratch_dir("spark_graft_warc_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    shards = [
+        open(os.path.join(out_dir, f"shard-{i}.warc.gz"), "wb")
+        for i in range(_WARC_N_SHARDS)
+    ]
+    try:
+        # toLocalIterator bounds driver memory at one partition
+        for row in docs.toLocalIterator():
+            doc_id, text = row["doc_id"], row["text"] or ""
+            kind = doc_id % 5
+            if kind == 1:
+                warc_type = "request"
+                ctype = "application/warc-fields"
+                payload = f"GET /doc/{doc_id} HTTP/1.1\r\n".encode()
+            else:
+                warc_type = "response"
+                ctype = "application/http;msgtype=response"
+                if kind == 0:
+                    http_ctype, body = "text/plain", text
+                else:
+                    http_ctype, body = (
+                        "text/html; charset=utf-8",
+                        f"<html><head><title>doc {doc_id}</title>"
+                        f"<script>var d={doc_id};</script></head>"
+                        f"<body><h1>Doc {doc_id}</h1><p>{text}</p>"
+                        f"</body></html>",
+                    )
+                body_b = body.encode("utf-8")
+                payload = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {http_ctype}"
+                    f"\r\n\r\n".encode() + body_b
+                )
+            head = (
+                f"WARC/1.0\r\n"
+                f"WARC-Type: {warc_type}\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"WARC-Target-URI: http://corpus.example/doc/{doc_id}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            shards[doc_id % _WARC_N_SHARDS].write(
+                gzip.compress(head + payload + b"\r\n\r\n")
+            )
+    finally:
+        for fh in shards:
+            fh.close()
+    _WARC_SHARD_CACHE[sf_dir] = out_dir
+    return out_dir
 
 
-def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 near-dup pairs (rows-only check)."""
-    from azure_etl_databricks_sql_powerbi_spark.dedup.simhash import near_dup_pairs
+def _q_warc_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style ingestion end to end (sources/warc +
+    functions/html + functions/normalize; ROTATION_POLICY.md §5 swap
+    #9): deterministic member-per-record gzip WARC shards generated
+    from the documents table (_warc_fixture_dir), then the composed
+    chain read_warc_paths → http_only prune → HTML content-type filter
+    → html_to_text (JVM strip + NFC batch). Uses the PATH-STREAMING
+    connector (r12 VERDICT "What's missing" #3 — per-task memory ~one
+    record regardless of shard size; rows ≡ the binaryFile connector,
+    unit-pinned). Rows-only by necessity — DuckDB cannot parse WARC;
+    semantics are pinned by hand-built exact-Content-Length archives
+    across all three gzip layouts, chunk-boundary stress, corruption/
+    resync/folding/cap units, and the fixture row arithmetic
+    (tests/test_warc.py)."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        warc_html_corpus,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, max_hamming=3)
+    shard_dir = _warc_fixture_dir(spark, sf_dir)
+    return warc_html_corpus(spark, shard_dir, connector="paths")
 
 
 # ------------------------------------------------- EXT: similarity search
@@ -2250,25 +2484,6 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scores(train, bench, n=3, threshold=0.8)
 
 
-def _q_novel_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental batch-vs-corpus dedup with a bloom prefilter
-    (dedup/incremental.novel_documents): corpus = docs with doc_id % 5
-    != 0, new batch = even doc_ids (overlap = re-ingested duplicates).
-    Bloom-negative rows skip the join entirely; bloom-positive rows
-    exact-confirm via LEFT ANTI on the md5 fingerprint — EXACT anti-join
-    semantics at any false-positive rate, which is what the oracle
-    checks. Pruning effectiveness is unit-tested
-    (tests/test_incremental_dedup.py)."""
-    from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
-        novel_documents,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 0)
-    return novel_documents(batch, corpus, fpp=0.01)
-
-
 _DEDUP_STATE_CACHE: dict[str, str] = {}
 
 
@@ -2283,7 +2498,8 @@ def _q_novel_docs_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-2 job's plan reads only the 16-byte fingerprint parquet
     (asserted in tests/test_incremental_dedup.py::
     test_day2_plan_never_rescans_corpus). Semantics stay EXACT
-    NOT-EXISTS — the same oracle shape as novel_docs_incremental — and
+    NOT-EXISTS — the retired one-shot's oracle shape (its twin lives at
+    tests/test_incremental_dedup.py::NOVEL_DOCS_SQL since r13) — and
     the state's single bloom broadcast is reused across calls (the
     ADVICE-r5 broadcast-leak fix)."""
     from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
@@ -3168,58 +3384,60 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-12 window: the r9-evidence cohort (stalest on the
+    # --- round-13 window: the r10-evidence cohort (stalest on the
     # board, re-greens this round per ROTATION_POLICY.md §2) ---
-    "triangle_counts_parts": _q_triangle_counts_parts,
-    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
-    "label_propagation_parts": _q_label_propagation_parts,
-    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
-    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
-    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
-    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "compression_band_docs": _q_compression_band_docs,
-    "customer_order_windows": _q_customer_order_windows,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "url_provenance_docs": _q_url_provenance_docs,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "normalize_text_docs": _q_normalize_text_docs,
-    "gopher_quality_docs": _q_gopher_quality_docs,
+    "strip_boilerplate_docs": _q_strip_boilerplate_docs,
+    "mixture_curation_budget": _q_mixture_curation_budget,
+    "join_diagnostics_summary": _q_join_diagnostics_summary,
+    # (3 composed r10 queries above + the 47-query ex-r6 cohort below;
+    # 3 + 47 = 50, exact window fit) ---
+    "novel_docs_day2": _q_novel_docs_day2,
+    "interval_join_stream": _q_interval_join_stream,
+    "unigram_quality_docs": _q_unigram_quality_docs,
+    "bigram_quality_docs": _q_bigram_quality_docs,
+    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
+    "zorder_layout_stats": _q_zorder_layout_stats,
+    "incremental_kpis_day2": _q_incremental_kpis_day2,
+    "orders_pit_status": _q_orders_pit_status,
+    "referential_integrity_qc": _q_referential_integrity_qc,
+    "dbt_qc_report_orders": _q_dbt_qc_report,
+    "ann_ivfpq_topk": _q_ann_ivfpq,
+    "media_metadata": _q_media_metadata,
+    "kmeans_clusters_embeddings": _q_kmeans_clusters,
+    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
+    "media_binaryfile_scan": _q_media_binaryfile_scan,
+    "rolling_7d_revenue": _q_rolling_7d_revenue,
+    "snapshot_diff_orders": _q_snapshot_diff_orders,
+    "stream_static_enrich": _q_stream_static_enrich,
+    "incremental_distinct_day2": _q_incremental_distinct_day2,
+    "events_variant_kpis": _q_events_variant_kpis,
+    "khop_reach_supplier": _q_khop_reach_supplier,
+    "snm_customer_pairs": _q_snm_customer_pairs,
+    "median_price_by_status": _q_median_price_udaf,
+    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
+    "pseudonymize_customers": _q_pseudonymize_customers,
+    "hashed_features_docs": _q_hashed_features_docs,
+    "curriculum_quality_deciles": _q_curriculum_deciles,
+    "weighted_sample_docs": _q_weighted_sample_docs,
+    "rag_ingest_chunks": _q_rag_ingest,
+    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    "customer_cohorts_setops": _q_customer_cohorts_setops,
+    "unpivot_status_revenue": _q_unpivot_status_revenue,
+    "order_extremes_by_customer": _q_order_extremes,
+    "conditional_agg_orders": _q_conditional_agg,
+    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    "html_extract_docs": _q_html_extract_docs,
+    "warc_html_corpus": _q_warc_html_corpus,
+    "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
+    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
+    "registered_domain_psl_docs": _q_registered_domain_psl_docs,
+    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+    "leakage_safe_split": _q_leakage_safe_split,
+    "chunk_documents_rag": _q_chunk_documents_rag,
+    "pretraining_prep": _q_pretraining_prep,
+    "sessionize_stream": _q_sessionize_stream,
+    "order_priority_exists": _q_order_priority_exists,
     # ================= end of the 50-entry driver window =================
     # --- round-11-window cohort (ex-r7 cohort with the three §5
     # swaps; last green r11 — re-greens in the r14 window) ---
@@ -3273,61 +3491,58 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_running_totals": _q_stateful_running_totals,
     "pricing_summary": _q_pricing_summary,
     "merge_upsert_orders": _q_merge_upsert,
-    # --- round-10-evidence cohort (3 composed queries + 47 ex-r6;
-    # freshest — re-greens in the r13 window) ---
-    "strip_boilerplate_docs": _q_strip_boilerplate_docs,
-    "mixture_curation_budget": _q_mixture_curation_budget,
-    "join_diagnostics_summary": _q_join_diagnostics_summary,
-    # --- the full round-6-evidence cohort (47 queries, the oldest
-    # evidence on the board — at the 3-round staleness edge since r9
-    # skipped its rotation; 3 + 47 = 50, exact window fit) ---
-    "novel_docs_day2": _q_novel_docs_day2,
-    "interval_join_stream": _q_interval_join_stream,
-    "unigram_quality_docs": _q_unigram_quality_docs,
-    "bigram_quality_docs": _q_bigram_quality_docs,
-    "bpe_tokenize_docs": _q_bpe_tokenize_docs,
-    "zorder_layout_stats": _q_zorder_layout_stats,
-    "incremental_kpis_day2": _q_incremental_kpis_day2,
-    "orders_pit_status": _q_orders_pit_status,
-    "referential_integrity_qc": _q_referential_integrity_qc,
-    "dbt_qc_report_orders": _q_dbt_qc_report,
-    "ann_ivfpq_topk": _q_ann_ivfpq,
-    "media_metadata": _q_media_metadata,
-    "kmeans_clusters_embeddings": _q_kmeans_clusters,
-    "ngrams_udtf_docs": _q_ngrams_udtf_docs,
-    "media_binaryfile_scan": _q_media_binaryfile_scan,
-    "rolling_7d_revenue": _q_rolling_7d_revenue,
-    "snapshot_diff_orders": _q_snapshot_diff_orders,
-    "stream_static_enrich": _q_stream_static_enrich,
-    "incremental_distinct_day2": _q_incremental_distinct_day2,
-    "events_variant_kpis": _q_events_variant_kpis,
-    "khop_reach_supplier": _q_khop_reach_supplier,
-    "snm_customer_pairs": _q_snm_customer_pairs,
-    "median_price_by_status": _q_median_price_udaf,
-    "orders_xml_roundtrip": _q_orders_xml_roundtrip,
-    "pseudonymize_customers": _q_pseudonymize_customers,
-    "hashed_features_docs": _q_hashed_features_docs,
-    "curriculum_quality_deciles": _q_curriculum_deciles,
-    "weighted_sample_docs": _q_weighted_sample_docs,
-    "rag_ingest_chunks": _q_rag_ingest,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
-    "customer_cohorts_setops": _q_customer_cohorts_setops,
-    "unpivot_status_revenue": _q_unpivot_status_revenue,
-    "order_extremes_by_customer": _q_order_extremes,
-    "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
-    "minhash_near_dup": _q_minhash_near_dup,
-    "simhash_near_dup": _q_simhash_near_dup,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
-    "novel_docs_incremental": _q_novel_docs_incremental,
-    "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-    "leakage_safe_split": _q_leakage_safe_split,
-    "chunk_documents_rag": _q_chunk_documents_rag,
-    "pretraining_prep": _q_pretraining_prep,
-    "sessionize_stream": _q_sessionize_stream,
-    "order_priority_exists": _q_order_priority_exists,
+    # --- round-12-evidence cohort (the ex-r9 cohort with §5 swaps
+    # #4–#7 in place; freshest — re-greens in the r15 window) ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "compression_band_docs": _q_compression_band_docs,
+    "customer_order_windows": _q_customer_order_windows,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "url_provenance_docs": _q_url_provenance_docs,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "normalize_text_docs": _q_normalize_text_docs,
+    "gopher_quality_docs": _q_gopher_quality_docs,
 }
 
 
@@ -3577,16 +3792,6 @@ ORACLES: dict[str, str] = {
         GROUP BY token
         HAVING COUNT(*) >= (SELECT t FROM thr)
         ORDER BY token
-    """,
-    "novel_docs_incremental": """
-        SELECT b.doc_id, md5(b.text) AS fingerprint
-        FROM documents b
-        WHERE b.doc_id % 2 = 0
-          AND NOT EXISTS (
-              SELECT 1 FROM documents c
-              WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)
-          )
-        ORDER BY b.doc_id
     """,
     "novel_docs_day2": """
         SELECT b.doc_id, md5(b.text) AS fingerprint
@@ -5907,6 +6112,43 @@ def _url_provenance_oracle() -> str:
 ORACLES["url_provenance_docs"] = _url_provenance_oracle()
 
 
+def _registered_domain_psl_oracle() -> str:
+    """DuckDB twin of _q_registered_domain_psl_docs: host extraction
+    from the module's duckdb_host_sql, then the module's
+    duckdb_registered_domain_psl_sql — an INDEPENDENT replay of the
+    documented longest-match semantics (CASE over string_split slices
+    with the snapshot inlined as literals; the engine runs broadcast
+    joins) over the verbatim _PSL_PLANT_SQL. Hand-written per-branch
+    expectations: tests/test_urls.py (the generated-twin mitigation
+    norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_psl_sql,
+    )
+
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, {_PSL_PLANT_SQL} AS url FROM documents
+        ),
+        hosts AS (
+            SELECT doc_id, {duckdb_host_sql("url")} AS host FROM planted
+        ),
+        doms AS (
+            SELECT doc_id,
+                   {duckdb_registered_domain_psl_sql("host", _PSL_SNAPSHOT)}
+                       AS domain
+            FROM hosts
+        )
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM doms
+        GROUP BY domain
+        ORDER BY n_docs DESC, domain ASC NULLS LAST
+    """
+
+
+ORACLES["registered_domain_psl_docs"] = _registered_domain_psl_oracle()
+
+
 def _normalize_docs_oracle() -> str:
     """DuckDB twin of _q_normalize_text_docs, BUILT from the normalize
     module's OWN duckdb_canonicalize_sql builder (one definition shared
@@ -5939,6 +6181,37 @@ def _normalize_docs_oracle() -> str:
 
 
 ORACLES["normalize_text_docs"] = _normalize_docs_oracle()
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB twin of _q_html_extract_docs, BUILT from the html module's
+    OWN duckdb_strip_html_sql builder (one definition shared with
+    tests/test_html.py) over the verbatim _HTML_PLANT_SQL, so neither
+    planting nor stripping can desync — every regex pass runs RE2 here
+    vs Java regex in Spark, cell-for-cell, and the entity replaces are
+    literal in both. Hand-written expectations: tests/test_html.py
+    FIXTURES (the generated-twin mitigation norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        duckdb_strip_html_sql,
+    )
+
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, {_HTML_PLANT_SQL} AS html FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id, html,
+                   {duckdb_strip_html_sql("html")} AS text
+            FROM planted
+        )
+        SELECT doc_id, text,
+               CAST(length(html) - length(text) AS BIGINT)
+                   AS strip_len_delta
+        FROM stripped
+    """
+
+
+ORACLES["html_extract_docs"] = _html_extract_oracle()
 
 # Twin of the one-row diagnostics union: the skew summary's raw IEEE
 # divisions and the exact Σ cl·cr join cardinality, cross-joined

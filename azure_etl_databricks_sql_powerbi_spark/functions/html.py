@@ -74,11 +74,15 @@ STRIP_STEPS: tuple[tuple[str, str], ...] = (
     # end-of-text in both. The [^>]* after the name allows attributes.
     (r"(?is)<script\b[^>]*>.*?(?:</script\s*>|\z)", ""),
     (r"(?is)<style\b[^>]*>.*?(?:</style\s*>|\z)", ""),
-    # declarations ('<!DOCTYPE html>' heads ~every real page) and
+    # declarations ('<!DOCTYPE html>' heads ~every real page), IE
+    # downlevel-revealed conditional markers ('<![if !IE]>' /
+    # '<![endif]>' — their BODY is revealed text and must be kept, the
+    # markers stripped; the optional '[' covers them, and CDATA can
+    # never reach here because its pass runs earlier), and
     # '<?xml ...?>' processing instructions — the generic tag strip
     # below requires a LETTER after '<'/'</', so without these passes
-    # both survive verbatim into the corpus (r12 review).
-    (r"<![A-Za-z][^>]*>", ""),
+    # all three survive verbatim into the corpus (r12/r13 reviews).
+    (r"<!\[?[A-Za-z][^>]*>", ""),
     (r"(?s)<\?.*?(?:\?>|\z)", ""),
     # block-level boundaries -> newline, so paragraph structure
     # survives for normalize's blank-run cap. br joins the list (it IS

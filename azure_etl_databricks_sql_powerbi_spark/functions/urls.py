@@ -302,3 +302,36 @@ def registered_domain_psl(
         c for k in range(1, max_suffix_labels + 1) for c in (f"__cand{k}", f"__sfx{k}")
     ]
     return out.withColumn(out_col, dom).drop(*drop)
+
+
+def duckdb_registered_domain_psl_sql(
+    host_expr: str,
+    suffixes: "list[str] | tuple[str, ...]",
+    max_suffix_labels: int = 4,
+) -> str:
+    """DuckDB twin of :func:`registered_domain_psl` over an
+    already-extracted ``host_expr`` (compose with
+    :func:`duckdb_host_sql`), replaying the same documented semantics
+    independently of the join plan: longest proper-suffix match against
+    the (lowercased, deduped) suffix snapshot, then one more label;
+    skip-through for NULL / IPv4 / ':' / single-label hosts; implicit
+    one-label-suffix fallback (last two labels). The suffix list is
+    inlined as literals, so the oracle needs no extra table."""
+    sfx = sorted({s.lower() for s in suffixes})
+    in_list = ", ".join("'" + s.replace("'", "''") + "'" for s in sfx)
+    parts = f"string_split({host_expr}, '.')"
+    branches = "\n".join(
+        f"        WHEN len({parts}) > {k} AND "
+        f"array_to_string({parts}[-{k}:], '.') IN ({in_list})\n"
+        f"          THEN array_to_string({parts}[-{k + 1}:], '.')"
+        for k in range(max_suffix_labels, 0, -1)
+    )
+    return f"""CASE
+        WHEN {host_expr} IS NULL THEN NULL
+        WHEN regexp_matches({host_expr},
+                 '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+             OR contains({host_expr}, ':')
+             OR len({parts}) <= 1 THEN {host_expr}
+{branches}
+        ELSE array_to_string({parts}[-2:], '.')
+    END"""

@@ -135,11 +135,15 @@ def disc_price(
     price_col: str = "l_extendedprice", disc_col: str = "l_discount"
 ) -> Column:
     """Exact discounted-price product ``price × (1 − discount)`` in tight
-    decimals — price DECIMAL(12,2) × rate DECIMAL(4,2) → DECIMAL(17,4),
-    the one revenue expression the TPC-H-shaped tier sums (r12 review:
-    nine copy-pasted sites made the next precision tweak a 9-place
-    hazard). DuckDB twin: ``CAST(p AS DECIMAL(12,2)) * (CAST('1.00' AS
-    DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))``. Compose with
+    decimals, the one revenue expression the TPC-H-shaped tier sums (r12
+    review: nine copy-pasted sites made the next precision tweak a
+    9-place hazard). Both operands cast to (12,2)/(3,2); the subtract
+    widens the rate to DECIMAL(4,2), so Spark's product is DECIMAL(17,4)
+    (p1+p2+1) while DuckDB's twin lands DECIMAL(16,4) (p1+p2) — the
+    DECLARED precisions differ, the 4-dp values are exact and identical
+    in both (r13 ADVICE clarification). DuckDB twin: ``CAST(p AS
+    DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(d AS
+    DECIMAL(3,2)))``. Compose with
     ``F.round(F.sum(disc_price()), 2).cast("double")`` for the money-sum
     contract."""
     return F.col(price_col).cast("decimal(12,2)") * (

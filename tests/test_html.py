@@ -54,6 +54,13 @@ FIXTURES = [
     # a COMMENTED-OUT script opener must not arm the script pass and
     # eat the document body (r12 review: comments strip first)
     (19, "keep<!-- <script src=x.js> -->rest stays", "keeprest stays"),
+    # IE downlevel-REVEALED conditionals: the markers strip, the body
+    # (real revealed text) stays (r13 ADVICE — previously both markers
+    # leaked through every pass)
+    (20, "a<![if !IE]>shown<![endif]>b", "ashownb"),
+    # ... and the CDATA pass still owns <![CDATA[ (runs earlier), so
+    # the widened declaration pattern never truncates a CDATA block
+    (21, "x<![CDATA[if !IE]]>y<![endif]>z", "xyz"),
 ]
 
 

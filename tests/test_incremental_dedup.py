@@ -749,3 +749,42 @@ def test_minhash_day2_plan_never_rescans_corpus(spark, tmp_path):
     # batch docs that are in the corpus self-match at jaccard 1.0)
     hits = probe.filter(F.col("jaccard") == 1.0).count()
     assert hits > 0
+
+
+# The retired novel_docs_incremental query's full SQL twin (r13, §5 swap
+# #10 — hash-exact driver evidence 6 rounds r6-r12; the declared surface
+# keeps novel_docs_day2, whose plan is a strict superset: same absorb
+# path PLUS the persisted-state roundtrip). Kept here so the one-shot
+# operator retains cell-for-cell DuckDB proof.
+NOVEL_DOCS_SQL = """
+    SELECT b.doc_id, md5(b.text) AS fingerprint
+    FROM documents b
+    WHERE b.doc_id % 2 = 0
+      AND NOT EXISTS (
+          SELECT 1 FROM documents c
+          WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)
+      )
+    ORDER BY b.doc_id
+"""
+
+
+def test_novel_documents_hash_exact_vs_duckdb_twin(spark):
+    """Cell-for-cell parity of the retired one-shot query's plan against
+    NOVEL_DOCS_SQL (the strict-gate discipline, no float involved)."""
+    import duckdb
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    got = (
+        incremental.novel_documents(batch, corpus, fpp=0.01)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.execute(NOVEL_DOCS_SQL).df()
+    assert list(got.columns) == list(want.columns)
+    assert got.astype(str).equals(want.astype(str))

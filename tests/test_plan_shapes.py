@@ -315,8 +315,23 @@ def test_novel_docs_bloom_keeps_anti_join(spark, entry):
     """The bloom-prefiltered incremental dedup still plans its exact
     confirm as a LEFT ANTI join (never a rewrite that could change
     semantics), and the bloom probe is a map-side Python stage (one
-    mapInPandas over the batch), not a join."""
-    df = entry.queries()["novel_docs_incremental"](spark, SF_SMOKE)
+    mapInPandas over the batch), not a join. (Built from the operator
+    directly since the one-shot query retired — r13 §5 swap #10; the
+    declared day-2 plan is a superset, pinned in
+    tests/test_incremental_dedup.py::test_day2_plan_never_rescans_corpus.)"""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.dedup.incremental import (
+        novel_documents,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = novel_documents(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        fpp=0.01,
+    )
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "MapInPandas" in plan

@@ -314,3 +314,81 @@ def test_registered_domain_psl_full_table_path(spark):
     """
     orc = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert orc == got
+
+
+def test_duckdb_psl_builder_matches_hand_written_expectations():
+    """The r13 oracle builder (duckdb_registered_domain_psl_sql — a
+    pure-SQL CASE replay, no joins) must land the SAME hand-written
+    domains as the broadcast-join engine path above (the generated-twin
+    mitigation norm: expectations first, builders checked against
+    them)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_registered_domain_psl_sql,
+    )
+
+    psl = ["com", "org", "uk", "co.uk", "us", "ma.us", "k12.ma.us", "bd", "gov.bd"]
+    rows = [
+        (1, "https://school.boston.k12.ma.us/home"),
+        (2, "https://Portal.Example.GOV.bd/x"),
+        (3, "https://www.news.co.uk/s"),
+        (4, "https://cdn.example.com/a"),
+        (5, "https://host.unlistedtld/x"),
+        (6, "https://10.0.0.7/x"),
+        (7, "not a url"),
+        (8, "https://k12.ma.us/"),
+    ]
+    want = {
+        1: "boston.k12.ma.us",
+        2: "example.gov.bd",
+        3: "news.co.uk",
+        4: "example.com",
+        5: "host.unlistedtld",
+        6: "10.0.0.7",
+        7: None,
+        8: "k12.ma.us",
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = f"""
+        WITH h AS (SELECT doc_id, {duckdb_host_sql("url")} AS host FROM t)
+        SELECT doc_id,
+               {duckdb_registered_domain_psl_sql("host", psl)} AS domain
+        FROM h
+    """
+    got = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_psl_plant_per_branch_expectations(spark):
+    """Entry-level planting (_PSL_PLANT_SQL) lands exactly the
+    hand-computed domain per branch — written BEFORE comparing engines,
+    so a shared bug in plant+oracle cannot hide (pii/normalize norm)."""
+    import __spark_entry__ as entry
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        registered_domain_psl,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 18).withColumnRenamed("id", "doc_id")
+    planted = docs.select(
+        "doc_id", F.expr(entry._PSL_PLANT_SQL).alias("url")
+    )
+    sfx = spark.createDataFrame(
+        [(s,) for s in entry._PSL_SNAPSHOT], "suffix string"
+    )
+    got = {
+        r.doc_id: r.domain
+        for r in registered_domain_psl(planted, "url", sfx).collect()
+    }
+    assert got[0] == "example.co.uk"          # UPPERCASE host lowered
+    assert got[9] == "example.co.uk"
+    assert got[1] == "district1.k12.ma.us"    # k=3 beats ma.us / us
+    assert got[10] == "district0.k12.ma.us"
+    assert got[2] == "site2.cdn.prod.atlassian-dev.net"  # 4-label edge
+    assert got[3] == "host0.zz"               # unlisted TLD fallback
+    assert got[4] == "192.168.4.1"            # IPv4 passthrough
+    assert got[5] == "localhost"              # single label, port cut
+    assert got[6] is None                     # non-URL
+    assert got[7] == "ministry1.gov.bd"
+    assert got[8] == "co.uk"                  # host = suffix + 1 label

@@ -159,3 +159,113 @@ def test_parser_negative_content_length_resyncs_not_loops():
     assert len(recs) < 10  # terminates
     assert ids[0] == "<urn:uuid:info-1>"
     assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids
+
+
+def test_decompressor_resyncs_after_corrupt_gzip_member():
+    """A corrupt gzip member in a member-per-record shard must lose
+    that member only, resyncing on the next member's magic (r13
+    ADVICE: it used to end the stream, silently dropping every later
+    record)."""
+    members = [gzip.compress(r) for r in RECORDS]
+    corrupt = members[1][:10] + b"\x00garbage\x00" + members[1][14:]
+    blob = members[0] + corrupt + members[2] + members[3]
+    recs = list(iter_warc_records(_iter_decompressed(blob)))
+    ids = [r["record_id"] for r in recs]
+    assert ids[0] == "<urn:uuid:info-1>"
+    assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids
+    # ...and at any chunk boundary (magic may straddle windows)
+    for cs in (7, 64):
+        got = list(
+            iter_warc_records(_iter_decompressed(blob, chunk_size=cs))
+        )
+        assert [r["record_id"] for r in got] == ids
+
+
+def test_parser_joins_folded_header_lines():
+    """WARC/1.0 line folding: a space/tab-led continuation line extends
+    the previous header's VALUE (r13 ADVICE: it used to parse as a
+    bogus new key, mis-reading folded Target-URI headers)."""
+    payload = b"folded ok"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:fold-1>\r\n"
+        b"WARC-Target-URI: http://ex.com/very/\r\n"
+        b"\tlong/path\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload + b"\r\n\r\n"
+    )
+    recs = list(iter_warc_records(_iter_decompressed(rec)))
+    assert len(recs) == 1
+    assert recs[0]["target_uri"] == "http://ex.com/very/ long/path"
+    assert recs[0]["body_text"] == "folded ok"
+
+
+def test_parser_caps_lying_content_length():
+    """A Content-Length far beyond the real data must not buffer the
+    remainder of the shard for that one record (r13 ADVICE): with a
+    cap, it takes the skip/resync branch and later records survive."""
+    lying = RECORDS[1].replace(
+        b"Content-Length: 17", b"Content-Length: 99999999"
+    )
+    assert lying != RECORDS[1]
+    blob = RECORDS[0] + lying + RECORDS[2] + RECORDS[3]
+    recs = list(
+        iter_warc_records(_iter_decompressed(blob), max_record_bytes=4096)
+    )
+    ids = [r["record_id"] for r in recs]
+    assert ids[0] == "<urn:uuid:info-1>"
+    assert "<urn:uuid:req-1>" not in ids
+    assert "<urn:uuid:resp-1>" in ids and "<urn:uuid:resp-2>" in ids
+    # without the cap the same blob merely truncates (fill() hits end
+    # of data): the tail records after the liar are consumed as its
+    # payload — the ADVICE's shard-sized buffering, bounded here only
+    # by the test blob's size
+    uncapped = list(iter_warc_records(_iter_decompressed(blob)))
+    assert "<urn:uuid:resp-2>" not in [r["record_id"] for r in uncapped]
+
+
+def test_read_warc_paths_identical_rows_to_binaryfile_path(spark, tmp_path):
+    """The path-streaming connector (pyarrow FS open inside the task)
+    must produce IDENTICAL rows to the binaryFile connector on the
+    same shards — r12 VERDICT 'What's missing' #3."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        read_warc_paths,
+    )
+
+    (tmp_path / "a.warc").write_bytes(PLAIN)
+    (tmp_path / "b.warc.gz").write_bytes(MEMBER_GZ)
+    key = lambda r: (r["path"], r["record_id"], r["warc_type"])
+    via_bytes = sorted(
+        (r.asDict() for r in read_warc(spark, str(tmp_path)).collect()),
+        key=key,
+    )
+    via_paths = sorted(
+        (r.asDict() for r in read_warc_paths(spark, str(tmp_path)).collect()),
+        key=key,
+    )
+    assert via_paths == via_bytes and len(via_bytes) == 8
+
+
+def test_warc_fixture_row_arithmetic(spark):
+    """The declared warc_html_corpus query's row count is exact
+    arithmetic over the documents table: doc_id%5==1 is a request
+    (pruned by http_only), %5==0 is a text/plain response (dies at the
+    HTML content-type filter), %5 in {2,3,4} are HTML responses — and
+    every surviving text is markup-free with the planted title/script
+    stripped (the rows-only exemption's semantic pin)."""
+    import __spark_entry__ as entry
+
+    out = entry._q_warc_html_corpus(spark, entry.SF0001).collect()
+    docs = spark.read.parquet(f"{entry.SF0001}/documents.parquet")
+    expected = docs.filter("doc_id % 5 >= 2").count()
+    assert len(out) == expected > 0
+    by_uri = {r.target_uri: r.text for r in out}
+    some_id = sorted(
+        int(u.rsplit("/", 1)[1]) for u in by_uri
+    )[0]
+    txt = by_uri[f"http://corpus.example/doc/{some_id}"]
+    assert f"Doc {some_id}" in txt          # the <h1> body survives
+    assert f"var d={some_id}" not in txt    # script payload stripped
+    assert "<" not in txt and ">" not in txt  # no markup residue at all
+    assert f"doc {some_id}" in txt           # <title> text is kept (block tag -> LF)

@@ -37,7 +37,7 @@ QUERIES = [
     "embedding_near_pairs_lsh",
     "ann_ivf_topk",
     "interval_join_stream",
-    "novel_docs_incremental",
+    "novel_docs_day2",
 ]
 
 SF_SMALL = "/root/testdata/sf0.1"
