@@ -1,0 +1,128 @@
+"""CDX(J) crawl-index source: hand-written fixture lines with exact
+expected values (incl. malformed lines that must parse to NULLs, not
+errors), cell-for-cell DuckDB twin parity from the module's own
+builder, digest dedup determinism, fetch-plan arithmetic + offset
+ordering, and the all-JVM single-from_json plan pin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.sources.cdx import (
+    cdx_fetch_plan,
+    duckdb_parse_cdxj_sql,
+    parse_cdxj,
+    read_cdxj,
+    select_captures,
+)
+
+LINES = [
+    # two captures of the SAME content (same digest), different shards
+    'com,example)/ 20240101000000 {"url": "https://example.com/", '
+    '"mime": "text/html", "status": "200", "digest": "sha1:AAA", '
+    '"length": "1200", "offset": "0", "filename": "w1.warc.gz"}',
+    'com,example)/ 20240102000000 {"url": "https://example.com/", '
+    '"mime": "text/html", "status": "200", "digest": "sha1:AAA", '
+    '"length": "1190", "offset": "900", "filename": "w2.warc.gz"}',
+    # different content, same shard as #1, later offset
+    'com,example)/a 20240101010203 {"url": "https://example.com/a", '
+    '"mime": "text/html; charset=utf-8", "status": "200", '
+    '"digest": "sha1:BBB", "length": "800", "offset": "1200", '
+    '"filename": "w1.warc.gz"}',
+    # 404 and a PDF: both pruned by the default selection
+    'com,example)/gone 20240101000000 {"url": "https://example.com/gone", '
+    '"mime": "text/html", "status": "404", "digest": "sha1:CCC", '
+    '"length": "300", "offset": "2000", "filename": "w1.warc.gz"}',
+    'com,example)/doc 20240101000000 {"url": "https://example.com/doc", '
+    '"mime": "application/pdf", "status": "200", "digest": "sha1:DDD", '
+    '"length": "9000", "offset": "2300", "filename": "w1.warc.gz"}',
+    # malformed JSON: the line must survive as NULL fields
+    "com,broken)/ 20240101000000 {not json",
+    # not a CDXJ line at all
+    "garbage",
+]
+
+
+@pytest.fixture(scope="module")
+def cdx(spark):
+    df = spark.createDataFrame([(ln,) for ln in LINES], "value string")
+    return parse_cdxj(df)
+
+
+def test_parse_hand_written_expectations(cdx):
+    rows = {(r.urlkey, r.offset): r for r in cdx.collect()}
+    r = rows[("com,example)/", 0)]
+    assert r.url == "https://example.com/"
+    assert r.status == 200 and r.length == 1200
+    assert r.filename == "w1.warc.gz"
+    assert str(r.ts) == "2024-01-01 00:00:00"
+    a = rows[("com,example)/a", 1200)]
+    assert a.mime == "text/html; charset=utf-8"
+    assert str(a.ts) == "2024-01-01 01:02:03"
+    # malformed JSON: urlkey/ts parse, JSON fields NULL
+    broken = rows[("com,broken)/", None)]
+    assert broken.url is None and broken.status is None
+    # non-CDXJ line: everything NULL (the regex matches 'garbage' as a
+    # one-token line with empty ts/json, all derived fields NULL)
+    assert (None, None) in rows or ("garbage", None) in rows
+
+
+def test_duckdb_twin_cell_for_cell(cdx):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(value VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(ln,) for ln in LINES])
+    want = con.execute(
+        f"SELECT {duckdb_parse_cdxj_sql('value')} FROM t"
+    ).df()
+    got = cdx.toPandas()
+    assert list(got.columns) == list(want.columns)
+    assert got.astype(str).equals(want.astype(str))
+
+
+def test_select_captures_dedups_by_digest_deterministically(cdx):
+    sel = select_captures(cdx).collect()
+    # sha1:AAA keeps the EARLIEST ts capture only; 404 and pdf pruned;
+    # the NULL-digest malformed rows are pruned by status filter here
+    by_digest = {}
+    for r in sel:
+        by_digest.setdefault(r.digest, []).append(r)
+    assert len(by_digest["sha1:AAA"]) == 1
+    assert by_digest["sha1:AAA"][0].filename == "w1.warc.gz"
+    assert "sha1:CCC" not in by_digest and "sha1:DDD" not in by_digest
+    assert len(by_digest["sha1:BBB"]) == 1
+    # without dedup both AAA captures survive
+    both = select_captures(cdx, dedup_by_digest=False).collect()
+    assert sum(1 for r in both if r.digest == "sha1:AAA") == 2
+
+
+def test_fetch_plan_groups_sorts_and_sums(cdx):
+    plan = {
+        r.filename: r
+        for r in cdx_fetch_plan(select_captures(cdx)).collect()
+    }
+    w1 = plan["w1.warc.gz"]
+    assert w1.n_records == 2 and w1.total_bytes == 1200 + 800
+    assert [(x.offset, x.length) for x in w1.ranges] == [(0, 1200), (1200, 800)]
+    assert "w2.warc.gz" not in plan  # its only capture lost the dedup
+
+
+def test_parse_plan_is_single_jvm_projection(cdx):
+    plan = cdx._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # ONE JsonToStructs evaluation feeding every field (a per-field
+    # get_json_object would parse the JSON N times)
+    opt = cdx._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("from_json") <= 1
+
+
+def test_read_cdxj_from_text_shards(spark, tmp_path):
+    import gzip as _gz
+
+    (tmp_path / "idx-0.cdxj").write_text("\n".join(LINES[:3]) + "\n")
+    (tmp_path / "idx-1.cdxj.gz").write_bytes(
+        _gz.compress(("\n".join(LINES[3:]) + "\n").encode())
+    )
+    got = read_cdxj(spark, str(tmp_path)).collect()
+    assert len(got) == len(LINES)
+    assert sum(1 for r in got if r.status == 200) == 4

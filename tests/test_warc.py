@@ -269,3 +269,59 @@ def test_warc_fixture_row_arithmetic(spark):
     assert f"var d={some_id}" not in txt    # script payload stripped
     assert "<" not in txt and ">" not in txt  # no markup residue at all
     assert f"doc {some_id}" in txt           # <title> text is kept (block tag -> LF)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        recs=st.lists(
+            st.tuples(
+                st.sampled_from(["response", "request", "resource"]),
+                st.binary(min_size=0, max_size=400),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        layout=st.sampled_from(["plain", "member", "whole"]),
+        chunk_size=st.sampled_from([7, 64, 1 << 20]),
+    )
+    def test_warc_roundtrip_property(recs, layout, chunk_size):
+        """Arbitrary binary payloads — including ones embedding
+        '\\r\\n\\r\\n', 'WARC/', gzip magic, or HTTP-looking prefixes —
+        roundtrip through build→(gzip layout)→streaming parse at any
+        chunk boundary: count, type, id, and n_bytes always; body_text
+        equality whenever the payload is not an HTTP block (those split
+        headers off by design)."""
+        built = b"".join(
+            _record(t, f"http://x/{i}", f"p-{i}", p)
+            for i, (t, p) in enumerate(recs)
+        )
+        if layout == "member":
+            blob = b"".join(
+                gzip.compress(_record(t, f"http://x/{i}", f"p-{i}", p))
+                for i, (t, p) in enumerate(recs)
+            )
+        elif layout == "whole":
+            blob = gzip.compress(built)
+        else:
+            blob = built
+        got = list(
+            iter_warc_records(_iter_decompressed(blob, chunk_size=chunk_size))
+        )
+        assert len(got) == len(recs)
+        for i, ((t, p), r) in enumerate(zip(recs, got)):
+            assert r["warc_type"] == t
+            assert r["record_id"] == f"<urn:uuid:p-{i}>"
+            assert r["n_bytes"] == len(p)
+            if not p.startswith(b"HTTP/"):
+                assert r["body_text"] == p.decode("utf-8", "replace")
