@@ -361,21 +361,27 @@ def _record_frames(
         yield emit(rows)
 
 
-def _open_chunks(fpath: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
-    """COMPRESSED byte windows from a filesystem URI, via pyarrow's
-    FileSystem (handles ``file:``, ``hdfs:``, ``s3:``, …) — the whole
-    shard never materializes. Spark's binaryFile path column spells
-    local files ``file:/x`` (one slash); pyarrow wants ``file:///x``,
-    so the local scheme is normalized to a plain path."""
+def _resolve_fs(fpath: str):
+    """(pyarrow FileSystem, in-fs path) for a URI — handles ``file:``,
+    ``hdfs:``, ``s3:``, … Spark's binaryFile path column spells local
+    files ``file:/x`` (one slash); pyarrow wants ``file:///x``, so the
+    local scheme is normalized to a plain path."""
     from pyarrow import fs as pafs
 
     if fpath.startswith("file:"):
         local = fpath[5:]
         while local.startswith("//"):
             local = local[1:]
-        filesystem, inner = pafs.LocalFileSystem(), local
-    else:
-        filesystem, inner = pafs.FileSystem.from_uri(fpath)
+        return pafs.LocalFileSystem(), local
+    if "://" in fpath:
+        return pafs.FileSystem.from_uri(fpath)
+    return pafs.LocalFileSystem(), fpath
+
+
+def _open_chunks(fpath: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
+    """COMPRESSED byte windows from a filesystem URI, via pyarrow's
+    FileSystem — the whole shard never materializes."""
+    filesystem, inner = _resolve_fs(fpath)
     with filesystem.open_input_stream(inner) as f:
         while True:
             b = f.read(chunk_size)
@@ -503,3 +509,58 @@ def warc_html_corpus(
             html_to_text("body_text").alias("text"),
         )
     )
+
+
+def read_warc_ranges(
+    spark: SparkSession,
+    plan: DataFrame,
+    base_uri: str = "",
+    http_only: bool = False,
+) -> DataFrame:
+    """Ranged WARC reads from a ``sources/cdx.cdx_fetch_plan`` frame
+    (rows: ``filename``, ``ranges`` array of (offset, length) structs,
+    offset-sorted) — the index-first access path: a 100 TB crawl is
+    read at the cost of the SELECTED records only. One task per plan
+    row (= per shard); the file opens once via pyarrow's random-access
+    reader and seeks monotonically (the plan pre-sorts offsets); each
+    range is one record's own gzip member (the Common Crawl layout —
+    a plain/whole-file shard also works, since the slice is passed
+    through the layout-sniffing decompressor). ``base_uri`` prefixes
+    the index's relative filenames (e.g. the crawl bucket root)."""
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
+        _package_parent,
+    )
+
+    pkg_parent = _package_parent()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+            _iter_decompressed,
+            _record_frames,
+            _resolve_fs,
+            iter_warc_records,
+        )
+
+        for pdf in batches:
+            for fname, ranges in zip(pdf["filename"], pdf["ranges"]):
+                fpath = base_uri + fname if base_uri else fname
+                filesystem, inner = _resolve_fs(fpath)
+
+                def records(f=None, rs=ranges, p=inner, fs=filesystem):
+                    with fs.open_input_file(p) as fh:
+                        for r in rs:
+                            off, length = int(r["offset"]), int(r["length"])
+                            fh.seek(off)
+                            blob = fh.read(length)
+                            yield from iter_warc_records(
+                                _iter_decompressed(blob),
+                                http_only=http_only,
+                            )
+
+                yield from _record_frames(fpath, records())
+
+    return plan.select("filename", "ranges").mapInPandas(parse, WARC_SCHEMA)

@@ -126,3 +126,80 @@ def test_read_cdxj_from_text_shards(spark, tmp_path):
     got = read_cdxj(spark, str(tmp_path)).collect()
     assert len(got) == len(LINES)
     assert sum(1 for r in got if r.status == 200) == 4
+
+
+def test_cdx_to_ranged_warc_end_to_end(spark, tmp_path):
+    """The full index-first access path: build a member-per-record gzip
+    shard + its CDXJ index (offsets recorded while building), then
+    read_cdxj → select_captures → cdx_fetch_plan → read_warc_ranges
+    must return EXACTLY the rows a full-shard scan returns for the
+    selected records — at the cost of the selected byte ranges only."""
+    import gzip as _gz
+    import json as _json
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        read_warc,
+        read_warc_ranges,
+    )
+
+    def record(rec_id: str, uri: str, body: bytes, ctype: bytes) -> bytes:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    recs = [
+        ("r-0", "http://ex.com/0", b"<p>zero</p>", b"text/html"),
+        ("r-1", "http://ex.com/1", b"<p>one</p>", b"text/html"),
+        ("r-2", "http://ex.com/2", b"not html", b"text/plain"),
+        ("r-3", "http://ex.com/3", b"<p>three</p>", b"text/html"),
+    ]
+    shard = tmp_path / "shard-0.warc.gz"
+    index_lines, off = [], 0
+    with open(shard, "wb") as fh:
+        for i, (rid, uri, body, ctype) in enumerate(recs):
+            member = _gz.compress(record(rid, uri, body, ctype))
+            meta = {
+                "url": uri,
+                "mime": ctype.decode(),
+                "status": "200",
+                "digest": f"sha1:D{i}",
+                "length": str(len(member)),
+                "offset": str(off),
+                "filename": shard.name,
+            }
+            index_lines.append(
+                f"com,ex)/{i} 2024010100000{i} {_json.dumps(meta)}"
+            )
+            fh.write(member)
+            off += len(member)
+    (tmp_path / "idx.cdxj").write_text("\n".join(index_lines) + "\n")
+
+    cdx = read_cdxj(spark, str(tmp_path / "idx.cdxj"))
+    plan = cdx_fetch_plan(select_captures(cdx))  # html + 200 + dedup
+    got = read_warc_ranges(
+        spark, plan, base_uri=str(tmp_path) + "/"
+    ).collect()
+    want = [
+        r
+        for r in read_warc(spark, str(shard)).collect()
+        if "html" in (r.http_content_type or "")
+    ]
+    key = lambda r: r.record_id
+    got_d = {key(r): r for r in got}
+    want_d = {key(r): r for r in want}
+    assert set(got_d) == set(want_d) == {
+        "<urn:uuid:r-0>", "<urn:uuid:r-1>", "<urn:uuid:r-3>"
+    }
+    for k in got_d:
+        g, w = got_d[k], want_d[k]
+        assert (g.target_uri, g.body_text, g.http_status, g.n_bytes) == (
+            w.target_uri, w.body_text, w.http_status, w.n_bytes
+        )
