@@ -547,3 +547,21 @@ def test_normalize_docs_single_scan_no_shuffle(spark, entry):
     assert "Exchange" not in plan, plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "n_chars" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_registered_domain_psl_docs_big_side_never_shuffles(spark, entry):
+    """The full-PSL longest-match path (r13 §5 swap #10) keeps the BIG
+    side shuffle-free until the final count: 4 BroadcastHashJoins (one
+    per candidate suffix length), and every hash Exchange in the plan
+    is either the tiny suffix relation's distinct (__sfxK columns,
+    bounded by |PSL| ≈ 10k) or the final domain aggregate — the
+    documents side reaches its groupBy without ever repartitioning."""
+    df = entry.queries()["registered_domain_psl_docs"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^,]+),", plan)
+    non_suffix = [c for c in hash_ex if not c.startswith("__sfx")]
+    assert len(non_suffix) == 1 and non_suffix[0].startswith("domain")
