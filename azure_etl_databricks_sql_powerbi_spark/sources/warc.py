@@ -564,3 +564,116 @@ def read_warc_ranges(
                 yield from _record_frames(fpath, records())
 
     return plan.select("filename", "ranges").mapInPandas(parse, WARC_SCHEMA)
+
+
+def write_warc_conversions(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    refers_col: str | None = "record_id",
+    base_name: str = "wet",
+    compress: bool = True,
+) -> DataFrame:
+    """WET-style write side of the crawl loop: curated text → WARC
+    ``conversion`` records (the ISO-28500 type for "text extracted
+    from a response"), one member-per-record gzip shard PER PARTITION,
+    written BY THE EXECUTORS — the corpus never funnels through the
+    driver, and output parallelism is the input's partitioning (use
+    ``df.repartition(n)`` to choose shard count/size). Record IDs are
+    deterministic (md5 of uri + text), ``WARC-Refers-To`` carries the
+    source record id when ``refers_col`` is given; text is utf-8,
+    Content-Length exact, so :func:`read_warc` roundtrips the shards
+    byte-faithfully (unit-pinned). ``out_dir`` must be a filesystem
+    path visible to the executors (local mode: any local dir; cluster:
+    a shared mount — the pattern of every task-side file sink). Shards
+    write to a task-attempt-unique temp name and rename atomically on
+    success, so task retries never leave half shards; empty partitions
+    produce no file. Returns the eagerly-computed shard manifest
+    (path, n_records, n_bytes) — the collect that runs the write."""
+    import hashlib  # noqa: F401  (documented closure deps)
+
+    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
+        _package_parent,
+    )
+
+    pkg_parent = _package_parent()
+    cols = [uri_col, text_col] + ([refers_col] if refers_col else [])
+    src = df.select(*cols)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+        import os
+        import sys
+        import uuid
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # task-attempt-unique temp name, atomic rename on success — a
+        # re-run task never leaves a half-written shard behind
+        suffix = ".warc.gz" if compress else ".warc"
+        final = os.path.join(out_dir, f"{base_name}-{pid:05d}{suffix}")
+        tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
+        os.makedirs(out_dir, exist_ok=True)
+        n_records = 0
+        n_bytes = 0
+        with open(tmp, "wb") as fh:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    uri = getattr(row, uri_col) or ""
+                    text = getattr(row, text_col)
+                    if text is None:
+                        continue
+                    body = str(text).encode("utf-8")
+                    digest = hashlib.md5(
+                        uri.encode("utf-8") + b"\x00" + body
+                    ).hexdigest()
+                    refers = (
+                        getattr(row, refers_col) if refers_col else None
+                    )
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: conversion\r\n"
+                        f"WARC-Record-ID: <urn:md5:{digest}>\r\n"
+                        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+                        + (
+                            f"WARC-Refers-To: {refers}\r\n"
+                            if refers
+                            else ""
+                        )
+                        + "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = head + body + b"\r\n\r\n"
+                    fh.write(gzip.compress(rec) if compress else rec)
+                    n_records += 1
+                    n_bytes += len(body)
+        if n_records:
+            os.replace(tmp, final)
+        else:
+            os.remove(tmp)  # no empty shards
+        yield pd.DataFrame(
+            [
+                {
+                    "path": final if n_records else None,
+                    "n_records": n_records,
+                    "n_bytes": n_bytes,
+                }
+            ]
+        )
+
+    from pyspark.sql import functions as F
+
+    manifest = src.mapInPandas(
+        write, "path string, n_records long, n_bytes long"
+    )
+    # eager: the manifest collect IS the write action
+    rows = manifest.filter(F.col("path").isNotNull()).collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "path string, n_records long, n_bytes long"
+    )

@@ -325,3 +325,45 @@ if _HAVE_HYPOTHESIS:
             assert r["n_bytes"] == len(p)
             if not p.startswith(b"HTTP/"):
                 assert r["body_text"] == p.decode("utf-8", "replace")
+
+
+def test_write_warc_conversions_roundtrip(spark, tmp_path):
+    """The WET-style sink closes the crawl loop: curated text written
+    as conversion records by the EXECUTORS (one gzip shard per
+    partition, manifest returned), and read_warc roundtrips every
+    (uri, text) pair byte-faithfully — including non-ASCII text whose
+    Content-Length must count UTF-8 BYTES, not characters."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        write_warc_conversions,
+    )
+
+    rows = [
+        ("http://ex.com/a", "<rid-a>", "plain ascii text"),
+        ("http://ex.com/b", "<rid-b>", "café ünïcode — ≠ ascii"),
+        ("http://ex.com/c", "<rid-c>", "multi\nline\n\ntext"),
+        ("http://ex.com/d", "<rid-d>", None),  # NULL text skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, record_id string, text string"
+    ).repartition(2)
+    out = str(tmp_path / "wet")
+    manifest = write_warc_conversions(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    assert all(m.path.endswith(".warc.gz") for m in manifest)
+
+    back = read_warc(spark, out).collect()
+    assert len(back) == 3
+    got = {(r.target_uri, r.body_text) for r in back}
+    want = {(u, t) for u, _, t in rows if t is not None}
+    assert got == want
+    for r in back:
+        assert r.warc_type == "conversion"
+        assert r.record_id.startswith("<urn:md5:")
+        assert r.n_bytes == len(
+            dict(((u, t) for u, _, t in rows if t))[r.target_uri].encode()
+        )
+    # determinism: same input -> same record ids (md5, not uuid)
+    out2 = str(tmp_path / "wet2")
+    write_warc_conversions(df, out2).collect()
+    back2 = {r.record_id for r in read_warc(spark, out2).collect()}
+    assert back2 == {r.record_id for r in back}
