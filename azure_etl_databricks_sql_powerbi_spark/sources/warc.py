@@ -390,16 +390,10 @@ def _open_chunks(fpath: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
             yield b
 
 
-def read_warc(
-    spark: SparkSession, path: str, http_only: bool = False
-) -> DataFrame:
-    """WARC shards → one row per record (schema: ``WARC_SCHEMA``).
-    ``binaryFile`` scan, then a streaming parse per file in
-    ``mapInPandas`` — the decompress/parse loop holds one record, not
-    one file (though binaryFile itself materializes the COMPRESSED
-    shard per task and caps files at 2 GB; :func:`read_warc_paths`
-    lifts both). ``http_only=True`` keeps only HTTP ``response``
-    records (the text-curation path), pruned inside the generator."""
+def _binary_parse_fn(http_only: bool):
+    """The (path, content) → WARC-rows mapInPandas closure, shared by
+    the batch and STREAMING binaryFile connectors (sys.path-bootstrap
+    pattern: executors unpickle by module name)."""
     from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
         _package_parent,
     )
@@ -427,8 +421,57 @@ def read_warc(
                     ),
                 )
 
+    return parse
+
+
+def read_warc(
+    spark: SparkSession, path: str, http_only: bool = False
+) -> DataFrame:
+    """WARC shards → one row per record (schema: ``WARC_SCHEMA``).
+    ``binaryFile`` scan, then a streaming parse per file in
+    ``mapInPandas`` — the decompress/parse loop holds one record, not
+    one file (though binaryFile itself materializes the COMPRESSED
+    shard per task and caps files at 2 GB; :func:`read_warc_paths`
+    lifts both). ``http_only=True`` keeps only HTTP ``response``
+    records (the text-curation path), pruned inside the generator."""
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _binary_parse_fn(http_only), WARC_SCHEMA
+    )
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    http_only: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CONTINUOUS crawl-drop ingestion: a Structured Streaming
+    binaryFile source over a landing directory — each newly-arrived
+    WARC shard becomes one micro-batch unit, parsed by the SAME
+    mapInPandas closure as the batch connector (stream ≡ batch rows on
+    the same shards, unit-pinned; the engine's batch≡stream
+    discipline). Downstream composes like any stream: watermark on an
+    event-time column, windowed aggs, ``run_to_memory`` drains in
+    tests. ``max_files_per_trigger`` bounds micro-batch size so a
+    backfilled landing zone doesn't become one giant batch."""
+    from azure_etl_databricks_sql_powerbi_spark.streaming.structured import (
+        stream_files,
+    )
+
+    files = stream_files(
+        spark,
+        path,
+        schema=(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        ),
+        fmt="binaryFile",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return files.select("path", "content").mapInPandas(
+        _binary_parse_fn(http_only), WARC_SCHEMA
+    )
 
 
 def read_warc_paths(

@@ -367,3 +367,38 @@ def test_write_warc_conversions_roundtrip(spark, tmp_path):
     write_warc_conversions(df, out2).collect()
     back2 = {r.record_id for r in read_warc(spark, out2).collect()}
     assert back2 == {r.record_id for r in back}
+
+
+def test_stream_warc_matches_batch_rows(spark, tmp_path):
+    """The streaming binaryFile connector drains the SAME rows the
+    batch connector reads from the same shards (batch ≡ stream, the
+    engine's streaming discipline), including rows arriving across two
+    micro-batches via maxFilesPerTrigger=1."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        stream_warc,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.streaming.structured import (
+        run_to_memory,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.warc").write_bytes(PLAIN)
+    (land / "b.warc.gz").write_bytes(MEMBER_GZ)
+
+    name = f"warc_drain_{tmp_path.name}"
+    stream = stream_warc(
+        spark, str(land), http_only=True, max_files_per_trigger=1
+    )
+    q = run_to_memory(stream, name, shuffle_partitions=4)
+    try:
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    want = read_warc(spark, str(land), http_only=True).collect()
+    key = lambda r: (r.path, r.record_id)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 4  # 2 http responses x 2 shards
+    gd = {key(r): r.body_text for r in got}
+    wd = {key(r): r.body_text for r in want}
+    assert gd == wd
