@@ -35,10 +35,12 @@ Pure stdlib (``zlib``) — no warcio/fastwarc dependency. Two layers:
    each shard through pyarrow's FileSystem inside the task, so
    per-task peak memory is ~one record + one window regardless of
    shard size and the 2 GB ceiling disappears — the 100 TB default.
-   Payload text is decoded ``utf-8/replace`` at parse time: this
-   engine's WARC surface is the TEXT curation path; binary payloads
-   (images in WARC) belong to the multimodal tier and a dedicated
-   reader.
+   Payload text decodes at parse time honoring the HTTP header's
+   DECLARED charset (latin-1/windows-1252 dominate the non-UTF-8 tail;
+   missing/unknown charsets fall back to utf-8/replace — never an
+   error): this engine's WARC surface is the TEXT curation path;
+   binary payloads (images in WARC) belong to the multimodal tier and
+   a dedicated reader.
 
 100 TB posture: one task per WARC shard (Common Crawl shards are ~1 GB
 gzip), decompression and record parsing stream in ~1 MiB windows with
@@ -170,6 +172,36 @@ def _iter_decompressed(
     yield from _iter_decompressed_stream(
         _windows(data, chunk_size), chunk_size
     )
+
+
+def _decode_body(body: bytes, http_ctype: str | None) -> str:
+    """Payload bytes → text honoring the DECLARED charset (real crawls
+    are not all UTF-8 — latin-1/windows-1252 dominate the non-UTF-8
+    tail, and decoding them as UTF-8 turns every accented character
+    into U+FFFD, which then poisons dedup shingles and quality
+    ratios). The charset comes from the HTTP Content-Type parameter
+    (``text/html; charset=ISO-8859-1``, quotes tolerated); a missing,
+    unknown, or lying charset falls back to utf-8/replace — decode
+    must NEVER fail a 100 TB scan. HTML ``<meta charset>`` sniffing is
+    deliberately out of scope (it needs the decoded body first; the
+    header is what a crawler recorded)."""
+    codec = "utf-8"
+    if http_ctype and "charset=" in http_ctype:
+        declared = (
+            http_ctype.split("charset=", 1)[1]
+            .split(";", 1)[0]
+            .strip()
+            .strip("\"'")
+        )
+        if declared:
+            import codecs
+
+            try:
+                codecs.lookup(declared)
+                codec = declared
+            except LookupError:
+                pass
+    return body.decode(codec, "replace")
 
 
 def iter_warc_records(
@@ -319,7 +351,7 @@ def iter_warc_records(
             "content_type": headers.get("content-type", ""),
             "http_content_type": http_ctype,
             "http_status": status,
-            "body_text": body.decode("utf-8", "replace"),
+            "body_text": _decode_body(body, http_ctype),
             "n_bytes": len(payload),
         }
 

@@ -402,3 +402,29 @@ def test_stream_warc_matches_batch_rows(spark, tmp_path):
     gd = {key(r): r.body_text for r in got}
     wd = {key(r): r.body_text for r in want}
     assert gd == wd
+
+
+def test_body_decodes_by_declared_charset():
+    """Non-UTF-8 crawl payloads decode by the HTTP header's charset
+    parameter (quotes tolerated, case-insensitive codec lookup); a
+    missing/unknown charset falls back to utf-8/replace instead of
+    failing — decoding latin-1 as utf-8 would turn every accented char
+    into U+FFFD and poison dedup shingles downstream."""
+    body = "café señor – ü".encode("iso-8859-1", "replace")
+    cases = [
+        (b'text/html; charset="ISO-8859-1"', "caf\xe9 se\xf1or"),
+        (b"text/html; charset=iso-8859-1; foo=bar", "caf\xe9 se\xf1or"),
+        # lying/unknown charset -> utf-8/replace fallback, no raise
+        (b"text/html; charset=not-a-codec", "caf�"),
+        (b"text/html", "caf�"),
+    ]
+    for ctype, prefix in cases:
+        rec = _record("response", "http://e/x", "c-1", _http(body, ctype))
+        out = list(iter_warc_records(_iter_decompressed(rec)))
+        assert len(out) == 1, ctype
+        assert out[0]["body_text"].startswith(prefix), (
+            ctype,
+            out[0]["body_text"][:12],
+        )
+        # n_bytes still counts ORIGINAL payload bytes
+        assert out[0]["n_bytes"] == len(_http(body, ctype))
