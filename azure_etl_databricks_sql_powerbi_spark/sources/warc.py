@@ -46,11 +46,17 @@ Pure stdlib (``zlib``) — no warcio/fastwarc dependency. Two layers:
 gzip), decompression and record parsing stream in ~1 MiB windows with
 amortized-O(n) buffer compaction, rows leave the task in 10k-record
 DataFrame slices, and the output is a plain DataFrame that
-partitions/filters like any other source. Measured anchor (``tools/warc_scale_smoke.py``, 20k records,
-one shard = one task, warm session): ~12k records/s parse, ~8k
-records/s with the full HTML→canonical-text extraction — a 100k-record
-Common Crawl shard is ~10 s of single-task work, and shards
-parallelize across the scan. ``http_only=True``
+partitions/filters like any other source. Measured anchor
+(``tools/warc_scale_smoke.py``, 20k records, one shard = one task,
+warm session, ±25% co-tenancy): binaryFile parse ~9k records/s;
+**path-streaming parse ~23k records/s** — ~2.7× the binaryFile path,
+because the shard bytes never round-trip through the Arrow content
+column into Python; CDX-ranged access ~1k records/s per task
+(per-record seek+inflate dominates at small records — its win is
+reading ONLY the selected bytes, not throughput); full
+HTML→canonical-text extraction ~6.5k records/s. A 100k-record Common
+Crawl shard is seconds of single-task work, and shards parallelize
+across the scan. ``http_only=True``
 prunes non-response records (request/metadata/warcinfo) inside the
 generator, before any row materializes.
 

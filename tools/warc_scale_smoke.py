@@ -70,9 +70,46 @@ def main() -> None:
         t_full = time.perf_counter() - t0
         one = corpus.filter("target_uri = 'http://ex.com/7'").collect()[0]
         assert "markup & entities" in one.text and "junk" not in one.text
+
+        # r13 connectors on the same shard: path-streaming (bounded
+        # task memory) and CDX-ranged (selective access)
+        from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+            read_warc_paths,
+            read_warc_ranges,
+        )
+
+        t0 = time.perf_counter()
+        assert read_warc_paths(spark, path).count() == n
+        t_paths = time.perf_counter() - t0
+
+        # ranged: every 10th record, offsets from the member layout
+        offs, off = [], 0
+        with open(path, "rb") as f2:
+            data = f2.read()
+        # recompute member sizes exactly as written
+        sizes = [len(gzip.compress(_record(i, body))) for i in range(n)]
+        assert sum(sizes) == len(data)
+        ranges = []
+        for i, s in enumerate(sizes):
+            if i % 10 == 0:
+                ranges.append({"offset": off, "length": s})
+            off += s
+        plan = spark.createDataFrame(
+            [(path, ranges)],
+            "filename string, "
+            "ranges array<struct<offset: long, length: long>>",
+        )
+        t0 = time.perf_counter()
+        got = read_warc_ranges(spark, plan).count()
+        t_ranged = time.perf_counter() - t0
+        assert got == len(ranges)
+
         print(
             f"n={n} shard={size_mb:.1f}MB body={len(body)}B | "
             f"read_warc {t_read:.2f}s ({n / t_read:,.0f} rec/s) | "
+            f"read_warc_paths {t_paths:.2f}s ({n / t_paths:,.0f} rec/s) | "
+            f"ranged 1/10th {t_ranged:.2f}s "
+            f"({len(ranges) / t_ranged:,.0f} rec/s) | "
             f"+html_to_text {t_full:.2f}s ({n / t_full:,.0f} rec/s)"
         )
         spark.stop()
