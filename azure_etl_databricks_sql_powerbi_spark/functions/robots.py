@@ -1,0 +1,255 @@
+"""robots.txt parsing and URL permission filtering — the crawl-policy
+half of curation (north-star extension; the reference engine at
+/root/reference has no crawl surface). A training-data pipeline that
+re-processes an archived crawl still honors exclusions: publishers
+change their robots.txt AFTER a crawl, and post-hoc filtering against
+a current snapshot is standard practice.
+
+Spark-first shape, two stages:
+
+1. **``parse_robots``** — robots.txt documents (one per domain) →
+   RULE rows ``(domain, agent, directive, pattern, prio)``. The stanza
+   structure (a run of ``User-agent:`` lines binds the rule lines
+   after it — until a BLANK LINE or the next agent-run; rules before
+   any agent line are ignored per spec) is resolved with WINDOW
+   functions over line numbers, not Python: ``posexplode`` the lines,
+   mark agent-run starts, propagate the run id with a running
+   ``last(ignorenulls)``, then join rules to the agents of their own
+   run. All JVM.
+2. **``filter_robots_allowed``** — URLs × rules: broadcast the (tiny)
+   rule table, keep each URL's rules for the MOST SPECIFIC matching
+   agent group (exact agent beats ``*`` — the spec's group-selection
+   rule, simplified to the two groups a curation pipeline queries),
+   match path patterns (literal prefixes; ``*`` wildcards and a
+   trailing ``$`` anchor converted to an RE2≡Java regex with
+   everything else escaped), pick the LONGEST matching pattern, allow
+   on ties (the Google/REP tie-break), allow when nothing matches or
+   the domain has no robots.txt. One broadcast join + one window on
+   (url) — no shuffle of the URL side before the verdict.
+
+Pattern-length specificity ("longest pattern wins") follows REP;
+``crawl-delay``/``sitemap`` lines are surfaced as rules with their own
+directive so downstream can read them, but they never affect
+permission. An empty Disallow ("Disallow:") means allow-all per
+spec: it carries a NULL match regex, contributes nothing to matching,
+and permission falls through to the default allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# line shape: "Directive: value" with optional inline '#' comment.
+_LINE_RE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*)"
+
+
+def parse_robots(
+    docs: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt documents → rule rows ``(domain, agent, directive,
+    pattern, pattern_len, regex)``. Stanza binding per REP: a run of
+    consecutive ``User-agent`` lines owns the rules that follow until
+    the next agent-run OR a blank line ends the group; rules with no
+    preceding agent line in scope are dropped. ``allow``/``disallow``
+    rows carry a ready-to-use anchored match regex; other directives
+    (``crawl-delay``, ``sitemap``, …) pass through with NULL regex."""
+    lines = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    parsed = lines.select(
+        "domain",
+        "line_no",
+        F.lower(F.regexp_extract("line", _LINE_RE, 1)).alias("key"),
+        F.trim(F.regexp_extract("line", _LINE_RE, 2)).alias("value"),
+        (F.trim("line") == "").alias("is_blank"),
+    )
+    w = Window.partitionBy("domain").orderBy("line_no")
+    # group ids: a User-agent line that does NOT directly follow
+    # another User-agent line starts a new agent-run; a blank line or
+    # a new run closes the previous group's rule scope.
+    marked = parsed.withColumn(
+        "is_agent", F.col("key") == F.lit("user-agent")
+    ).withColumn(
+        "run_start",
+        F.col("is_agent")
+        & ~F.coalesce(F.lag("is_agent").over(w), F.lit(False)),
+    )
+    # scope id: every run_start (and every blank line) bumps a counter;
+    # rules see the id of the last agent-run, blanks invalidate it
+    scoped = (
+        marked.withColumn(
+            "run_id",
+            F.sum(F.col("run_start").cast("int")).over(w),
+        )
+        .withColumn(
+            "blanks_before",
+            F.sum(F.col("is_blank").cast("int")).over(w),
+        )
+    )
+    agents = scoped.filter(F.col("is_agent")).select(
+        "domain",
+        F.col("run_id").alias("g_run"),
+        F.lower("value").alias("agent"),
+        F.col("blanks_before").alias("g_blanks"),
+        F.col("line_no").alias("agent_line"),
+    )
+    rules = scoped.filter(
+        ~F.col("is_agent")
+        & ~F.col("is_blank")
+        & (F.col("key") != "")
+        & (F.col("run_id") > 0)
+    ).select(
+        "domain",
+        F.col("run_id").alias("r_run"),
+        F.col("blanks_before").alias("r_blanks"),
+        F.col("key").alias("directive"),
+        F.col("value").alias("pattern"),
+        F.col("line_no").alias("rule_line"),
+    )
+    # a rule belongs to its run's agents only if no blank line
+    # intervened between the END of the agent-run and the rule…
+    # REP's actual rule is simpler: blank lines end a GROUP. Joining
+    # on same run + same blank count as the run's LAST agent line
+    # implements exactly that (agents in a run share blanks_before).
+    joined = rules.join(
+        # agents is |user-agent lines| rows — broadcast keeps the whole
+        # rule build shuffle-free (robots documents are KB-scale)
+        F.broadcast(agents),
+        (rules["domain"] == agents["domain"])
+        & (rules["r_run"] == agents["g_run"])
+        & (rules["r_blanks"] == agents["g_blanks"]),
+    ).select(
+        rules["domain"],
+        "agent",
+        "directive",
+        "pattern",
+        "rule_line",
+    )
+    pat = F.col("pattern")
+    esc = F.regexp_replace(pat, r"([.^+?()\[\]{}|\\$])", r"\\$1")
+    # one trailing (escaped) \$ back to an anchor; * to .* — the
+    # replacement is Java-escaped (\$): a bare '$' in a Java
+    # replacement string is a group reference and throws
+    core = F.regexp_replace(esc, r"\\\$$", "\\$")
+    rx = F.concat(F.lit("^"), F.regexp_replace(core, r"\*", ".*"))
+    # an EMPTY Allow/Disallow value means "no rule" per REP (the
+    # classic "Disallow:" = allow-everything form) — it must contribute
+    # NOTHING to matching, so permission falls through to the default
+    # allow; a match-everything regex here would invert it into a
+    # total block (r13 review)
+    is_perm = F.col("directive").isin("allow", "disallow") & (
+        F.col("pattern") != ""
+    )
+    return joined.select(
+        "domain",
+        "agent",
+        "directive",
+        "pattern",
+        F.when(is_perm, F.length("pattern")).alias("pattern_len"),
+        F.when(is_perm, rx).alias("regex"),
+        "rule_line",
+    )
+
+
+def filter_robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+    keep_verdict: bool = False,
+) -> DataFrame:
+    """Keep the URLs the (broadcast) rule table permits for ``agent``.
+    Group selection per REP, simplified to the two groups a pipeline
+    queries: rules for the EXACT agent if that domain declares any,
+    else the ``*`` group. Path match = the module's anchored regex;
+    the LONGEST matching pattern decides; a tie prefers allow; no
+    matching rule (or no robots.txt for the domain) allows. One
+    broadcast join + one per-URL window; the URL side never shuffles
+    on a rule key. ``keep_verdict=True`` keeps blocked rows and adds
+    ``robots_allowed``/``robots_rule`` columns instead of filtering."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        registered_domain,
+    )
+
+    reserved = [
+        "__dom", "__path", "__after", "__has_exact", "__hit", "__rk",
+        "robots_allowed", "robots_rule",
+    ]
+    clash = [c for c in reserved if c in urls.columns]
+    if clash:
+        raise ValueError(
+            f"filter_robots_allowed uses temp columns {clash}; rename "
+            "the existing column(s) first"
+        )
+    agent = agent.lower()
+    perm = rules.filter(
+        F.col("directive").isin("allow", "disallow")
+        & F.col("agent").isin(agent, "*")
+    ).select(
+        F.col("domain").alias("__r_dom"),
+        F.col("agent").alias("__r_agent"),
+        "directive",
+        "pattern",
+        "pattern_len",
+        "regex",
+    )
+    u = urls.withColumn("__dom", registered_domain(F.col(url_col)))
+    # path+query, '' -> '/' (REP matches against the path)
+    after_scheme = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3)"
+    )
+    path = F.expr(
+        "CASE WHEN instr(__after, '/') = 0 THEN '/' "
+        "ELSE substring(__after, instr(__after, '/')) END"
+    )
+    u = (
+        u.withColumn("__after", after_scheme)
+        .withColumn("__path", path)
+        .drop("__after")
+    )
+    j = u.join(
+        F.broadcast(perm), u["__dom"] == perm["__r_dom"], "left"
+    )
+    # group selection: exact agent outranks '*'; if the domain has any
+    # exact-agent rule, '*' rules are ignored for it
+    has_exact = F.max(
+        (F.col("__r_agent") == agent).cast("int")
+    ).over(Window.partitionBy(url_col, "__dom"))
+    grp = j.withColumn("__has_exact", has_exact).filter(
+        F.col("__r_agent").isNull()
+        | F.when(F.col("__has_exact") == 1, F.col("__r_agent") == agent)
+        .otherwise(F.col("__r_agent") == "*")
+    )
+    matched = grp.withColumn(
+        "__hit",
+        F.col("regex").isNotNull()
+        # column-valued pattern: the Column API's .rlike takes only a
+        # literal, the SQL form takes any expression
+        & F.expr("__path RLIKE regex"),
+    )
+    # longest pattern wins, allow beats disallow on equal length;
+    # URLs with no hit (or no rules at all) fall through to allow
+    wbest = Window.partitionBy(url_col, "__dom").orderBy(
+        F.desc("__hit"),
+        F.desc("pattern_len"),
+        F.asc(F.col("directive") == "disallow"),
+    )
+    best = (
+        matched.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .withColumn(
+            "robots_allowed",
+            ~F.col("__hit") | (F.col("directive") == "allow"),
+        )
+        .withColumn(
+            "robots_rule",
+            F.when(F.col("__hit"), F.concat_ws(" ", "directive", "pattern")),
+        )
+    )
+    if keep_verdict:
+        return best.select(*urls.columns, "robots_allowed", "robots_rule")
+    return best.filter("robots_allowed").select(*urls.columns)

@@ -1,0 +1,141 @@
+"""robots.txt parsing + URL permission filtering: hand-written
+expectations over realistic robots documents (stanza binding, shared
+agent runs, blank-line group ends, comments, wildcards, $ anchors,
+empty Disallow, allow-vs-disallow tie), group selection (exact agent
+beats *), default-allow fall-throughs, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+    filter_robots_allowed,
+    parse_robots,
+)
+
+ROBOTS_A = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /tmp*.bak
+Disallow: /exact$
+
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /no-train/
+Crawl-delay: 10
+"""
+
+# empty Disallow = allow everything for this agent group
+ROBOTS_B = """User-agent: *
+Disallow:
+"""
+
+# rules BEFORE any user-agent line are dropped; blank line ends group
+ROBOTS_C = """Disallow: /orphan/
+User-agent: *
+Disallow: /blocked/
+
+Disallow: /after-blank/
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a.com", ROBOTS_A),
+            ("b.com", ROBOTS_B),
+            ("c.com", ROBOTS_C),
+        ],
+        "domain string, robots_txt string",
+    )
+    return parse_robots(docs).cache()
+
+
+def test_parse_stanza_binding_and_regex(rules):
+    rows = rules.collect()
+    a = [(r.agent, r.directive, r.pattern) for r in rows if r.domain == "a.com"]
+    # the * group owns 4 rules; the trainbot/otherbot run SHARES its 2
+    assert ("*", "disallow", "/private/") in a
+    assert ("*", "allow", "/private/ok.html") in a
+    assert ("trainbot", "disallow", "/no-train/") in a
+    assert ("otherbot", "disallow", "/no-train/") in a
+    assert ("trainbot", "crawl-delay", "10") in a
+    # crawl-delay carries no match regex
+    cd = [r for r in rows if r.directive == "crawl-delay"][0]
+    assert cd.regex is None and cd.pattern_len is None
+    # wildcard + $ conversion, everything else escaped
+    wild = [r for r in rows if r.pattern == "/tmp*.bak"][0]
+    assert wild.regex == r"^/tmp.*\.bak"
+    anchored = [r for r in rows if r.pattern == "/exact$"][0]
+    assert anchored.regex == "^/exact$"
+    # empty Disallow contributes NO matching rule
+    b = [r for r in rows if r.domain == "b.com"]
+    assert all(r.regex is None for r in b)
+    # orphan rule (before any agent) and post-blank rule are dropped
+    c_pats = {r.pattern for r in rows if r.domain == "c.com"}
+    assert c_pats == {"/blocked/"}
+
+
+URLS = [
+    (1, "https://www.a.com/public/page.html"),   # no rule -> allow
+    (2, "https://www.a.com/private/secret.html"),  # disallow /private/
+    (3, "https://www.a.com/private/ok.html"),    # longer allow WINS
+    (4, "https://www.a.com/tmp123.bak"),         # wildcard disallow
+    (5, "https://www.a.com/tmp123.bakx"),        # .bak not at end, but no $: still matches prefix semantics -> blocked
+    (6, "https://www.a.com/exact"),              # $ anchor blocks exact
+    (7, "https://www.a.com/exactly"),            # $ anchor does NOT match
+    (8, "https://b.com/anything"),               # empty Disallow -> allow
+    (9, "https://c.com/blocked/x"),              # blocked
+    (10, "https://c.com/after-blank/x"),         # rule dropped -> allow
+    (11, "https://no-robots.example/x"),         # no robots at all
+    (12, "https://www.a.com/no-train/x"),        # * group: allowed
+]
+
+
+def test_filter_default_agent_hand_written(spark, rules):
+    urls = spark.createDataFrame(URLS, "id long, url string")
+    kept = {r.id for r in filter_robots_allowed(urls, rules).collect()}
+    assert kept == {1, 3, 7, 8, 10, 11, 12}
+
+
+def test_filter_exact_agent_group_selection(spark, rules):
+    """trainbot has its own group on a.com -> the * group is IGNORED
+    for a.com (so /private/ is allowed for trainbot, /no-train/ is
+    not); domains without a trainbot group fall back to *."""
+    urls = spark.createDataFrame(URLS, "id long, url string")
+    kept = {
+        r.id
+        for r in filter_robots_allowed(urls, rules, agent="trainbot").collect()
+    }
+    assert 12 not in kept          # /no-train/ blocked for trainbot
+    assert {2, 3, 4, 5, 6}.issubset(kept)  # * rules ignored on a.com
+    assert 9 not in kept           # c.com falls back to * group
+
+
+def test_verdict_columns_and_clash_guard(spark, rules):
+    urls = spark.createDataFrame(URLS[:4], "id long, url string")
+    v = filter_robots_allowed(urls, rules, keep_verdict=True)
+    rows = {r.id: r for r in v.collect()}
+    assert rows[2].robots_allowed is False
+    assert rows[2].robots_rule == "disallow /private/"
+    assert rows[3].robots_allowed is True
+    assert rows[3].robots_rule == "allow /private/ok.html"
+    assert rows[1].robots_allowed is True and rows[1].robots_rule is None
+    with pytest.raises(ValueError, match="temp columns"):
+        filter_robots_allowed(
+            urls.withColumn("__dom", urls["url"]), rules
+        )
+
+
+def test_filter_plan_broadcasts_rules(spark, rules):
+    urls = spark.createDataFrame(URLS, "id long, url string")
+    plan = (
+        filter_robots_allowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
