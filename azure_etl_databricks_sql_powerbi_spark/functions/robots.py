@@ -24,8 +24,10 @@ Spark-first shape, two stages:
    trailing ``$`` anchor converted to an RE2≡Java regex with
    everything else escaped), pick the LONGEST matching pattern, allow
    on ties (the Google/REP tie-break), allow when nothing matches or
-   the domain has no robots.txt. One broadcast join + one window on
-   (url) — no shuffle of the URL side before the verdict.
+   the domain has no robots.txt. One broadcast join + one window keyed
+   by a per-row id (duplicate URLs — e.g. multiple captures of one
+   URL — each keep their own verdict) — no shuffle of the URL side on
+   a rule key before the verdict.
 
 Pattern-length specificity ("longest pattern wins") follows REP;
 ``crawl-delay``/``sitemap`` lines are surfaced as rules with their own
@@ -175,9 +177,15 @@ def filter_robots_allowed(
         registered_domain,
     )
 
+    # the clash guard covers BOTH the URL-side temp columns and the
+    # rule-side columns the join introduces — either kind of collision
+    # would otherwise surface as an AMBIGUOUS_REFERENCE deep in the
+    # plan instead of a clean error (r13 review)
     reserved = [
-        "__dom", "__path", "__after", "__has_exact", "__hit", "__rk",
-        "robots_allowed", "robots_rule",
+        "__rid", "__dom", "__path", "__after", "__has_exact", "__hit",
+        "__rk", "robots_allowed", "robots_rule",
+        "__r_dom", "__r_agent", "directive", "pattern", "pattern_len",
+        "regex",
     ]
     clash = [c for c in reserved if c in urls.columns]
     if clash:
@@ -186,10 +194,12 @@ def filter_robots_allowed(
             "the existing column(s) first"
         )
     agent = agent.lower()
-    perm = rules.filter(
-        F.col("directive").isin("allow", "disallow")
-        & F.col("agent").isin(agent, "*")
-    ).select(
+    # keep NON-permission directives of the two candidate groups too:
+    # group selection must see an exact-agent group that declares only
+    # e.g. Crawl-delay (REP gives that agent its own permission-empty
+    # group = allow-all, NOT the '*' group's blocks — r13 review).
+    # Their regex is NULL, so they can never win a path match.
+    perm = rules.filter(F.col("agent").isin(agent, "*")).select(
         F.col("domain").alias("__r_dom"),
         F.col("agent").alias("__r_agent"),
         "directive",
@@ -197,7 +207,12 @@ def filter_robots_allowed(
         "pattern_len",
         "regex",
     )
-    u = urls.withColumn("__dom", registered_domain(F.col(url_col)))
+    # a unique per-row key: windows keyed on the URL VALUE would
+    # collapse duplicate-URL rows (multiple captures of one URL — the
+    # exact shape sources/cdx produces) and all NULL-url rows into one
+    # survivor (r13 review)
+    u = urls.withColumn("__rid", F.monotonically_increasing_id())
+    u = u.withColumn("__dom", registered_domain(F.col(url_col)))
     # path+query, '' -> '/' (REP matches against the path)
     after_scheme = F.expr(
         f"substring({url_col}, instr({url_col}, '://') + 3)"
@@ -218,7 +233,7 @@ def filter_robots_allowed(
     # exact-agent rule, '*' rules are ignored for it
     has_exact = F.max(
         (F.col("__r_agent") == agent).cast("int")
-    ).over(Window.partitionBy(url_col, "__dom"))
+    ).over(Window.partitionBy("__rid"))
     grp = j.withColumn("__has_exact", has_exact).filter(
         F.col("__r_agent").isNull()
         | F.when(F.col("__has_exact") == 1, F.col("__r_agent") == agent)
@@ -233,7 +248,7 @@ def filter_robots_allowed(
     )
     # longest pattern wins, allow beats disallow on equal length;
     # URLs with no hit (or no rules at all) fall through to allow
-    wbest = Window.partitionBy(url_col, "__dom").orderBy(
+    wbest = Window.partitionBy("__rid").orderBy(
         F.desc("__hit"),
         F.desc("pattern_len"),
         F.asc(F.col("directive") == "disallow"),

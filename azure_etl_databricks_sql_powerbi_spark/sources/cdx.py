@@ -111,8 +111,13 @@ def select_captures(
     capture per content digest — Common Crawl stores every re-crawl of
     identical content, and fetching byte-identical payloads is pure
     waste. Deterministic winner: earliest (ts, urlkey, filename,
-    offset). Rows with a NULL digest (malformed lines) are kept —
-    selection must fail open for inspection, not silently drop."""
+    offset). Malformed lines never reach the output: their NULL status
+    fails the status filter (they are not fetchable — no offset); the
+    NULL-digest keep-rule below only shields SELECTED rows that lack a
+    digest from being collapsed into one "NULL-digest group" by the
+    dedup window (r13 review: an earlier draft of this docstring
+    claimed malformed rows fail open — they do not, inspect them on
+    the parsed frame BEFORE selection)."""
     out = cdx.filter(F.col("status").isin(*statuses))
     if mime_contains is not None:
         out = out.filter(F.lower("mime").contains(mime_contains.lower()))
@@ -150,8 +155,12 @@ def cdx_fetch_plan(cdx: DataFrame) -> DataFrame:
     return (
         cdx.filter(
             F.col("filename").isNotNull()
-            & F.col("offset").isNotNull()
-            & F.col("length").isNotNull()
+            # negatives are lying index lines: a negative offset would
+            # raise in the ranged reader's seek, a negative length
+            # becomes read(rest-of-shard) (r13 review — the reader
+            # ALSO guards per-range; both layers are cheap)
+            & (F.col("offset") >= 0)
+            & (F.col("length") > 0)
         )
         .groupBy("filename")
         .agg(

@@ -113,7 +113,15 @@ def _iter_decompressed_stream(
     record shard) resyncs: scan forward for the next gzip magic and
     restart the decompressor there — each failed scan advances at
     least one byte, so the garbled path stays O(n). Only trailing
-    garbage with no further member ends the stream."""
+    garbage with no further member ends the stream. Resync reaches
+    exactly the corruptions zlib DETECTS (invalid blocks/codes — the
+    prompt-error class, recovered at every window alignment,
+    test-swept): a member whose tail is truncated such that the
+    desynced deflate stream keeps decoding the FOLLOWING members'
+    bytes as data is only caught by the end-of-member CRC, after
+    consuming them — no streaming parser can resync inside bytes that
+    decoded "successfully"; the downstream record parser's ``WARC/``
+    scan then drops the garbage text conservatively."""
     it = iter(comp_chunks)
     first = b""
     while len(first) < 2:
@@ -128,6 +136,7 @@ def _iter_decompressed_stream(
             yield from _windows(c, chunk_size)
         return
     d = zlib.decompressobj(wbits=31)
+    fresh = True  # d has consumed NOTHING yet
     pending = first  # compressed bytes read but not yet consumed
     while True:
         if not pending:
@@ -145,12 +154,16 @@ def _iter_decompressed_stream(
             out = d.decompress(pending, chunk_size)
         except zlib.error:
             # corrupt member mid-shard: hunt for the next member's
-            # magic. Scan from index 1 — the current position already
-            # failed, so progress is guaranteed even when pending
-            # itself starts with (a corrupt member's) magic. Keep a
-            # trailing 0x1f in case the magic straddles the window; a
-            # fresh decompressobj fed a lone 0x1f just buffers it.
-            i = pending.find(GZIP_MAGIC, 1)
+            # magic. A FRESH decompressor means pending[0] itself is
+            # the bad byte — scan from 1 so progress is guaranteed.
+            # A mid-member error can surface exactly at a feed-window
+            # boundary where pending[0] already starts the NEXT valid
+            # member — scanning from 0 keeps that record (r13 review;
+            # termination holds: the retry runs on a fresh d, whose
+            # failure scans from 1). Keep a trailing 0x1f in case the
+            # magic straddles the window; a fresh decompressobj fed a
+            # lone 0x1f just buffers it.
+            i = pending.find(GZIP_MAGIC, 0 if not fresh else 1)
             if i != -1:
                 pending = pending[i:]
             elif pending.endswith(GZIP_MAGIC[:1]):
@@ -158,12 +171,15 @@ def _iter_decompressed_stream(
             else:
                 pending = b""
             d = zlib.decompressobj(wbits=31)
+            fresh = True
             continue
+        fresh = False
         if d.eof:
             # member finished: whatever followed it is the next
             # member's (possibly partial) header or trailing garbage
             pending = d.unused_data
             d = zlib.decompressobj(wbits=31)
+            fresh = True
         else:
             pending = d.unconsumed_tail
         if out:
@@ -428,10 +444,15 @@ def _open_chunks(fpath: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
             yield b
 
 
-def _binary_parse_fn(http_only: bool):
-    """The (path, content) → WARC-rows mapInPandas closure, shared by
-    the batch and STREAMING binaryFile connectors (sys.path-bootstrap
-    pattern: executors unpickle by module name)."""
+def _task_frames(body):
+    """mapInPandas closure factory shared by the reader connectors:
+    sys.path-bootstrap (executors unpickle by module name — the
+    multimodal/ops.py pattern), then ``body(pdf)`` per batch. ``body``
+    MUST be a NESTED function (cloudpickle serializes closures by
+    VALUE; a module-level body would serialize by reference and fail
+    to unpickle before the bootstrap runs); it imports this module's
+    helpers inside itself, after the bootstrap. One definition instead
+    of a copy per connector (r13 review)."""
     from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
         _package_parent,
     )
@@ -443,23 +464,33 @@ def _binary_parse_fn(http_only: bool):
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
+        for pdf in batches:
+            yield from body(pdf)
+
+    return parse
+
+
+def _binary_parse_fn(http_only: bool):
+    """The (path, content) → WARC-rows closure, shared by the batch
+    and STREAMING binaryFile connectors."""
+
+    def body(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
             _iter_decompressed,
             _record_frames,
             iter_warc_records,
         )
 
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                yield from _record_frames(
-                    fpath,
-                    iter_warc_records(
-                        _iter_decompressed(bytes(content)),
-                        http_only=http_only,
-                    ),
-                )
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            yield from _record_frames(
+                fpath,
+                iter_warc_records(
+                    _iter_decompressed(bytes(content)),
+                    http_only=http_only,
+                ),
+            )
 
-    return parse
+    return _task_frames(body)
 
 
 def read_warc(
@@ -526,17 +557,7 @@ def read_warc_paths(
     open per shard and no Spark-managed content caching — at 100 TB
     (≈100k 1 GB shards) this is the default to prefer; the binaryFile
     path stays the zero-config default for sub-2 GB shards."""
-    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
-        _package_parent,
-    )
-
-    pkg_parent = _package_parent()
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
+    def body(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
             _iter_decompressed_stream,
             _open_chunks,
@@ -544,18 +565,17 @@ def read_warc_paths(
             iter_warc_records,
         )
 
-        for pdf in batches:
-            for fpath in pdf["path"]:
-                yield from _record_frames(
-                    fpath,
-                    iter_warc_records(
-                        _iter_decompressed_stream(_open_chunks(fpath)),
-                        http_only=http_only,
-                    ),
-                )
+        for fpath in pdf["path"]:
+            yield from _record_frames(
+                fpath,
+                iter_warc_records(
+                    _iter_decompressed_stream(_open_chunks(fpath)),
+                    http_only=http_only,
+                ),
+            )
 
     files = spark.read.format("binaryFile").load(path).select("path")
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.mapInPandas(_task_frames(body), WARC_SCHEMA)
 
 
 def warc_html_corpus(
@@ -608,17 +628,7 @@ def read_warc_ranges(
     a plain/whole-file shard also works, since the slice is passed
     through the layout-sniffing decompressor). ``base_uri`` prefixes
     the index's relative filenames (e.g. the crawl bucket root)."""
-    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
-        _package_parent,
-    )
-
-    pkg_parent = _package_parent()
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
+    def body(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
             _iter_decompressed,
             _record_frames,
@@ -626,25 +636,34 @@ def read_warc_ranges(
             iter_warc_records,
         )
 
-        for pdf in batches:
-            for fname, ranges in zip(pdf["filename"], pdf["ranges"]):
-                fpath = base_uri + fname if base_uri else fname
-                filesystem, inner = _resolve_fs(fpath)
+        for fname, ranges in zip(pdf["filename"], pdf["ranges"]):
+            fpath = base_uri + fname if base_uri else fname
+            filesystem, inner = _resolve_fs(fpath)
 
-                def records(f=None, rs=ranges, p=inner, fs=filesystem):
-                    with fs.open_input_file(p) as fh:
-                        for r in rs:
-                            off, length = int(r["offset"]), int(r["length"])
-                            fh.seek(off)
-                            blob = fh.read(length)
-                            yield from iter_warc_records(
-                                _iter_decompressed(blob),
-                                http_only=http_only,
-                            )
+            def records(f=None, rs=ranges, p=inner, fs=filesystem):
+                with fs.open_input_file(p) as fh:
+                    size = fh.size()
+                    for r in rs:
+                        off, length = int(r["offset"]), int(r["length"])
+                        # a lying index line must never kill (or
+                        # un-bound) a scan: a negative offset would
+                        # raise in seek, a negative length becomes
+                        # read(-1) = the rest of the shard
+                        # (r13 review) — skip the range instead
+                        if off < 0 or length <= 0 or off >= size:
+                            continue
+                        fh.seek(off)
+                        blob = fh.read(min(length, size - off))
+                        yield from iter_warc_records(
+                            _iter_decompressed(blob),
+                            http_only=http_only,
+                        )
 
-                yield from _record_frames(fpath, records())
+            yield from _record_frames(fpath, records())
 
-    return plan.select("filename", "ranges").mapInPandas(parse, WARC_SCHEMA)
+    return plan.select("filename", "ranges").mapInPandas(
+        _task_frames(body), WARC_SCHEMA
+    )
 
 
 def write_warc_conversions(
@@ -671,7 +690,10 @@ def write_warc_conversions(
     write to a task-attempt-unique temp name and rename atomically on
     success, so task retries never leave half shards; empty partitions
     produce no file. Returns the eagerly-computed shard manifest
-    (path, n_records, n_bytes) — the collect that runs the write."""
+    (path, n_records, n_bytes) — the collect that runs the write.
+    (Deliberately NOT on the shared ``_task_frames`` factory: the
+    shard file must open once per TASK and span all its batches, so
+    this closure owns the whole batch iterator.)"""
     import hashlib  # noqa: F401  (documented closure deps)
 
     from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (

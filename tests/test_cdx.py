@@ -203,3 +203,57 @@ def test_cdx_to_ranged_warc_end_to_end(spark, tmp_path):
         assert (g.target_uri, g.body_text, g.http_status, g.n_bytes) == (
             w.target_uri, w.body_text, w.http_status, w.n_bytes
         )
+
+
+def test_lying_negative_ranges_are_skipped_not_fatal(spark, tmp_path):
+    """r13 review: a lying index line with a negative offset/length
+    must be dropped at plan time AND skipped by the ranged reader —
+    a negative offset raised in seek (4x task retries -> job abort),
+    a negative length became read(rest-of-shard)."""
+    import gzip as _gz
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        read_warc_ranges,
+    )
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:ok-1>\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    member = _gz.compress(rec)
+    shard = tmp_path / "s.warc.gz"
+    shard.write_bytes(member)
+
+    # plan-time: negatives never reach the plan
+    raw = spark.createDataFrame(
+        [
+            ("s.warc.gz", 0, len(member), "sha1:A", 200, "text/html"),
+            ("s.warc.gz", -5, 100, "sha1:B", 200, "text/html"),
+            ("s.warc.gz", 0, -1, "sha1:C", 200, "text/html"),
+        ],
+        "filename string, offset long, length long, digest string, "
+        "status int, mime string",
+    )
+    plan = cdx_fetch_plan(raw)
+    ranges = plan.collect()[0].ranges
+    assert [(r.offset, r.length) for r in ranges] == [(0, len(member))]
+
+    # reader-side: a hand-built plan with garbage ranges still yields
+    # the one good record and never fails the task
+    bad_plan = spark.createDataFrame(
+        [
+            (
+                str(shard),
+                [
+                    {"offset": -5, "length": 100},
+                    {"offset": 0, "length": -1},
+                    {"offset": 10_000_000, "length": 10},  # past EOF
+                    {"offset": 0, "length": len(member) + 999},  # over-long, clamped
+                ],
+            )
+        ],
+        "filename string, ranges array<struct<offset: long, length: long>>",
+    )
+    got = read_warc_ranges(spark, bad_plan).collect()
+    assert [r.record_id for r in got] == ["<urn:uuid:ok-1>"]

@@ -139,3 +139,65 @@ def test_filter_plan_broadcasts_rules(spark, rules):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_urls_and_null_urls_all_survive(spark, rules):
+    """r13 review: windows keyed by URL VALUE collapsed duplicate-URL
+    rows (multiple captures of one URL — the cdx shape) and all
+    NULL-url rows into one survivor. Every input row must keep its own
+    verdict row."""
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/public/x"),
+            (2, "https://www.a.com/public/x"),   # duplicate URL
+            (3, "https://www.a.com/private/x"),  # blocked
+            (4, "https://www.a.com/private/x"),  # duplicate blocked
+            (5, None),                           # NULL url
+            (6, None),                           # NULL url
+        ],
+        "id long, url string",
+    )
+    v = filter_robots_allowed(urls, rules, keep_verdict=True)
+    rows = {r.id: r.robots_allowed for r in v.collect()}
+    assert len(rows) == 6                       # nothing collapsed
+    assert rows[1] and rows[2]
+    assert not rows[3] and not rows[4]
+    assert rows[5] and rows[6]                  # NULL url: no rule -> allow
+    kept = {r.id for r in filter_robots_allowed(urls, rules).collect()}
+    assert kept == {1, 2, 5, 6}
+
+
+def test_exact_agent_group_with_only_crawl_delay_allows_all(spark):
+    """r13 review: an exact-agent group declaring only non-permission
+    directives (Crawl-delay) IS a group per REP — the agent gets its
+    own permission-empty group (= allow everything), never the '*'
+    group's blocks."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "d.com",
+                "User-agent: trainbot\nCrawl-delay: 10\n\n"
+                "User-agent: *\nDisallow: /\n",
+            )
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(docs)
+    urls = spark.createDataFrame(
+        [(1, "https://d.com/anything")], "id long, url string"
+    )
+    kept = {
+        r.id
+        for r in filter_robots_allowed(urls, rules, agent="trainbot").collect()
+    }
+    assert kept == {1}
+    # ...while the default agent is blocked by 'Disallow: /'
+    assert filter_robots_allowed(urls, rules).count() == 0
+
+
+def test_clash_guard_covers_rule_side_columns(spark, rules):
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/x", "p")], "id long, url string, pattern string"
+    )
+    with pytest.raises(ValueError, match="temp columns"):
+        filter_robots_allowed(urls, rules)

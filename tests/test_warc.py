@@ -428,3 +428,28 @@ def test_body_decodes_by_declared_charset():
         )
         # n_bytes still counts ORIGINAL payload bytes
         assert out[0]["n_bytes"] == len(_http(body, ctype))
+
+
+def test_resync_recovers_next_member_at_every_window_alignment():
+    """r13 review: when a corrupt member's zlib error surfaces at a
+    feed-window boundary, the next window can START with the next
+    valid member's magic — a fixed scan-from-1 would skip that good
+    member. Sweeping chunk_size over 1..64 puts the boundary
+    everywhere; with a PROMPTLY-erroring corruption (invalid deflate
+    block) the members before AND after must survive at every
+    alignment. (A truncated-tail corruption is different and
+    UNRECOVERABLE by design: the desynced deflate stream consumes the
+    following members as valid data and only the end-of-member CRC
+    detects it — no streaming parser can resync inside bytes that
+    decoded 'successfully'; documented in _iter_decompressed_stream.)"""
+    members = [gzip.compress(r) for r in RECORDS]
+    corrupt = members[1][:10] + b"\x00\x00\x00\x00garbage" + members[1][14:]
+    blob = members[0] + corrupt + members[2] + members[3]
+    for cs in range(1, 65):
+        got = [
+            r["record_id"]
+            for r in iter_warc_records(_iter_decompressed(blob, chunk_size=cs))
+        ]
+        assert got[0] == "<urn:uuid:info-1>", cs
+        assert "<urn:uuid:resp-1>" in got, cs   # member AFTER the corrupt one
+        assert "<urn:uuid:resp-2>" in got, cs
