@@ -268,3 +268,95 @@ def filter_robots_allowed(
     if keep_verdict:
         return best.select(*urls.columns, "robots_allowed", "robots_rule")
     return best.filter("robots_allowed").select(*urls.columns)
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def duckdb_parse_robots_sql(
+    docs_relation: str = "docs",
+    domain_expr: str = "domain",
+    text_expr: str = "robots_txt",
+) -> str:
+    """DuckDB twin of :func:`parse_robots`, generated from the module's
+    OWN line regex and step order (the functions/pii discipline):
+    parallel-unnest line numbering, the same key/value extraction, the
+    same agent-run/blank-count stanza windows, the same rule↔agent
+    join, and the same pattern→regex compilation (RE2 replacement
+    dialect: ``\\1`` group refs, literal ``$``; Java needs ``$``
+    escaped — the one divergence, handled per side). Returns a full
+    SELECT over ``docs_relation``; hand-written fixture expectations
+    in ``tests/test_robots.py`` are the independent check."""
+    return f"""
+        WITH lines AS (
+            SELECT {domain_expr} AS domain,
+                   unnest(string_split_regex({text_expr}, '\\r?\\n'))
+                       AS line,
+                   unnest(generate_series(
+                       0, len(string_split_regex({text_expr}, '\\r?\\n'))
+                          - 1))
+                       AS line_no
+            FROM {docs_relation}
+        ),
+        parsed AS (
+            SELECT domain, line_no,
+                   lower(regexp_extract(line, '{_LINE_RE}', 1)) AS key,
+                   trim(regexp_extract(line, '{_LINE_RE}', 2)) AS value,
+                   trim(line) = '' AS is_blank
+            FROM lines
+        ),
+        marked AS (
+            SELECT *, key = 'user-agent' AS is_agent,
+                   (key = 'user-agent') AND NOT coalesce(
+                       lag(key = 'user-agent') OVER
+                           (PARTITION BY domain ORDER BY line_no),
+                       FALSE) AS run_start
+            FROM parsed
+        ),
+        scoped AS (
+            SELECT *,
+                   sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY domain ORDER BY line_no) AS run_id,
+                   sum(CASE WHEN is_blank THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY domain ORDER BY line_no)
+                       AS blanks_before
+            FROM marked
+        ),
+        agents AS (
+            SELECT domain AS g_domain, run_id AS g_run,
+                   lower(value) AS agent, blanks_before AS g_blanks
+            FROM scoped WHERE is_agent
+        ),
+        rules AS (
+            SELECT domain, run_id AS r_run, blanks_before AS r_blanks,
+                   key AS directive, value AS pattern,
+                   line_no AS rule_line
+            FROM scoped
+            WHERE NOT is_agent AND NOT is_blank AND key <> ''
+              AND run_id > 0
+        ),
+        joined AS (
+            SELECT r.domain, a.agent, r.directive, r.pattern,
+                   r.rule_line
+            FROM rules r JOIN agents a
+              ON r.domain = a.g_domain AND r.r_run = a.g_run
+             AND r.r_blanks = a.g_blanks
+        )
+        SELECT domain, agent, directive, pattern,
+               CASE WHEN directive IN ('allow', 'disallow')
+                         AND pattern <> ''
+                    THEN CAST(length(pattern) AS INTEGER) END
+                   AS pattern_len,
+               CASE WHEN directive IN ('allow', 'disallow')
+                         AND pattern <> ''
+                    THEN '^' || replace(
+                             regexp_replace(
+                                 regexp_replace(pattern,
+                                     '([.^+?()\\[\\]{{}}|\\\\$])',
+                                     '\\\\\\1', 'g'),
+                                 '\\\\\\$$', '$'),
+                             '*', '.*') END
+                   AS regex,
+               rule_line
+        FROM joined
+    """

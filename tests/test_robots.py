@@ -201,3 +201,34 @@ def test_clash_guard_covers_rule_side_columns(spark, rules):
     )
     with pytest.raises(ValueError, match="temp columns"):
         filter_robots_allowed(urls, rules)
+
+
+def test_parse_robots_duckdb_twin_cell_for_cell(spark, rules):
+    """The module-owned DuckDB twin (duckdb_parse_robots_sql) replays
+    stanza binding, run/blank windows, and pattern→regex compilation
+    cell-for-cell against the engine's parse over the same fixture
+    documents — making the robots module oracle-checkable (the
+    hand-written expectations above are the independent check)."""
+    import duckdb
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        duckdb_parse_robots_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(domain VARCHAR, robots_txt VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B), ("c.com", ROBOTS_C)],
+    )
+    want = con.execute(
+        duckdb_parse_robots_sql()
+        + " ORDER BY domain, rule_line, agent"
+    ).df()
+    got = (
+        rules.orderBy("domain", "rule_line", "agent")
+        .toPandas()
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    assert got.astype(str).equals(want.astype(str))
