@@ -45,6 +45,18 @@ from pyspark.sql import functions as F
 # line shape: "Directive: value" with optional inline '#' comment.
 _LINE_RE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*)"
 
+# Columns the broadcast rule side contributes to the permission join —
+# ONE definition shared by the perm projection and the clash guard, so
+# the two can never drift (r13 review #2).
+_RULE_SIDE_COLS = (
+    "__r_dom",
+    "__r_agent",
+    "directive",
+    "pattern",
+    "pattern_len",
+    "regex",
+)
+
 
 def parse_robots(
     docs: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
@@ -146,7 +158,7 @@ def parse_robots(
     is_perm = F.col("directive").isin("allow", "disallow") & (
         F.col("pattern") != ""
     )
-    return joined.select(
+    rule_rows = joined.select(
         "domain",
         "agent",
         "directive",
@@ -155,6 +167,22 @@ def parse_robots(
         F.when(is_perm, rx).alias("regex"),
         "rule_line",
     )
+    # every User-agent line ALSO emits a marker row (directive
+    # 'user-agent', NULL regex — it can never win a path match): a
+    # group with ZERO rule lines must still be VISIBLE to group
+    # selection, or its agent wrongly inherits the '*' group's blocks
+    # where RFC 9309 gives it an own (empty = allow-all) group (r13
+    # review #1 — the crawl-delay fix one step further)
+    marker_rows = agents.select(
+        F.col("domain"),
+        "agent",
+        F.lit("user-agent").alias("directive"),
+        F.col("agent").alias("pattern"),
+        F.lit(None).cast("int").alias("pattern_len"),
+        F.lit(None).cast("string").alias("regex"),
+        F.col("agent_line").alias("rule_line"),
+    )
+    return rule_rows.unionByName(marker_rows)
 
 
 def filter_robots_allowed(
@@ -163,6 +191,7 @@ def filter_robots_allowed(
     url_col: str = "url",
     agent: str = "*",
     keep_verdict: bool = False,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Keep the URLs the (broadcast) rule table permits for ``agent``.
     Group selection per REP, simplified to the two groups a pipeline
@@ -184,8 +213,7 @@ def filter_robots_allowed(
     reserved = [
         "__rid", "__dom", "__path", "__after", "__has_exact", "__hit",
         "__rk", "robots_allowed", "robots_rule",
-        "__r_dom", "__r_agent", "directive", "pattern", "pattern_len",
-        "regex",
+        *_RULE_SIDE_COLS,
     ]
     clash = [c for c in reserved if c in urls.columns]
     if clash:
@@ -200,18 +228,25 @@ def filter_robots_allowed(
     # group = allow-all, NOT the '*' group's blocks — r13 review).
     # Their regex is NULL, so they can never win a path match.
     perm = rules.filter(F.col("agent").isin(agent, "*")).select(
-        F.col("domain").alias("__r_dom"),
-        F.col("agent").alias("__r_agent"),
-        "directive",
-        "pattern",
-        "pattern_len",
-        "regex",
+        F.col("domain").alias(_RULE_SIDE_COLS[0]),
+        F.col("agent").alias(_RULE_SIDE_COLS[1]),
+        *_RULE_SIDE_COLS[2:],
     )
     # a unique per-row key: windows keyed on the URL VALUE would
     # collapse duplicate-URL rows (multiple captures of one URL — the
     # exact shape sources/cdx produces) and all NULL-url rows into one
-    # survivor (r13 review)
-    u = urls.withColumn("__rid", F.monotonically_increasing_id())
+    # survivor (r13 review). monotonically_increasing_id is stable
+    # within one plan execution but NOT across stage re-attempts on a
+    # nondeterministically-ordered input (the SPARK-23207 class) —
+    # pass ``row_id_col`` naming a REAL unique key (capture id, file
+    # offset) whenever the frame has one; the synthetic id is the
+    # fallback for keyless frames (r13 review #2).
+    if row_id_col is not None:
+        if row_id_col not in urls.columns:
+            raise ValueError(f"row_id_col {row_id_col!r} not in urls")
+        u = urls.withColumn("__rid", F.col(row_id_col))
+    else:
+        u = urls.withColumn("__rid", F.monotonically_increasing_id())
     u = u.withColumn("__dom", registered_domain(F.col(url_col)))
     # path+query, '' -> '/' (REP matches against the path)
     after_scheme = F.expr(
@@ -324,7 +359,8 @@ def duckdb_parse_robots_sql(
         ),
         agents AS (
             SELECT domain AS g_domain, run_id AS g_run,
-                   lower(value) AS agent, blanks_before AS g_blanks
+                   lower(value) AS agent, blanks_before AS g_blanks,
+                   line_no AS agent_line
             FROM scoped WHERE is_agent
         ),
         rules AS (
@@ -359,4 +395,9 @@ def duckdb_parse_robots_sql(
                    AS regex,
                rule_line
         FROM joined
+        UNION ALL
+        SELECT g_domain AS domain, agent, 'user-agent' AS directive,
+               agent AS pattern, CAST(NULL AS INTEGER) AS pattern_len,
+               CAST(NULL AS VARCHAR) AS regex, agent_line AS rule_line
+        FROM agents
     """

@@ -162,6 +162,30 @@ def _package_parent() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
 
 
+def _task_frames(body):
+    """mapInPandas closure factory shared by the reader connectors:
+    sys.path-bootstrap (executors unpickle by module name — the
+    multimodal/ops.py pattern), then ``body(pdf)`` per batch. ``body``
+    MUST be a NESTED function (cloudpickle serializes closures by
+    VALUE; a module-level body would serialize by reference and fail
+    to unpickle before the bootstrap runs); it imports this module's
+    helpers inside itself, after the bootstrap. One definition instead
+    of a copy per connector (r13 review; hosted here next to
+    _package_parent — this module's own ``batches`` closures predate
+    the factory and migrate opportunistically)."""
+    pkg_parent = _package_parent()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        for pdf in batches:
+            yield from body(pdf)
+
+    return parse
+
+
 def _pool_features(flat: "object", dim: int) -> list[float]:
     """Shared featurizer tail: unit-norm ``dim``-float mean-pool of a flat
     [0,1] pixel array."""

@@ -73,6 +73,10 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
+    _task_frames,
+)
+
 GZIP_MAGIC = b"\x1f\x8b"
 
 # Spark schema of read_warc's output.
@@ -444,32 +448,6 @@ def _open_chunks(fpath: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
             yield b
 
 
-def _task_frames(body):
-    """mapInPandas closure factory shared by the reader connectors:
-    sys.path-bootstrap (executors unpickle by module name — the
-    multimodal/ops.py pattern), then ``body(pdf)`` per batch. ``body``
-    MUST be a NESTED function (cloudpickle serializes closures by
-    VALUE; a module-level body would serialize by reference and fail
-    to unpickle before the bootstrap runs); it imports this module's
-    helpers inside itself, after the bootstrap. One definition instead
-    of a copy per connector (r13 review)."""
-    from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
-        _package_parent,
-    )
-
-    pkg_parent = _package_parent()
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
-        for pdf in batches:
-            yield from body(pdf)
-
-    return parse
-
-
 def _binary_parse_fn(http_only: bool):
     """The (path, content) → WARC-rows closure, shared by the batch
     and STREAMING binaryFile connectors."""
@@ -640,7 +618,7 @@ def read_warc_ranges(
             fpath = base_uri + fname if base_uri else fname
             filesystem, inner = _resolve_fs(fpath)
 
-            def records(f=None, rs=ranges, p=inner, fs=filesystem):
+            def records(rs=ranges, p=inner, fs=filesystem):
                 with fs.open_input_file(p) as fh:
                     size = fh.size()
                     for r in rs:

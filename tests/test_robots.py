@@ -70,12 +70,16 @@ def test_parse_stanza_binding_and_regex(rules):
     assert wild.regex == r"^/tmp.*\.bak"
     anchored = [r for r in rows if r.pattern == "/exact$"][0]
     assert anchored.regex == "^/exact$"
-    # empty Disallow contributes NO matching rule
+    # empty Disallow contributes NO matching rule (marker included)
     b = [r for r in rows if r.domain == "b.com"]
     assert all(r.regex is None for r in b)
     # orphan rule (before any agent) and post-blank rule are dropped
-    c_pats = {r.pattern for r in rows if r.domain == "c.com"}
-    assert c_pats == {"/blocked/"}
+    # (the 'user-agent' marker row is the group's visibility token —
+    # r13 review #1)
+    c_pats = {
+        (r.directive, r.pattern) for r in rows if r.domain == "c.com"
+    }
+    assert c_pats == {("disallow", "/blocked/"), ("user-agent", "*")}
 
 
 URLS = [
@@ -232,3 +236,45 @@ def test_parse_robots_duckdb_twin_cell_for_cell(spark, rules):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) > 0
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_rule_less_exact_agent_group_allows_all(spark):
+    """r13 review #1 (one step past the crawl-delay case): an
+    exact-agent group with ZERO rule lines is still a group per RFC
+    9309 — the agent gets its own empty (= allow-all) group, never the
+    '*' group's blocks. parse_robots' 'user-agent' marker rows make
+    such groups visible to selection."""
+    docs = spark.createDataFrame(
+        [("e.com", "User-agent: trainbot\n\nUser-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(docs)
+    urls = spark.createDataFrame(
+        [(1, "https://e.com/anything")], "id long, url string"
+    )
+    kept = {
+        r.id
+        for r in filter_robots_allowed(urls, rules, agent="trainbot").collect()
+    }
+    assert kept == {1}
+    assert filter_robots_allowed(urls, rules).count() == 0
+
+
+def test_caller_supplied_row_id(spark, rules):
+    """row_id_col uses a REAL unique key as the verdict-window key
+    (deterministic across stage re-attempts, unlike the synthetic
+    fallback) — duplicates still all survive."""
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/private/x"),
+            (2, "https://www.a.com/private/x"),
+        ],
+        "capture_id long, url string",
+    )
+    v = filter_robots_allowed(
+        urls, rules, keep_verdict=True, row_id_col="capture_id"
+    )
+    rows = {r.capture_id: r.robots_allowed for r in v.collect()}
+    assert rows == {1: False, 2: False}
+    with pytest.raises(ValueError, match="row_id_col"):
+        filter_robots_allowed(urls, rules, row_id_col="nope")
