@@ -110,7 +110,6 @@ def attach_generated_png(
     then the exact arithmetic ``png.encoded_png_size(width, h_i)``, which
     is what lets the metadata oracle verify REAL generated-image sizes in
     SQL."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Engine imports happen INSIDE the closure after a sys.path
@@ -120,10 +119,6 @@ def attach_generated_png(
         # the package ships via --py-files/pip and the bootstrap is a
         # no-op; in local mode it makes the task self-contained.
         import hashlib as _hashlib
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         from azure_etl_databricks_sql_powerbi_spark.multimodal.png import encode_png
 
         for pdf in it:
@@ -144,7 +139,7 @@ def attach_generated_png(
             )
 
     return spread(df.select(id_col)).mapInPandas(
-        batches, "media_id bigint, content binary"
+        _task_batches(batches), "media_id bigint, content binary"
     )
 
 
@@ -182,6 +177,23 @@ def _task_frames(body):
             sys.path.insert(0, pkg_parent)
         for pdf in batches:
             yield from body(pdf)
+
+    return parse
+
+
+def _task_batches(body):
+    """Bootstrap-only sibling of :func:`_task_frames` for closures that
+    own the WHOLE batch iterator (per-task state: an output file, a
+    per-task accumulator): same sys.path bootstrap, body keeps the
+    ``(it) -> Iterator[pd.DataFrame]`` shape."""
+    pkg_parent = _package_parent()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        yield from body(batches)
 
     return parse
 
@@ -291,14 +303,9 @@ def decode_image_features(
     deterministic stand-in for codec-less formats/tests.
     """
 
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see attach_generated_png
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import (
             _decode_image,
             _fake_features,
@@ -318,7 +325,7 @@ def decode_image_features(
                 }
             )
 
-    return spread(df).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), IMAGE_FEATURES_SCHEMA)
 
 
 def attach_generated_wav(
@@ -331,15 +338,10 @@ def attach_generated_wav(
     WAV (``multimodal.wav.encode_wav``) — a seed-keyed sine tone whose
     frequency/amplitude derive from sha256 of the row id, so audio decode
     runs end-to-end on actual RIFF containers, deterministically."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import math
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import encode_wav
 
         for pdf in it:
@@ -358,7 +360,7 @@ def attach_generated_wav(
             )
 
     return spread(df.select(id_col)).mapInPandas(
-        batches, "media_id bigint, content binary"
+        _task_batches(batches), "media_id bigint, content binary"
     )
 
 
@@ -372,13 +374,8 @@ def audio_features(
     Arrow batch at a time. For the engine's generated sine tones the
     dominant frequency must land within one FFT bin of the synthesis
     frequency — the analytic cross-check the unit test asserts."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         import numpy as np
 
         from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import decode_wav
@@ -447,8 +444,7 @@ def audio_features(
                 out["spectral_centroid_hz"].append(round(cent, 3))
             yield pd.DataFrame(out)
 
-    return spread(df).mapInPandas(
-        batches,
+    return spread(df).mapInPandas(_task_batches(batches),
         "media_id bigint, sample_rate int, n_samples long, duration_sec double, "
         "rms double, zero_crossing_rate double, peak long, "
         "dominant_freq_hz double, spectral_centroid_hz double",
@@ -490,7 +486,7 @@ def sample_frames(
                 }
             )
 
-    return spread(df).mapInPandas(batches, FRAME_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), FRAME_SCHEMA)
 
 
 def sample_decoded_frames(
@@ -507,15 +503,10 @@ def sample_decoded_frames(
     cardinality-changing Arrow shape as ``sample_frames`` (one row in,
     ``n_frames`` rows out); at 100 TB this is the ffmpeg
     keyframe-extraction slot with the codec swapped in per batch."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see attach_generated_png
         import hashlib as _hashlib
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import _decode_rgb
 
         for pdf in it:
@@ -548,7 +539,7 @@ def sample_decoded_frames(
                 }
             )
 
-    return spread(df).mapInPandas(batches, FRAME_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), FRAME_SCHEMA)
 
 
 # ------------------------------------------------ file landing / ingestion
@@ -588,7 +579,9 @@ def land_media_files(
                 n += 1
         yield pd.DataFrame({"n": [n]})
 
-    counts = df.select(id_col, content_col).mapInPandas(write_batches, "n bigint")
+    counts = df.select(id_col, content_col).mapInPandas(
+        _task_batches(write_batches), "n bigint"
+    )
     # bounded collect: one row per task
     return int(sum(r["n"] for r in counts.collect()))
 
@@ -619,15 +612,10 @@ def resize_images(
 
     Output: (media_id, width, height, content [resized PNG bytes],
     content_sha256)."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see attach_generated_png
         import hashlib as _hashlib
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         import numpy as np
 
         from azure_etl_databricks_sql_powerbi_spark.multimodal.ops import _decode_rgb
@@ -658,7 +646,7 @@ def resize_images(
                 }
             )
 
-    return spread(df).mapInPandas(batches, RESIZED_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), RESIZED_SCHEMA)
 
 
 RESAMPLED_SCHEMA = (
@@ -683,15 +671,10 @@ def resample_audio(
     One Arrow ``mapInPandas`` in the scan stage, zero shuffles — the
     normalize-to-16kHz pass every speech pipeline runs before
     featurization."""
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see attach_generated_png
         import hashlib as _hashlib
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         import numpy as np
 
         from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import (
@@ -730,7 +713,7 @@ def resample_audio(
                 }
             )
 
-    return spread(df).mapInPandas(batches, RESAMPLED_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), RESAMPLED_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = (
@@ -759,15 +742,10 @@ def audio_frames(
     n_samples < frame_len)."""
     if frame_len <= 0 or hop <= 0:
         raise ValueError("frame_len and hop must be positive")
-    pkg_parent = _package_parent()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bootstrap + in-closure import: see attach_generated_png
         import hashlib as _hashlib
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
         import numpy as np
 
         from azure_etl_databricks_sql_powerbi_spark.multimodal.wav import decode_wav
@@ -806,4 +784,4 @@ def audio_frames(
                 }
             )
 
-    return spread(df).mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+    return spread(df).mapInPandas(_task_batches(batches), AUDIO_FRAME_SCHEMA)
