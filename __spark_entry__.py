@@ -665,6 +665,192 @@ def _q_warc_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_html_corpus(spark, shard_dir, connector="paths")
 
 
+# CDXJ planting for _q_cdx_capture_selection (ROTATION_POLICY.md §5 swap
+# #11), written once in the SQL dialect intersection and parsed VERBATIM
+# by F.expr and DuckDB (the _URL_PLANT_SQL discipline: CAST..AS STRING
+# concat, no backslashes, no apostrophes; the JSON double-quotes are
+# fine inside SQL single-quoted literals). Branch doc_id % 6: 0-1 html
+# 200 — branch 1 doc d reuses branch 0 doc d-1's digest (997 is prime
+# to every branch stride, so EVERY adjacent pair collides and distinct
+# digests grow with the table instead of saturating), making dedup
+# fodder where the two ts layouts let BOTH winner directions occur
+# (branch 0 usually earlier; around the %9 day wrap branch 1 wins);
+# 2 = 404, 3 = pdf, 4 = malformed JSON (urlkey/ts parse, JSON fields
+# NULL), 5 = non-CDXJ line (all fields NULL).
+_CDX_PLANT_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/p'
+       || CAST(doc_id AS STRING) || ' 2024010'
+       || CAST(doc_id % 9 + 1 AS STRING)
+       || '000000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/p' || CAST(doc_id AS STRING)
+       || '", "mime": "text/html", "status": "200", "digest": "sha1:D'
+       || CAST(doc_id % 997 AS STRING) || '", "length": "'
+       || CAST(doc_id % 900 + 100 AS STRING) || '", "offset": "'
+       || CAST(doc_id * 1000 AS STRING)
+       || '", "filename": "shard-' || CAST(doc_id % 4 AS STRING)
+       || '.warc.gz"}'
+  WHEN 1 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/q'
+       || CAST(doc_id AS STRING) || ' 2024010'
+       || CAST(doc_id % 9 + 1 AS STRING)
+       || '120000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/q' || CAST(doc_id AS STRING)
+       || '", "mime": "text/html; charset=utf-8", "status": "200",'
+       || ' "digest": "sha1:D' || CAST((doc_id - 1) % 997 AS STRING)
+       || '", "length": "' || CAST(doc_id % 700 + 50 AS STRING)
+       || '", "offset": "' || CAST(doc_id * 1000 + 17 AS STRING)
+       || '", "filename": "shard-' || CAST(doc_id % 4 AS STRING)
+       || '.warc.gz"}'
+  WHEN 2 THEN 'com,gone)/x' || CAST(doc_id AS STRING)
+       || ' 20240101000000 {"url": "https://gone.com/x'
+       || CAST(doc_id AS STRING)
+       || '", "mime": "text/html", "status": "404", "digest":'
+       || ' "sha1:G' || CAST(doc_id AS STRING)
+       || '", "length": "300", "offset": "'
+       || CAST(doc_id * 1000 AS STRING)
+       || '", "filename": "shard-9.warc.gz"}'
+  WHEN 3 THEN 'com,docs)/d' || CAST(doc_id AS STRING)
+       || ' 20240101000000 {"url": "https://docs.com/d'
+       || CAST(doc_id AS STRING)
+       || '", "mime": "application/pdf", "status": "200", "digest":'
+       || ' "sha1:P' || CAST(doc_id AS STRING)
+       || '", "length": "9000", "offset": "'
+       || CAST(doc_id * 1000 AS STRING)
+       || '", "filename": "shard-9.warc.gz"}'
+  WHEN 4 THEN 'com,broken)/ 20240101000000 {not json '
+       || CAST(doc_id AS STRING)
+  ELSE 'garbage line ' || CAST(doc_id AS STRING)
+END"""
+
+
+def _q_cdx_capture_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-index capture selection (sources/cdx; ROTATION_POLICY.md §5
+    swap #11) — the stage that decides WHICH bytes of a 100 TB crawl get
+    fetched: planted CDXJ index lines over the documents table (ONE
+    dual-dialect _CDX_PLANT_SQL string) → parse_cdxj (single JsonToStructs
+    evaluation, all JVM, plan-pinned in tests/test_cdx.py) →
+    select_captures (status/MIME prune, then ONE capture per content
+    digest — earliest (ts, urlkey, filename, offset) wins, NULL digests
+    shielded from collapse). Hash-exact INCLUDING the parsed fields and
+    the dedup winners vs an oracle composed from the module's own
+    duckdb_parse_cdxj_sql builder plus a window-function replay of the
+    documented selection; hand-written fixture expectations live in
+    tests/test_cdx.py (the generated-twin mitigation norm). The
+    downstream per-shard ranged-fetch plan (array-typed, not SQL-
+    hashable) keeps its evidence in the ranged ≡ full-scan unit."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import (
+        parse_cdxj,
+        select_captures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(_CDX_PLANT_SQL).alias("value")
+    )
+    return select_captures(parse_cdxj(docs))
+
+
+# robots.txt planting for _q_robots_policy_docs (ROTATION_POLICY.md §5
+# swap #12), written once in the SQL dialect intersection (chr(10)
+# newlines — n<=255 so Spark's mod-256 chr agrees with DuckDB; no
+# backslashes, no apostrophes). One robots document per site0..site19
+# domain, doc_id % 4 branches: 0 = a full policy (comment line, inline
+# comment, * group with allow-beats-disallow tie fodder, wildcard and
+# $-anchor patterns, a blank-line group end, a mixed-case TrainBot
+# group with a crawl-delay), 1 = the classic empty-Disallow allow-all,
+# 2 = an orphan rule (dropped per REP) + a * block + a post-blank
+# orphan (also dropped), 3 = NO robots.txt at all (the docs side
+# filters the branch out; its URLs must default-allow).
+_ROBOTS_DOMAIN_PLANT_SQL = "'site' || CAST(doc_id AS STRING) || '.com'"
+_ROBOTS_TXT_PLANT_SQL = """CASE doc_id % 4
+  WHEN 0 THEN '# robots for site' || CAST(doc_id AS STRING) || chr(10)
+       || 'User-agent: *' || chr(10)
+       || 'Disallow: /private/ # staff only' || chr(10)
+       || 'Allow: /private/ok' || chr(10)
+       || 'Disallow: /tmp*.bak' || chr(10)
+       || 'Disallow: /exact$' || chr(10)
+       || chr(10)
+       || 'User-Agent: TrainBot' || chr(10)
+       || 'Disallow: /no-train/' || chr(10)
+       || 'Crawl-delay: 7'
+  WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+  ELSE 'Disallow: /orphan/' || chr(10)
+       || 'User-agent: *' || chr(10)
+       || 'Disallow: /blocked/' || chr(10)
+       || chr(10)
+       || 'Disallow: /after-blank/'
+END"""
+# URLs over the WHOLE documents table onto the 20 domains (branch-3
+# domains carry no robots.txt -> default allow). Path branches arm:
+# plain allow, the /private/ block, the longer-allow-wins tie, the
+# wildcard, the $ anchor (and its non-match sibling), the
+# trainbot-only block, and the branch-2 /blocked/ prefix. Branch 0
+# also prefixes www. + an uppercase scheme-host to exercise host
+# lowering + registered-domain label arithmetic on both sides.
+_ROBOTS_URL_PLANT_SQL = """CASE doc_id % 8
+  WHEN 0 THEN 'https://WWW.site' || CAST(doc_id % 20 AS STRING)
+       || '.com/public/page'
+  WHEN 1 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/private/secret'
+  WHEN 2 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/private/ok'
+  WHEN 3 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/tmp' || CAST(doc_id AS STRING) || '.bak'
+  WHEN 4 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/exact'
+  WHEN 5 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/exactly'
+  WHEN 6 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/no-train/x'
+  ELSE 'https://site' || CAST(doc_id % 20 AS STRING)
+       || '.com/blocked/x' || CAST(doc_id AS STRING)
+END"""
+
+
+def _q_robots_policy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-exclusion policy verdicts (functions/robots;
+    ROTATION_POLICY.md §5 swap #12) — the post-hoc robots.txt filter a
+    training pipeline runs over an archived crawl: planted robots
+    documents (ONE dual-dialect _ROBOTS_TXT_PLANT_SQL) → parse_robots
+    (stanza binding via window functions, patterns compiled to
+    Java ≡ RE2 anchored regexes, all JVM) → filter_robots_allowed for
+    BOTH the default '*' agent and an exact 'trainbot' agent (group
+    selection: exact beats *, permission-empty exact groups allow-all),
+    union-tagged. Per-URL verdicts: broadcast rules join + one window
+    keyed by the real doc_id (row_id_col — deterministic across stage
+    re-attempts), longest pattern wins, allow on ties, default allow.
+    Hash-exact INCLUDING the winning-rule text vs an oracle composed
+    from the module's own duckdb_parse_robots_sql builder plus a
+    window replay of the documented group-selection/longest-match
+    semantics; hand-written verdict expectations live in
+    tests/test_robots.py (the generated-twin mitigation norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        filter_robots_allowed,
+        parse_robots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = docs.filter(
+        (F.col("doc_id") < 20) & (F.col("doc_id") % 4 < 3)
+    ).select(
+        F.expr(_ROBOTS_DOMAIN_PLANT_SQL).alias("domain"),
+        F.expr(_ROBOTS_TXT_PLANT_SQL).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    urls = docs.select("doc_id", F.expr(_ROBOTS_URL_PLANT_SQL).alias("url"))
+    parts = [
+        filter_robots_allowed(
+            urls, rules, agent=agent, keep_verdict=True, row_id_col="doc_id"
+        ).select(
+            "doc_id",
+            "url",
+            F.lit(agent).alias("agent"),
+            "robots_allowed",
+            "robots_rule",
+        )
+        for agent in ("*", "trainbot")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 # ------------------------------------------------- EXT: similarity search
 
 
@@ -1992,23 +2178,6 @@ def _q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_documents(docs, "text")
 
 
-def _q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over per-customer revenue (W2). The global window
-    runs on the per-customer aggregate (|customers| rows), never the fact."""
-    from azure_etl_databricks_sql_powerbi_spark.operators.windows import ntile_bucket
-
-    orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
-        money_sum("o_totalprice").alias("revenue")
-    )
-    return ntile_bucket(
-        per,
-        order_by=[F.col("revenue").desc(), F.col("o_custkey").asc()],
-        n=4,
-        bucket_col="quartile",
-    )
-
-
 def _q_customer_cohorts_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (U-EXT): INTERSECT (retained customers, ordered in
     both 2000 and 2001) and EXCEPT (churned, 2000 only), union-tagged."""
@@ -2068,14 +2237,6 @@ def _q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q17-shaped fact-vs-own-aggregate join (gold.py docstring has
-    the scale analysis)."""
-    return gold.small_quantity_part_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
 def _q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped LEFT SEMI join (EXISTS): count orders per priority
     that have at least one line item shipped after the order date. The
@@ -2093,9 +2254,19 @@ def _q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q13-shaped LEFT OUTER join + double aggregate: distribution of
-    customers by order count, INCLUDING zero-order customers (the outer
-    join's null branch — an inner join would silently drop them)."""
+    """TPC-H-Q13-shaped LEFT OUTER join + double aggregate + global NTILE:
+    distribution of customers by order count AND revenue quartile,
+    INCLUDING zero-order customers (the outer join's null branch — an
+    inner join would silently drop them; their NULL revenue coalesces to
+    0 for the quartile sort). The quartile column set was merged from the
+    retired `customer_revenue_quartiles` (ROTATION_POLICY.md §5 swap #11,
+    the §4 re-rank's second fold): the NTILE window runs on the SAME
+    per-customer aggregate this query already builds — |customers| rows,
+    never the fact — ordered by (exact DECIMAL revenue desc, c_custkey
+    asc), a total order, so the bucket assignment is deterministic in
+    both engines."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import ntile_bucket
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -2103,12 +2274,28 @@ def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             orders, customer["c_custkey"] == orders["o_custkey"], "left_outer"
         )
         .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        .agg(
+            F.count("o_orderkey").alias("c_count"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+    bucketed = ntile_bucket(
+        per_cust,
+        order_by=[
+            F.coalesce(F.col("revenue"), F.lit(0.0)).desc(),
+            F.col("c_custkey").asc(),
+        ],
+        n=4,
+        bucket_col="quartile",
     )
     return (
-        per_cust.groupBy("c_count")
+        bucketed.groupBy("c_count", "quartile")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+        .orderBy(
+            F.col("n_customers").desc(),
+            F.col("c_count").desc(),
+            F.col("quartile").asc(),
+        )
     )
 
 
@@ -3420,12 +3607,17 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_quality_deciles": _q_curriculum_deciles,
     "weighted_sample_docs": _q_weighted_sample_docs,
     "rag_ingest_chunks": _q_rag_ingest,
-    "customer_revenue_quartiles": _q_customer_revenue_quartiles,
+    # §5 swap #11: cdx_capture_selection replaced customer_revenue_quartiles
+    # in place (the NTILE column set merged into customer_order_distribution)
+    "cdx_capture_selection": _q_cdx_capture_selection,
     "customer_cohorts_setops": _q_customer_cohorts_setops,
     "unpivot_status_revenue": _q_unpivot_status_revenue,
     "order_extremes_by_customer": _q_order_extremes,
     "conditional_agg_orders": _q_conditional_agg,
-    "small_qty_part_revenue": _q_small_qty_part_revenue,
+    # §5 swap #12: robots_policy_docs replaced small_qty_part_revenue in
+    # place (Q17 shape retired to tests/test_gold_twins.py; the
+    # correlated-scalar family keeps min_cost_supplier declared)
+    "robots_policy_docs": _q_robots_policy_docs,
     "html_extract_docs": _q_html_extract_docs,
     "warc_html_corpus": _q_warc_html_corpus,
     "ann_lsh_topk": _q_ann_lsh,
@@ -4897,15 +5089,6 @@ ORACLES: dict[str, str] = {
          AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
         ORDER BY o.o_orderkey
     """,
-    "customer_revenue_quartiles": """
-        WITH per AS (
-            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-            FROM orders GROUP BY o_custkey
-        )
-        SELECT o_custkey, revenue,
-               NTILE(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS quartile
-        FROM per
-    """,
     "customer_cohorts_setops": """
         WITH y2000 AS (
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000
@@ -4949,19 +5132,6 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice > 150000 AS INT)) AS DOUBLE) / COUNT(*) AS big_share
         FROM orders GROUP BY o_orderstatus
     """,
-    "small_qty_part_revenue": """
-        WITH li AS (
-            SELECT l_partkey, l_quantity, l_extendedprice
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE p_brand = 'Brand#12'
-        ), thresh AS (
-            SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
-            FROM li GROUP BY l_partkey
-        )
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
-        FROM li JOIN thresh ON l_partkey = t_partkey
-        WHERE l_quantity < qty_thresh
-    """,
     "order_priority_exists": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders o
@@ -4975,14 +5145,22 @@ ORACLES: dict[str, str] = {
     """,
     "customer_order_distribution": """
         WITH per_cust AS (
-            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
             FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey
+        ), bucketed AS (
+            SELECT c_count,
+                   NTILE(4) OVER (
+                       ORDER BY coalesce(revenue, 0.0) DESC, c_custkey ASC
+                   ) AS quartile
+            FROM per_cust
         )
-        SELECT c_count, COUNT(*) AS n_customers
-        FROM per_cust
-        GROUP BY c_count
-        ORDER BY n_customers DESC, c_count DESC
+        SELECT c_count, quartile, COUNT(*) AS n_customers
+        FROM bucketed
+        GROUP BY c_count, quartile
+        ORDER BY n_customers DESC, c_count DESC, quartile ASC
     """,
     "idle_customer_balance": """
         SELECT c_nationkey,
@@ -6212,6 +6390,145 @@ def _html_extract_oracle() -> str:
 
 
 ORACLES["html_extract_docs"] = _html_extract_oracle()
+
+
+def _cdx_selection_oracle() -> str:
+    """DuckDB twin of _q_cdx_capture_selection, composed from the cdx
+    module's OWN duckdb_parse_cdxj_sql builder (one definition shared
+    with tests/test_cdx.py) over the verbatim _CDX_PLANT_SQL, plus a
+    window-function replay of select_captures' documented semantics:
+    status 200 + MIME contains 'html', then ONE capture per digest —
+    earliest (ts, urlkey, filename, offset) wins (ts ASC NULLS LAST on
+    both sides: explicit in Spark, DuckDB's default), NULL digests kept
+    individually. Hand-written expectations: tests/test_cdx.py (the
+    generated-twin mitigation norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import (
+        duckdb_parse_cdxj_sql,
+    )
+
+    return f"""
+        WITH planted AS (
+            SELECT {_CDX_PLANT_SQL} AS value FROM documents
+        ),
+        parsed AS (
+            SELECT {duckdb_parse_cdxj_sql("value")} FROM planted
+        ),
+        selected AS (
+            SELECT * FROM parsed
+            WHERE status IN (200) AND contains(lower(mime), 'html')
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY digest
+                ORDER BY ts ASC NULLS LAST, urlkey ASC,
+                         filename ASC, "offset" ASC
+            ) AS rk
+            FROM selected
+        )
+        SELECT urlkey, ts, url, mime, status, digest,
+               length, "offset", filename, languages, encoding
+        FROM ranked
+        WHERE digest IS NULL OR rk = 1
+    """
+
+
+ORACLES["cdx_capture_selection"] = _cdx_selection_oracle()
+
+
+def _robots_policy_oracle() -> str:
+    """DuckDB twin of _q_robots_policy_docs, composed from the robots
+    module's OWN duckdb_parse_robots_sql builder (stanza binding +
+    pattern→regex compilation, cell-for-cell proven in
+    tests/test_robots.py) over the verbatim plants, plus a window
+    replay of filter_robots_allowed's documented semantics: a CROSS
+    JOIN with the two queried agents replays the engine's two
+    per-agent passes at once — group selection (exact agent beats *,
+    via a per-(url, agent) max window), path match on the compiled
+    RE2 ≡ Java regexes, longest pattern wins, allow on ties
+    (disallow sorts last at equal length), default allow on no match /
+    no robots. Tie-breaks beyond the pinned ordering never reach the
+    output: they only occur between non-matching rows, whose verdict
+    columns are identical (allowed, NULL rule). Hand-written verdict
+    expectations: tests/test_robots.py (the generated-twin mitigation
+    norm)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        duckdb_parse_robots_sql,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+
+    dom = duckdb_registered_domain_sql(duckdb_host_sql("url"))
+    return f"""
+        WITH robots_docs AS (
+            SELECT {_ROBOTS_DOMAIN_PLANT_SQL} AS domain,
+                   {_ROBOTS_TXT_PLANT_SQL} AS robots_txt
+            FROM documents
+            WHERE doc_id < 20 AND doc_id % 4 < 3
+        ),
+        rules AS (
+            {duckdb_parse_robots_sql("robots_docs")}
+        ),
+        urls AS (
+            SELECT doc_id, {_ROBOTS_URL_PLANT_SQL} AS url FROM documents
+        ),
+        u AS (
+            SELECT doc_id, url, {dom} AS dom,
+                   CASE WHEN instr(substring(url, instr(url, '://') + 3),
+                                   '/') = 0
+                        THEN '/'
+                        ELSE substring(
+                                 substring(url, instr(url, '://') + 3),
+                                 instr(substring(url,
+                                                 instr(url, '://') + 3),
+                                       '/'))
+                   END AS path
+            FROM urls
+        ),
+        j AS (
+            SELECT u.*, q.agent AS q_agent, r.agent AS r_agent,
+                   r.directive, r.pattern, r.pattern_len, r.regex
+            FROM u
+            CROSS JOIN (VALUES ('*'), ('trainbot')) q(agent)
+            LEFT JOIN rules r
+              ON u.dom = r.domain
+             AND (r.agent = q.agent OR r.agent = '*')
+        ),
+        g AS (
+            SELECT *, max(CASE WHEN r_agent = q_agent THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id, q_agent) AS has_exact
+            FROM j
+        ),
+        grp AS (
+            SELECT * FROM g
+            WHERE r_agent IS NULL
+               OR (CASE WHEN has_exact = 1 THEN r_agent = q_agent
+                        ELSE r_agent = '*' END)
+        ),
+        m AS (
+            SELECT *, (regex IS NOT NULL
+                       AND regexp_matches(path, regex)) AS hit
+            FROM grp
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, q_agent
+                ORDER BY hit DESC, pattern_len DESC,
+                         (directive = 'disallow') ASC
+            ) AS rk
+            FROM m
+        )
+        SELECT doc_id, url, q_agent AS agent,
+               ((NOT hit) OR directive = 'allow') AS robots_allowed,
+               CASE WHEN hit THEN directive || ' ' || pattern END
+                   AS robots_rule
+        FROM best
+        WHERE rk = 1
+    """
+
+
+ORACLES["robots_policy_docs"] = _robots_policy_oracle()
 
 # Twin of the one-row diagnostics union: the skew summary's raw IEEE
 # divisions and the exact Σ cl·cr join cardinality, cross-joined

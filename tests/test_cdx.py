@@ -259,67 +259,21 @@ def test_lying_negative_ranges_are_skipped_not_fatal(spark, tmp_path):
     assert [r.record_id for r in got] == ["<urn:uuid:ok-1>"]
 
 
-# Dual-dialect CDXJ planting over the documents table — parsed VERBATIM
-# by Spark F.expr AND DuckDB (the _URL_PLANT_SQL discipline: CAST..AS
-# STRING concat, no backslashes, no apostrophes; JSON double-quotes are
-# fine inside SQL single-quoted literals). Branch doc_id % 6: 0-1 html
-# 200 (1 shares a digest with 0 -> dedup fodder), 2 = 404, 3 = pdf,
-# 4 = malformed JSON, 5 = non-CDXJ line. PRE-STAGED for the r14 swap:
-# a declared query would select this over documents and oracle via
-# duckdb_parse_cdxj_sql — this twin test IS that query at unit scale.
-CDX_PLANT_SQL = """CASE doc_id % 6
-  WHEN 0 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/p'
-       || CAST(doc_id AS STRING) || ' 2024010'
-       || CAST(doc_id % 9 + 1 AS STRING)
-       || '000000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
-       || '.com/p' || CAST(doc_id AS STRING)
-       || '", "mime": "text/html", "status": "200", "digest": "sha1:D'
-       || CAST(doc_id % 50 AS STRING) || '", "length": "'
-       || CAST(doc_id % 900 + 100 AS STRING) || '", "offset": "'
-       || CAST(doc_id * 1000 AS STRING)
-       || '", "filename": "shard-' || CAST(doc_id % 4 AS STRING)
-       || '.warc.gz"}'
-  WHEN 1 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/q'
-       || CAST(doc_id AS STRING) || ' 2024010'
-       || CAST(doc_id % 9 + 1 AS STRING)
-       || '120000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
-       || '.com/q' || CAST(doc_id AS STRING)
-       || '", "mime": "text/html; charset=utf-8", "status": "200",'
-       || ' "digest": "sha1:D' || CAST((doc_id - 1) % 50 AS STRING)
-       || '", "length": "' || CAST(doc_id % 700 + 50 AS STRING)
-       || '", "offset": "' || CAST(doc_id * 1000 + 17 AS STRING)
-       || '", "filename": "shard-' || CAST(doc_id % 4 AS STRING)
-       || '.warc.gz"}'
-  WHEN 2 THEN 'com,gone)/x' || CAST(doc_id AS STRING)
-       || ' 20240101000000 {"url": "https://gone.com/x'
-       || CAST(doc_id AS STRING)
-       || '", "mime": "text/html", "status": "404", "digest":'
-       || ' "sha1:G' || CAST(doc_id AS STRING)
-       || '", "length": "300", "offset": "'
-       || CAST(doc_id * 1000 AS STRING)
-       || '", "filename": "shard-9.warc.gz"}'
-  WHEN 3 THEN 'com,docs)/d' || CAST(doc_id AS STRING)
-       || ' 20240101000000 {"url": "https://docs.com/d'
-       || CAST(doc_id AS STRING)
-       || '", "mime": "application/pdf", "status": "200", "digest":'
-       || ' "sha1:P' || CAST(doc_id AS STRING)
-       || '", "length": "9000", "offset": "'
-       || CAST(doc_id * 1000 AS STRING)
-       || '", "filename": "shard-9.warc.gz"}'
-  WHEN 4 THEN 'com,broken)/ 20240101000000 {not json '
-       || CAST(doc_id AS STRING)
-  ELSE 'garbage line ' || CAST(doc_id AS STRING)
-END"""
+# The declared query's plant lives in __spark_entry__._CDX_PLANT_SQL
+# (ROTATION_POLICY.md §5 swap #11 — `cdx_capture_selection`); this test
+# imports it so the unit proof and the driver query can never desync.
 
 
 def test_cdx_plant_dual_dialect_hash_exact(spark):
-    """The pre-staged r14 declared-query shape: planted CDXJ lines over
+    """The declared-query parse at unit scale: planted CDXJ lines over
     the documents table, parsed by parse_cdxj (Spark) vs the
     duckdb_parse_cdxj_sql twin over the VERBATIM same plant — cell
     for cell, including the malformed branches' NULL fields."""
     import duckdb
 
     from pyspark.sql import functions as F
+
+    from __spark_entry__ import _CDX_PLANT_SQL as CDX_PLANT_SQL
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")

@@ -129,3 +129,78 @@ def test_customer_order_gaps_matches_duckdb_twin(spark):
     ).withColumn("gap_days", F.datediff("o_orderdate", "prev_orderdate"))
     orc = duckdb.sql(ORDER_GAPS_SQL.format(sf=SF)).df()
     assert compare(out, orc, float_tol=0) == []
+
+
+# Twin of operators/windows.ntile_bucket over the per-customer revenue
+# aggregate — formerly the driver oracle of `customer_revenue_quartiles`,
+# retired r13 (§5 swap #11: the §4 re-rank's second fold — the NTILE
+# column set now rides the still-declared `customer_order_distribution`,
+# whose per-customer aggregate is the same window input). DECIMAL
+# accumulate -> one double cast on both sides (the r12 money contract).
+REVENUE_QUARTILES_SQL = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM read_parquet('{sf}/orders.parquet') GROUP BY o_custkey
+    )
+    SELECT o_custkey, revenue,
+           NTILE(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS quartile
+    FROM per
+"""
+
+
+def test_customer_revenue_quartiles_matches_duckdb_twin(spark):
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.windows import (
+        ntile_bucket,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.util import money_sum
+
+    per = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    out = ntile_bucket(
+        per,
+        order_by=[F.col("revenue").desc(), F.col("o_custkey").asc()],
+        n=4,
+        bucket_col="quartile",
+    )
+    orc = duckdb.sql(REVENUE_QUARTILES_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []
+
+
+# Twin of plans/gold.small_quantity_part_revenue — formerly the driver
+# oracle of `small_qty_part_revenue`, retired r13 (§5 swap #12: §4.4
+# overlapping correlated-scalar-subquery shape — the still-declared
+# `min_cost_supplier` keeps the fact-vs-own-aggregate family's driver
+# row). DECIMAL accumulate -> one double cast (the r12 money contract).
+SMALL_QTY_SQL = """
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/part.parquet') p ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#12'
+    ), thresh AS (
+        SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
+        FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        AS avg_yearly
+    FROM li JOIN thresh ON l_partkey = t_partkey
+    WHERE l_quantity < qty_thresh
+"""
+
+
+def test_small_qty_part_revenue_matches_duckdb_twin(spark):
+    from azure_etl_databricks_sql_powerbi_spark.plans import gold
+
+    out = gold.small_quantity_part_revenue(
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        spark.read.parquet(f"{SF}/part.parquet"),
+    )
+    orc = duckdb.sql(SMALL_QTY_SQL.format(sf=SF)).df()
+    assert compare(out, orc, float_tol=0) == []

@@ -99,8 +99,9 @@ _ALLOWED_FLAGS = {
     "token_jaccard_pairs": {"BNLJoin"},  # bounded exact ground truth (id<100)
     "ann_cosine_topk": {"BNLJoin"},  # brute-force baseline by design
     "embedding_near_pairs": {"BNLJoin"},  # bounded exact ground truth
-    "customer_revenue_quartiles": {"SinglePartitionExchange"},  # global ntile, documented
-    "small_qty_part_revenue": {"SinglePartitionExchange"},  # one-row result
+    # global ntile over the per-customer aggregate (documented in
+    # operators/windows.ntile_bucket — |customers| rows, never the fact)
+    "customer_order_distribution": {"SinglePartitionExchange"},
     "idle_customer_balance": {"BNLJoin", "SinglePartitionExchange"},  # scalar avg
     "bracket_revenue_q19": {"SinglePartitionExchange"},  # one-row result
     # spine queries: scalar min/max date + global window over the CALENDAR
@@ -220,13 +221,20 @@ def test_no_unapproved_cartesian_or_global_exchange(spark, entry):
         assert not extra, f"{name}: unapproved plan shapes {extra}"
 
 
-def test_small_qty_join_prunes_fact_first(spark, entry):
+def test_small_qty_join_prunes_fact_first(spark):
     """Q17 shape: the brand semi-filter must hit lineitem BEFORE the
     self-aggregate join — the broadcast of the filtered part dim appears
-    under both consumers of the pruned fact."""
+    under both consumers of the pruned fact. (Called on the operator
+    directly: the driver query retired r13, §5 swap #12 — capability and
+    plan contract remain.)"""
     import re
 
-    df = entry.queries()["small_qty_part_revenue"](spark, SF_SMOKE)
+    from azure_etl_databricks_sql_powerbi_spark.plans import gold
+
+    df = gold.small_quantity_part_revenue(
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet"),
+    )
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     # brand equality is evaluated at the part scan (DataFilters), not after
