@@ -673,14 +673,18 @@ def _q_warc_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 200 — branch 1 doc d reuses branch 0 doc d-1's digest (997 is prime
 # to every branch stride, so EVERY adjacent pair collides and distinct
 # digests grow with the table instead of saturating), making dedup
-# fodder where the two ts layouts let BOTH winner directions occur
-# (branch 0 usually earlier; around the %9 day wrap branch 1 wins);
+# fodder where the two ts layouts let BOTH winner directions occur:
+# the day selector is % 7 — COPRIME to the branch stride 6, so branch
+# 0's day residues cover all of 0..6 and the wrap (branch-0 day 7 vs
+# branch-1 day 1, where branch 1 wins) actually fires — with % 9 the
+# branch-0 residues were stuck in {0,3,6} and branch 1 could never
+# win (the r13 swap-commit review's second finding, simulation-proven);
 # 2 = 404, 3 = pdf, 4 = malformed JSON (urlkey/ts parse, JSON fields
 # NULL), 5 = non-CDXJ line (all fields NULL).
 _CDX_PLANT_SQL = """CASE doc_id % 6
   WHEN 0 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/p'
        || CAST(doc_id AS STRING) || ' 2024010'
-       || CAST(doc_id % 9 + 1 AS STRING)
+       || CAST(doc_id % 7 + 1 AS STRING)
        || '000000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
        || '.com/p' || CAST(doc_id AS STRING)
        || '", "mime": "text/html", "status": "200", "digest": "sha1:D'
@@ -691,7 +695,7 @@ _CDX_PLANT_SQL = """CASE doc_id % 6
        || '.warc.gz"}'
   WHEN 1 THEN 'com,site' || CAST(doc_id % 20 AS STRING) || ')/q'
        || CAST(doc_id AS STRING) || ' 2024010'
-       || CAST(doc_id % 9 + 1 AS STRING)
+       || CAST(doc_id % 7 + 1 AS STRING)
        || '120000 {"url": "https://site' || CAST(doc_id % 20 AS STRING)
        || '.com/q' || CAST(doc_id AS STRING)
        || '", "mime": "text/html; charset=utf-8", "status": "200",'
@@ -782,10 +786,17 @@ END"""
 # domains carry no robots.txt -> default allow). Path branches arm:
 # plain allow, the /private/ block, the longer-allow-wins tie, the
 # wildcard, the $ anchor (and its non-match sibling), the
-# trainbot-only block, and the branch-2 /blocked/ prefix. Branch 0
-# also prefixes www. + an uppercase scheme-host to exercise host
-# lowering + registered-domain label arithmetic on both sides.
-_ROBOTS_URL_PLANT_SQL = """CASE doc_id % 8
+# trainbot-only block, and the branch-2 /blocked/ prefix. The path
+# branch selector is floor(doc_id / 20) % 8 — NOT doc_id % 8, which is
+# fully correlated with the domain's robots branch (domain index is
+# doc_id % 20 and 4 | 8, 4 | 20, so path k would only ever land on
+# robots branch k % 4 and five of the eight scenarios could never fire
+# — the r13 swap-commit review's top finding). With the quotient
+# selector every (path, robots-branch) combination occurs on every
+# shipped table size. Branch 0 also prefixes www. + an uppercase
+# scheme-host to exercise host lowering + registered-domain label
+# arithmetic on both sides.
+_ROBOTS_URL_PLANT_SQL = """CASE CAST(floor(doc_id / 20) AS INT) % 8
   WHEN 0 THEN 'https://WWW.site' || CAST(doc_id % 20 AS STRING)
        || '.com/public/page'
   WHEN 1 THEN 'https://site' || CAST(doc_id % 20 AS STRING)
@@ -6420,8 +6431,13 @@ def _cdx_selection_oracle() -> str:
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY digest
-                ORDER BY ts ASC NULLS LAST, urlkey ASC,
-                         filename ASC, "offset" ASC
+                -- NULL ordering pinned per key: Spark's asc() is NULLS
+                -- FIRST while DuckDB's ASC defaults NULLS LAST, so the
+                -- secondary keys spell FIRST explicitly (ts is
+                -- asc_nulls_last on the engine side, hence LAST here)
+                ORDER BY ts ASC NULLS LAST, urlkey ASC NULLS FIRST,
+                         filename ASC NULLS FIRST,
+                         "offset" ASC NULLS FIRST
             ) AS rk
             FROM selected
         )
@@ -6453,6 +6469,7 @@ def _robots_policy_oracle() -> str:
     norm)."""
     from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
         duckdb_parse_robots_sql,
+        duckdb_url_path_sql,
     )
     from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
         duckdb_host_sql,
@@ -6475,15 +6492,7 @@ def _robots_policy_oracle() -> str:
         ),
         u AS (
             SELECT doc_id, url, {dom} AS dom,
-                   CASE WHEN instr(substring(url, instr(url, '://') + 3),
-                                   '/') = 0
-                        THEN '/'
-                        ELSE substring(
-                                 substring(url, instr(url, '://') + 3),
-                                 instr(substring(url,
-                                                 instr(url, '://') + 3),
-                                       '/'))
-                   END AS path
+                   {duckdb_url_path_sql("url")} AS path
             FROM urls
         ),
         j AS (

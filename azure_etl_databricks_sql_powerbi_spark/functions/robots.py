@@ -45,6 +45,17 @@ from pyspark.sql import functions as F
 # line shape: "Directive: value" with optional inline '#' comment.
 _LINE_RE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*)"
 
+# REP matches rules against the URL's path(+query). ONE definition in
+# the SQL dialect intersection (instr/substring/CASE parse identically
+# in Spark and DuckDB), shared by the engine's __path derivation and
+# the duckdb_url_path_sql oracle builder so the two can never desync
+# (the r13 swap-commit review's twin-discipline finding).
+_AFTER_SCHEME_SQL = "substring({url}, instr({url}, '://') + 3)"
+_PATH_FROM_AFTER_SQL = (
+    "CASE WHEN instr({after}, '/') = 0 THEN '/' "
+    "ELSE substring({after}, instr({after}, '/')) END"
+)
+
 # Columns the broadcast rule side contributes to the permission join —
 # ONE definition shared by the perm projection and the clash guard, so
 # the two can never drift (r13 review #2).
@@ -248,17 +259,11 @@ def filter_robots_allowed(
     else:
         u = urls.withColumn("__rid", F.monotonically_increasing_id())
     u = u.withColumn("__dom", registered_domain(F.col(url_col)))
-    # path+query, '' -> '/' (REP matches against the path)
-    after_scheme = F.expr(
-        f"substring({url_col}, instr({url_col}, '://') + 3)"
-    )
-    path = F.expr(
-        "CASE WHEN instr(__after, '/') = 0 THEN '/' "
-        "ELSE substring(__after, instr(__after, '/')) END"
-    )
+    # path+query, '' -> '/' (REP matches against the path) — the shared
+    # module-owned SQL, see _AFTER_SCHEME_SQL/_PATH_FROM_AFTER_SQL
     u = (
-        u.withColumn("__after", after_scheme)
-        .withColumn("__path", path)
+        u.withColumn("__after", F.expr(_AFTER_SCHEME_SQL.format(url=url_col)))
+        .withColumn("__path", F.expr(_PATH_FROM_AFTER_SQL.format(after="__after")))
         .drop("__after")
     )
     j = u.join(
@@ -306,6 +311,17 @@ def filter_robots_allowed(
 
 
 # ---------------------------------------------------------------- oracle
+
+
+def duckdb_url_path_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`filter_robots_allowed`'s ``__path``
+    derivation, rendered from the SAME module-owned SQL the engine
+    evaluates (``_AFTER_SCHEME_SQL`` / ``_PATH_FROM_AFTER_SQL`` parse
+    identically in both dialects), so a future change to the path rule
+    cannot silently desync the oracle. Returns a SQL expression string
+    over ``url_expr``."""
+    after = _AFTER_SCHEME_SQL.format(url=url_expr)
+    return _PATH_FROM_AFTER_SQL.format(after=f"({after})")
 
 
 def duckdb_parse_robots_sql(

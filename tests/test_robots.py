@@ -278,3 +278,53 @@ def test_caller_supplied_row_id(spark, rules):
     assert rows == {1: False, 2: False}
     with pytest.raises(ValueError, match="row_id_col"):
         filter_robots_allowed(urls, rules, row_id_col="nope")
+
+
+def test_url_path_twin_cell_for_cell(spark):
+    """duckdb_url_path_sql renders the SAME module-owned SQL the engine
+    evaluates for __path (one definition, zero desync — the r13
+    swap-commit review's twin-discipline finding), proven cell-for-cell
+    on the edge shapes: no path -> '/', root, deep path, query string
+    carried, NULL url propagates."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        _AFTER_SCHEME_SQL,
+        _PATH_FROM_AFTER_SQL,
+        duckdb_url_path_sql,
+    )
+
+    urls = [
+        ("https://a.com",),
+        ("https://a.com/",),
+        ("https://a.com/x/y.html",),
+        ("https://a.com/x?q=1&r=2",),
+        ("http://b.org:8080/p",),
+        (None,),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = [
+        r.path
+        for r in df.select(
+            F.expr(
+                _PATH_FROM_AFTER_SQL.format(
+                    after=f"({_AFTER_SCHEME_SQL.format(url='url')})"
+                )
+            ).alias("path")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", urls)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duckdb_url_path_sql('url')} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0] == "/" and got[2] == "/x/y.html"
+    assert got[3] == "/x?q=1&r=2" and got[4] == "/p"
+    assert got[5] is None
