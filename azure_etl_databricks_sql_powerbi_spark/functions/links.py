@@ -1,0 +1,451 @@
+"""Hyperlink extraction + URL canonicalization for crawl-graph curation
+(north-star extension; the reference engine at /root/reference has no
+crawl surface). This closes the loop between the crawl tier and the
+graph tier: ``read_warc → html → extract_links → resolve_hrefs →
+canonicalize_urls → link_edges`` yields the (src, dst) edge list that
+``graph/pagerank.py`` / ``graph/lpa.py`` consume — the WAT-style
+link-graph pass every production crawl pipeline runs — and the
+canonical-URL key that URL-level dedup and frontier scheduling need
+(``https://A.com:443/x?utm_source=f&b=1#top`` and
+``https://a.com/x?b=1`` are the same fetch).
+
+Spark-first shape, all JVM (zero Python):
+
+1. **``extract_links``** — ``<a href="...">`` / ``<a href='...'>``
+   targets via two ``regexp_extract_all`` passes (double-quoted first,
+   then single-quoted), concatenated. Like ``functions/html`` this is
+   deliberately NOT a parser: no DOM, no attribute grammar — hrefs in
+   commented-out markup are still extracted (rare, and a link in a
+   comment was a link once; documented, not hidden).
+2. **``resolve_hrefs``** — RFC-3986-lite reference resolution:
+   absolute refs pass through, ``//host/x`` adopts the base scheme,
+   ``/x`` joins the base origin, relative refs join the base DIRECTORY,
+   ``./`` segments strip and ``../`` segments collapse through a
+   BOUNDED pass chain applied to the after-authority tail only
+   (``_DOTDOT_PASSES`` levels — deeper chains conservatively keep the
+   residue rather than mis-resolve), and non-fetchable refs
+   (``javascript:``/``mailto:``/``tel:``/``data:`` schemes, pure
+   fragments, refs whose base is not an absolute URL) resolve to NULL.
+3. **``canonicalize_urls``** — frontier/dedup normalization: fragment
+   dropped, scheme + authority lowercased, default ports (``:80`` http,
+   ``:443`` https) dropped, tracking parameters removed (``utm_*``
+   prefix and the ``_TRACKING_PARAMS`` click-id set), remaining query
+   parameters SORTED byte-wise, empty query dropped, duplicate path
+   slashes collapsed, empty path → ``/``. NULL for strings without a
+   scheme (not an absolute URL — resolve first).
+4. **``link_edges``** — pages → distinct (src, dst) canonical edge
+   pairs: explode FIRST, then the per-href steps run on plain columns
+   so every step stays oracle-replayable. The distinct on (src, dst)
+   is the ONLY shuffle and is the grouping the downstream graph build
+   needs anyway; the explode fan-out is bounded by links-per-page
+   (~100 median on real crawls), so skew follows page size, not corpus
+   size.
+
+**Plan-size contract (the r13 lesson this module was rebuilt around):**
+every derivation step consumes its input through a SINGLE-REFERENCE
+regex extraction (``regexp_extract``/``regexp_replace``), never a
+multi-reference CASE. Catalyst's predicate pushdown and projection
+collapse SUBSTITUTE alias definitions into every reference site; with
+the earlier 5-reference ``CASE WHEN instr(x...)... substring(x...)``
+templates the substitutions compounded ~5× per derivation level and a
+downstream ``IS NOT NULL`` filter inflated the optimized plan to 28.5M
+characters (108 MiB task binaries, driver OOM). The single-ref regex
+design keeps the optimized plan a few tens of KB through the same
+pipeline — ``tests/test_links.py`` pins the bound.
+
+Pattern dialect contract (the ``functions/pii`` discipline, plus one
+extra rule): every regex is valid AND equivalent in Java regex (Spark)
+and RE2 (DuckDB), and — so the patterns can ALSO be embedded verbatim
+in dual-dialect F.expr/DuckDB SQL strings — every pattern is
+BACKSLASH-FREE (character classes like ``[.]``/``[?]`` replace escapes;
+Spark SQL string literals process backslash escapes, DuckDB's do not).
+DuckDB's ``regexp_replace`` defaults to first-match-only, so the
+builders pass ``'g'`` explicitly. The whole chain is oracle-checkable
+cell-for-cell via the module-owned ``duckdb_*_sql`` builders;
+hand-written fixture expectations live in ``tests/test_links.py`` (the
+generated-twin mitigation norm).
+
+Known simplifications (documented, deterministic): the whole authority
+lowercases (userinfo is vanishingly rare in crawl hrefs); ``../``
+collapse is bounded at ``_DOTDOT_PASSES`` levels; query-param sort is
+byte-order (ASCII-identical across engines — non-BMP param names may
+order differently and are excluded from planted oracles); unquoted
+``href=x`` attributes are not extracted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href extraction: double-quoted then single-quoted <a> targets. The
+# [^>]*? lazy skip keeps the match inside ONE tag; (?is) in both
+# dialects. Group 1 is the target.
+HREF_DQ_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"
+
+# Non-fetchable href schemes -> NULL at resolve time (lowercased match).
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+# Click-id / campaign query parameters dropped by canonicalize_urls.
+# utm_* is matched by prefix; these by exact (case-sensitive — trackers
+# emit them lowercase) parameter name.
+_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+# ---- URL-part extraction patterns: single-reference, backslash-free.
+# scheme (group 1), '' when the string is not an absolute URL
+SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+# strip 'scheme://' -> authority+rest ('after'); no-op on non-URLs
+STRIP_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+# authority = the prefix of 'after' up to the first /, ? or #
+AUTH_RE = "^([^/?#]*)"
+STRIP_AUTH_RE = "^[^/?#]*"
+# path/query split on the first '?' ([?] = backslash-free escape)
+PATH_RE = "[?].*"          # strip query+ -> path
+QUERY_RE = "[?](.*)"       # extract query (group 1), '' when absent
+FRAG_RE = "#.*"            # strip fragment
+DUP_SLASH_RE = "//+"       # collapse in the PATH only
+# default ports, applied under a scheme CASE
+PORT80_RE = ":80$"
+PORT443_RE = ":443$"
+
+# ../ collapse bound: one regex pass resolves one level of EVERY
+# non-overlapping "segment/../" pair; chains deeper than this keep the
+# residue (conservative; a 5-deep ../ chain in a crawl href is noise).
+# A collapsible segment contains at least one char that is neither '.'
+# nor '/', so '/../../' never self-collapses.
+_DOTDOT_PASSES = 4
+DOTDOT_RE = "/[^/]*[^./][^/]*/[.][.]/"
+DOT_SEG_RE = "/[.]/"
+_DOT_SEG_PASSES = 2  # adjacent '/././' needs a second pass
+
+# basedir: the base's rest with query/fragment cut, then the trailing
+# segment cut — what a relative href joins onto
+BASEDIR_CUT_QF_RE = "[?#].*"
+BASEDIR_LAST_SEG_RE = "[^/]*$"
+
+
+def _scheme(c: Column) -> Column:
+    return F.lower(F.regexp_extract(c, SCHEME_RE, 1))
+
+
+def _after(c: Column) -> Column:
+    return F.regexp_replace(c, STRIP_SCHEME_RE, "")
+
+
+def _auth(after: Column) -> Column:
+    return F.regexp_extract(after, AUTH_RE, 1)
+
+
+def _rest(after: Column) -> Column:
+    return F.regexp_replace(after, STRIP_AUTH_RE, "")
+
+
+# ------------------------------------------------------------- operators
+
+
+def extract_links(c: Column | str) -> Column:
+    """All ``<a href>`` targets of an HTML document, document order
+    within each quoting style (double-quoted matches first, then
+    single-quoted), as ``array<string>``. Pure JVM."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.concat(
+        F.regexp_extract_all(c, F.lit(HREF_DQ_RE), 1),
+        F.regexp_extract_all(c, F.lit(HREF_SQ_RE), 1),
+    )
+
+
+_LK_TEMPS = (
+    "__lk_scheme", "__lk_after", "__lk_auth", "__lk_dir",
+    "__lk_res0", "__lk_r_after", "__lk_tail",
+)
+
+
+def resolve_hrefs(
+    df: DataFrame,
+    base_col: str,
+    href_col: str,
+    out_col: str = "resolved_url",
+) -> DataFrame:
+    """Add ``out_col`` = ``href_col`` resolved against the absolute URL
+    in ``base_col`` (see the module docstring for branch semantics).
+    Every intermediate is a single-reference regex derivation bound as
+    its own column — the plan-size contract."""
+    clash = [c for c in _LK_TEMPS if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"resolve_hrefs uses temp columns {clash}; rename the "
+            "existing column(s) first"
+        )
+    base, href = F.col(base_col), F.col(href_col)
+    d = (
+        df.withColumn("__lk_scheme", _scheme(base))
+        .withColumn("__lk_after", _after(base))
+    )
+    d = d.withColumn("__lk_auth", _auth(F.col("__lk_after")))
+    # base directory: rest -> cut query/fragment -> cut last segment;
+    # '' (no-path base) joins relative refs with the '/' separator
+    basedir = F.regexp_replace(
+        F.regexp_replace(
+            _rest(F.col("__lk_after")), BASEDIR_CUT_QF_RE, ""
+        ),
+        BASEDIR_LAST_SEG_RE,
+        "",
+    )
+    d = d.withColumn(
+        "__lk_dir", F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    )
+    lhref = F.lower(href)
+    skip = F.lit(False)
+    for s in _SKIP_SCHEMES:
+        skip = skip | lhref.startswith(s)
+    origin = F.concat(F.col("__lk_scheme"), F.lit("://"), F.col("__lk_auth"))
+    res0 = (
+        F.when(href.isNull() | (href == "") | href.startswith("#") | skip,
+               F.lit(None).cast("string"))
+        .when(F.col("__lk_scheme") == "",  # base not absolute
+              F.when(href.contains("://"), href))
+        .when(href.contains("://"), href)
+        .when(href.startswith("//"),
+              F.concat(F.col("__lk_scheme"), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, F.col("__lk_dir"), href))
+    )
+    d = d.withColumn("__lk_res0", res0)
+    # dot-segment collapse on the resolved url's after-authority tail
+    # ONLY — on the whole string '/seg/../' would match straight across
+    # the authority ('https://a.com/../x' -> 'https:/x'; RE2 has no
+    # lookbehind to anchor inside the path)
+    d = d.withColumn("__lk_r_after", _after(F.col("__lk_res0")))
+    tail = _rest(F.col("__lk_r_after"))
+    for _ in range(_DOT_SEG_PASSES):
+        tail = F.regexp_replace(tail, DOT_SEG_RE, "/")
+    for _ in range(_DOTDOT_PASSES):
+        tail = F.regexp_replace(tail, DOTDOT_RE, "/")
+    d = d.withColumn("__lk_tail", tail)
+    resolved = F.when(
+        F.col("__lk_res0").isNotNull(),
+        F.concat(
+            _scheme(F.col("__lk_res0")),
+            F.lit("://"),
+            _auth(F.col("__lk_r_after")),
+            F.col("__lk_tail"),
+        ),
+    )
+    return d.withColumn(out_col, resolved).drop(*_LK_TEMPS)
+
+
+_CU_TEMPS = (
+    "__cu_nofrag", "__cu_scheme", "__cu_after", "__cu_auth",
+    "__cu_rest", "__cu_path", "__cu_query",
+)
+
+# query-parameter keep-predicate over a lambda variable {x} (substr +
+# split_part exist in both dialects; no LIKE — '_' is a LIKE wildcard)
+_PARAM_KEEP_SQL = (
+    "{x} <> '' AND NOT (substr({x}, 1, 4) = 'utm_'"
+    " OR split_part({x}, '=', 1) IN ("
+    + ", ".join(f"'{p}'" for p in _TRACKING_PARAMS)
+    + "))"
+)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Add ``out_col`` = the canonical form of ``url_col`` (NULL when
+    not an absolute URL). See the module docstring for the step list;
+    every step single-reference (the plan-size contract)."""
+    clash = [c for c in _CU_TEMPS if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"canonicalize_urls uses temp columns {clash}; rename the "
+            "existing column(s) first"
+        )
+    d = df.withColumn(
+        "__cu_nofrag", F.regexp_replace(F.col(url_col), FRAG_RE, "")
+    )
+    d = d.withColumn("__cu_scheme", _scheme(F.col("__cu_nofrag")))
+    d = d.withColumn("__cu_after", _after(F.col("__cu_nofrag")))
+    auth = F.lower(_auth(F.col("__cu_after")))
+    d = d.withColumn(
+        "__cu_auth",
+        F.when(F.col("__cu_scheme") == "http",
+               F.regexp_replace(auth, PORT80_RE, ""))
+        .when(F.col("__cu_scheme") == "https",
+              F.regexp_replace(auth, PORT443_RE, ""))
+        .otherwise(auth),
+    )
+    d = d.withColumn("__cu_rest", _rest(F.col("__cu_after")))
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("__cu_rest"), PATH_RE, ""),
+        DUP_SLASH_RE,
+        "/",
+    )
+    d = d.withColumn(
+        "__cu_path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
+    d = d.withColumn(
+        "__cu_query", F.regexp_extract(F.col("__cu_rest"), QUERY_RE, 1)
+    )
+    kept = F.expr(
+        "array_join(array_sort(filter(split(__cu_query, '&'),"
+        f" x -> {_PARAM_KEEP_SQL.format(x='x')})), '&')"
+    )
+    canon = F.concat(
+        F.col("__cu_scheme"),
+        F.lit("://"),
+        F.col("__cu_auth"),
+        F.col("__cu_path"),
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    d = d.withColumn(out_col, F.when(F.col("__cu_scheme") != "", canon))
+    return d.drop(*_CU_TEMPS)
+
+
+def link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    dedup: bool = True,
+) -> DataFrame:
+    """Pages → canonical (src, dst) hyperlink edges: extract →
+    explode → resolve → canonicalize both endpoints → drop NULL
+    endpoints → (optionally) distinct."""
+    hrefs = pages.select(
+        F.col(url_col).alias("__lk_page"),
+        F.explode(extract_links(html_col)).alias("__lk_raw"),
+    )
+    resolved = resolve_hrefs(hrefs, "__lk_page", "__lk_raw", "__lk_dst")
+    src = canonicalize_urls(resolved, "__lk_page", "src")
+    both = canonicalize_urls(src, "__lk_dst", "dst")
+    out = both.select("src", "dst").filter(
+        F.col("dst").isNotNull() & F.col("src").isNotNull()
+    )
+    return out.distinct() if dedup else out
+
+
+# ---------------------------------------------------------------- oracle
+# Builders compose the SAME pattern constants; DuckDB regexp_replace
+# needs the explicit 'g' flag (harmless on the anchored patterns).
+
+
+def _q(pattern: str) -> str:
+    """Embed a pattern in a SQL single-quoted literal (single quotes
+    double; nothing else needs escaping — DuckDB literals do not
+    process backslashes, and every module pattern is backslash-free
+    except the href extractors' \\s, which RE2 reads verbatim)."""
+    return pattern.replace("'", "''")
+
+
+def duckdb_extract_links_sql(html_expr: str) -> str:
+    """DuckDB twin of :func:`extract_links` (RE2 runs the same two
+    patterns; list concat mirrors the engine's ordering)."""
+    return (
+        f"list_concat("
+        f"regexp_extract_all({html_expr}, '{_q(HREF_DQ_RE)}', 1), "
+        f"regexp_extract_all({html_expr}, '{_q(HREF_SQ_RE)}', 1))"
+    )
+
+
+def _sql_scheme(url: str) -> str:
+    return f"lower(regexp_extract({url}, '{SCHEME_RE}', 1))"
+
+
+def _sql_after(url: str) -> str:
+    return f"regexp_replace({url}, '{STRIP_SCHEME_RE}', '', 'g')"
+
+
+def _sql_auth(after: str) -> str:
+    return f"regexp_extract({after}, '{AUTH_RE}', 1)"
+
+
+def _sql_rest(after: str) -> str:
+    return f"regexp_replace({after}, '{STRIP_AUTH_RE}', '', 'g')"
+
+
+def duckdb_resolve_hrefs_sql(base_expr: str, href_expr: str) -> str:
+    """DuckDB twin of :func:`resolve_hrefs`: same pattern constants,
+    same branch order, same pass counts, same prefix/tail split. The
+    engine's temp columns are inlined — single-reference derivations
+    keep even the inlined tree small (the plan-size contract's oracle
+    dividend)."""
+    scheme = _sql_scheme(base_expr)
+    after = _sql_after(base_expr)
+    auth = _sql_auth(f"({after})")
+    rest = _sql_rest(f"({after})")
+    basedir = (
+        f"regexp_replace(regexp_replace(({rest}),"
+        f" '{BASEDIR_CUT_QF_RE}', '', 'g'),"
+        f" '{BASEDIR_LAST_SEG_RE}', '', 'g')"
+    )
+    basedir = (
+        f"(CASE WHEN ({basedir}) = '' THEN '/' ELSE ({basedir}) END)"
+    )
+    skip = " OR ".join(
+        f"substring(lower({href_expr}), 1, {len(s)}) = '{s}'"
+        for s in _SKIP_SCHEMES
+    )
+    origin = f"(({scheme}) || '://' || ({auth}))"
+    res0 = f"""CASE
+        WHEN {href_expr} IS NULL OR {href_expr} = ''
+             OR substring({href_expr}, 1, 1) = '#' OR {skip}
+            THEN CAST(NULL AS VARCHAR)
+        WHEN ({scheme}) = ''
+            THEN (CASE WHEN instr({href_expr}, '://') > 0
+                       THEN {href_expr} END)
+        WHEN instr({href_expr}, '://') > 0 THEN {href_expr}
+        WHEN substring({href_expr}, 1, 2) = '//'
+            THEN ({scheme}) || ':' || {href_expr}
+        WHEN substring({href_expr}, 1, 1) = '/'
+            THEN {origin} || {href_expr}
+        ELSE {origin} || {basedir} || {href_expr}
+    END"""
+    r_after = f"({_sql_after(f'({res0})')})"
+    tail = f"({_sql_rest(r_after)})"
+    for _ in range(_DOT_SEG_PASSES):
+        tail = f"regexp_replace({tail}, '{DOT_SEG_RE}', '/', 'g')"
+    for _ in range(_DOTDOT_PASSES):
+        tail = f"regexp_replace({tail}, '{DOTDOT_RE}', '/', 'g')"
+    prefix = (
+        f"({_sql_scheme(f'({res0})')}) || '://' || ({_sql_auth(r_after)})"
+    )
+    return (
+        f"CASE WHEN ({res0}) IS NOT NULL"
+        f" THEN ({prefix}) || ({tail}) END"
+    )
+
+
+def duckdb_canonicalize_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_urls` — same pattern
+    constants, same param predicate, list functions mirroring the
+    engine's array functions."""
+    nofrag = f"(regexp_replace({url_expr}, '{FRAG_RE}', '', 'g'))"
+    scheme = f"({_sql_scheme(nofrag)})"
+    after = f"({_sql_after(nofrag)})"
+    auth = f"lower({_sql_auth(after)})"
+    auth = (
+        f"(CASE WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({auth}, '{PORT80_RE}', '', 'g')"
+        f" WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({auth}, '{PORT443_RE}', '', 'g')"
+        f" ELSE {auth} END)"
+    )
+    rest = f"({_sql_rest(after)})"
+    path = (
+        f"regexp_replace(regexp_replace({rest}, '{PATH_RE}', '', 'g'),"
+        f" '{DUP_SLASH_RE}', '/', 'g')"
+    )
+    path = f"(CASE WHEN ({path}) = '' THEN '/' ELSE ({path}) END)"
+    query = f"(regexp_extract({rest}, '{QUERY_RE}', 1))"
+    kept = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'),"
+        f" x -> {_PARAM_KEEP_SQL.format(x='x')})), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} <> '' THEN"
+        f" {scheme} || '://' || {auth} || {path} ||"
+        f" (CASE WHEN ({kept}) <> '' THEN '?' || ({kept}) ELSE '' END)"
+        f" END"
+    )

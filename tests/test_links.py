@@ -1,0 +1,287 @@
+"""Hyperlink extraction / URL resolution / canonicalization / edge
+building (functions/links): hand-written expectations per resolution
+branch and canonicalization rule, DuckDB twin parity cell-for-cell from
+the module's own builders, the all-JVM plan pin, and the PLAN-SIZE
+BOUND that pins the r13 expression-blowup regression (multi-reference
+CASE templates inflated the optimized plan to 28.5M chars / 108 MiB
+task binaries; the single-reference regex design keeps it ~75k)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+    canonicalize_urls,
+    duckdb_canonicalize_url_sql,
+    duckdb_extract_links_sql,
+    duckdb_resolve_hrefs_sql,
+    extract_links,
+    link_edges,
+    resolve_hrefs,
+)
+
+HTML = (
+    '<p><a href="https://X.com:443/a?utm_source=z&b=1#f">x</a>\n'
+    "<a href='/root.html'>y</a> <a href=\"../up/page#frag\">z</a>\n"
+    '<A HREF="//cdn.x.com/lib.js">w</A> <a href="mailto:a@b.c">m</a>\n'
+    '<a href="sub/./d.html">s</a> <a href="#top">t</a></p>'
+)
+BASE = "https://Base.com/dir/sub/index.html?q=2"
+
+
+def test_extract_links_hand_written(spark):
+    df = spark.createDataFrame([(HTML,)], "html string")
+    got = df.select(extract_links("html").alias("l")).collect()[0].l
+    # double-quoted matches in document order first, then single-quoted
+    assert got == [
+        "https://X.com:443/a?utm_source=z&b=1#f",
+        "../up/page#frag",
+        "//cdn.x.com/lib.js",
+        "mailto:a@b.c",
+        "sub/./d.html",
+        "#top",
+        "/root.html",
+    ]
+
+
+RESOLVE_CASES = [
+    # (base, href, expected)
+    (BASE, "https://other.com/abs", "https://other.com/abs"),
+    (BASE, "//cdn.x.com/lib.js", "https://cdn.x.com/lib.js"),
+    (BASE, "/root.html", "https://Base.com/root.html"),
+    (BASE, "rel.html", "https://Base.com/dir/sub/rel.html"),
+    (BASE, "./same.html", "https://Base.com/dir/sub/same.html"),
+    (BASE, "../up/page", "https://Base.com/dir/up/page"),
+    (BASE, "../../top", "https://Base.com/top"),
+    # bound: with a fully-nested chain each pass collapses ONE level
+    # (matches cannot overlap), so 4 passes resolve 4 of the 5 levels
+    # and the residue stays, conservatively
+    (
+        "https://h.com/a/b/c/d/e/f.html",
+        "../../../../../x",
+        "https://h.com/a/../x",
+    ),
+    (BASE, "#top", None),
+    (BASE, "", None),
+    (BASE, None, None),
+    (BASE, "mailto:a@b.c", None),
+    (BASE, "javascript:void(0)", None),
+    (BASE, "JAVASCRIPT:alert(1)", None),  # scheme match is case-blind
+    # scheme-less base: absolute hrefs survive, relative cannot resolve
+    ("not a url", "https://ok.com/x", "https://ok.com/x"),
+    ("not a url", "rel.html", None),
+    (None, "rel.html", None),
+    # base with no path: relative joins with the '/' separator
+    ("https://bare.com", "x.html", "https://bare.com/x.html"),
+    # dot-segments in an ABSOLUTE href collapse too (frontier form)...
+    (BASE, "https://a.com/p/../q", "https://a.com/q"),
+    # ...but never across the authority (the prefix/tail split)
+    (BASE, "https://a.com/../q", "https://a.com/../q"),
+]
+
+
+def test_resolve_hrefs_hand_written(spark):
+    df = spark.createDataFrame(
+        [(i, b, h) for i, (b, h, _) in enumerate(RESOLVE_CASES)],
+        "id int, base string, href string",
+    )
+    out = {
+        r.id: r.resolved_url
+        for r in resolve_hrefs(df, "base", "href").collect()
+    }
+    for i, (b, h, want) in enumerate(RESOLVE_CASES):
+        assert out[i] == want, f"case {i}: {b} + {h}: {out[i]} != {want}"
+
+
+CANON_CASES = [
+    ("https://X.com:443/a?utm_source=z&b=1#f", "https://x.com/a?b=1"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default kept
+    ("https://a.com:80/x", "https://a.com:80/x"),  # 80 is not https' default
+    ("https://A.com", "https://a.com/"),
+    ("https://a.com//x///y", "https://a.com/x/y"),
+    ("https://a.com/x?c=2&a=1&b=3", "https://a.com/x?a=1&b=3&c=2"),
+    ("https://a.com/x?utm_source=a&utm_medium=b", "https://a.com/x"),
+    ("https://a.com/x?gclid=123&z=1", "https://a.com/x?z=1"),
+    ("https://a.com/x?", "https://a.com/x"),
+    ("HTTPS://a.com/x", "https://a.com/x"),
+    ("no scheme here", None),
+    (None, None),
+]
+
+
+def test_canonicalize_urls_hand_written(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)],
+        "id int, u string",
+    )
+    out = {
+        r.id: r.canonical_url
+        for r in canonicalize_urls(df, "u").collect()
+    }
+    for i, (u, want) in enumerate(CANON_CASES):
+        assert out[i] == want, f"case {i}: {u}: {out[i]} != {want}"
+
+
+def test_duckdb_twins_cell_for_cell(spark):
+    """All three builders vs the engine over the union of every fixture
+    above (the module-owned-twin discipline)."""
+    rows = [
+        (i, b, h)
+        for i, (b, h, _) in enumerate(RESOLVE_CASES)
+    ] + [
+        (100 + i, u, "x.html")
+        for i, (u, _) in enumerate(CANON_CASES)
+    ]
+    df = spark.createDataFrame(rows, "id int, base string, href string")
+    eng = resolve_hrefs(df, "base", "href", "res")
+    eng = canonicalize_urls(eng, "base", "canon_base")
+    eng = canonicalize_urls(eng, "res", "canon_res")
+    got = {
+        r.id: (r.res, r.canon_base, r.canon_res) for r in eng.collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    res_sql = duckdb_resolve_hrefs_sql("base", "href")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""SELECT id, {res_sql} AS res,
+                  {duckdb_canonicalize_url_sql('base')} AS canon_base,
+                  {duckdb_canonicalize_url_sql(f'({res_sql})')} AS canon_res
+               FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+    # extraction twin
+    h = spark.createDataFrame([(HTML,)], "html string")
+    eng_l = h.select(extract_links("html").alias("l")).collect()[0].l
+    con.execute("CREATE TABLE p(html VARCHAR)")
+    con.execute("INSERT INTO p VALUES (?)", (HTML,))
+    orc_l = con.execute(
+        f"SELECT {duckdb_extract_links_sql('html')} FROM p"
+    ).fetchone()[0]
+    assert eng_l == orc_l
+
+
+def test_link_edges_end_to_end_and_dedup(spark):
+    df = spark.createDataFrame(
+        [(BASE, HTML), (BASE, HTML)],  # duplicate page -> same edges
+        "url string, html string",
+    )
+    edges = sorted(
+        (r.src, r.dst) for r in link_edges(df).collect()
+    )
+    src = "https://base.com/dir/sub/index.html?q=2"
+    assert edges == [
+        (src, "https://base.com/dir/sub/sub/d.html"),
+        (src, "https://base.com/dir/up/page"),
+        (src, "https://base.com/root.html"),
+        (src, "https://cdn.x.com/lib.js"),
+        (src, "https://x.com/a?b=1"),
+    ]
+    # dedup=False keeps the duplicate page's repeats
+    assert link_edges(df, dedup=False).count() == 10
+
+
+def test_all_jvm_and_plan_size_bound(spark):
+    """Zero Python nodes in the full pipeline, and the optimized-plan
+    size bound that pins the r13 expression-blowup regression: with the
+    multi-reference CASE templates this plan measured 28.5M characters
+    (129s to optimize, 108 MiB task binaries, driver OOM); the
+    single-reference regex design keeps it around 75k."""
+    df = spark.createDataFrame([(BASE, HTML)], "url string, html string")
+    e = link_edges(df)
+    phys = e._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "MapInPandas" not in phys
+    opt = e._jdf.queryExecution().optimizedPlan().toString()
+    assert len(opt) < 300_000, f"plan blew up again: {len(opt)} chars"
+
+
+def test_temp_column_clash_guards(spark):
+    df = spark.createDataFrame([(BASE, "x", 1)], "b string, h string, __lk_res0 int")
+    with pytest.raises(ValueError, match="temp columns"):
+        resolve_hrefs(df, "b", "h")
+    df2 = spark.createDataFrame([(BASE, 1)], "u string, __cu_rest int")
+    with pytest.raises(ValueError, match="temp columns"):
+        canonicalize_urls(df2, "u")
+
+
+# Dual-dialect HTML+href planting over the documents table — parsed
+# VERBATIM by Spark F.expr AND DuckDB (the _URL_PLANT_SQL discipline:
+# no backslashes, no apostrophes — double-quoted hrefs only; the
+# single-quote extractor keeps its unit fixtures above). PRE-STAGED for
+# a future swap: a declared `link_edges_docs` query would run this over
+# documents and oracle via the three builders — this twin test IS that
+# query at unit scale. Branches arm: absolute with port+utm (canon
+# work), root-relative, ../ relative, protocol-relative, and a
+# non-fetchable pair that must contribute NO edge.
+LINKS_PLANT_BASE_SQL = (
+    "'https://site' || CAST(doc_id % 20 AS STRING) || '.com/d'"
+    " || CAST(doc_id % 5 AS STRING) || '/sub/page'"
+    " || CAST(doc_id AS STRING) || '.html'"
+)
+LINKS_PLANT_HTML_SQL = """CASE doc_id % 5
+  WHEN 0 THEN '<p><a href="https://Hub.com:443/t?utm_source=x&v='
+       || CAST(doc_id AS STRING) || '">h</a></p>'
+  WHEN 1 THEN '<a href="/idx' || CAST(doc_id % 7 AS STRING)
+       || '.html">r</a><a href="#frag">n</a>'
+  WHEN 2 THEN '<a href="../up' || CAST(doc_id % 3 AS STRING)
+       || '/p.html">u</a>'
+  WHEN 3 THEN '<A HREF="//cdn.site' || CAST(doc_id % 20 AS STRING)
+       || '.com/lib.js">c</A>'
+  ELSE '<a href="mailto:x@y.z">m</a><a href="rel'
+       || CAST(doc_id % 4 AS STRING) || '.html">q</a>'
+END"""
+
+
+def test_link_edges_plant_dual_dialect_hash_exact(spark):
+    """The pre-staged declared-query shape: planted pages over the
+    documents table through the FULL chain (extract → resolve →
+    canonicalize × 2 → distinct), Spark vs the DuckDB replay composed
+    from the module's own three builders — cell for cell."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pages = docs.select(
+        F.expr(LINKS_PLANT_BASE_SQL).alias("url"),
+        F.expr(LINKS_PLANT_HTML_SQL).alias("html"),
+    )
+    got = sorted(
+        (r.src, r.dst) for r in link_edges(pages).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res_sql = duckdb_resolve_hrefs_sql("url", "raw")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH pages AS (
+                SELECT {LINKS_PLANT_BASE_SQL} AS url,
+                       {LINKS_PLANT_HTML_SQL} AS html
+                FROM documents
+            ),
+            hrefs AS (
+                SELECT url, unnest({duckdb_extract_links_sql('html')})
+                           AS raw
+                FROM pages
+            ),
+            res AS (
+                SELECT {duckdb_canonicalize_url_sql('url')} AS src,
+                       {duckdb_canonicalize_url_sql(f'({res_sql})')} AS dst
+                FROM hrefs
+            )
+            SELECT DISTINCT src, dst FROM res
+            WHERE src IS NOT NULL AND dst IS NOT NULL
+            """
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the non-fetchable branch contributed no mailto/frag edges
+    assert not any("mailto" in d or "#" in d for _, d in got)
