@@ -18,14 +18,20 @@ Spark-first shape, all JVM (zero Python):
    commented-out markup are still extracted (rare, and a link in a
    comment was a link once; documented, not hidden).
 2. **``resolve_hrefs``** — RFC-3986-lite reference resolution:
-   absolute refs pass through, ``//host/x`` adopts the base scheme,
-   ``/x`` joins the base origin, relative refs join the base DIRECTORY,
-   ``./`` segments strip and ``../`` segments collapse through a
-   BOUNDED pass chain applied to the after-authority tail only
+   absolute refs (ANCHORED scheme match — a redirect href like
+   ``/out?url=https://x.com`` merely *contains* ``://``) pass through,
+   ``//host/x`` adopts the base scheme, ``?page=2`` replaces the
+   base's query (RFC 3986 §5.3), ``/x`` joins the base origin,
+   relative refs join the base DIRECTORY, ``./`` segments strip and
+   ``../`` segments collapse through a BOUNDED pass chain
    (``_DOTDOT_PASSES`` levels — deeper chains conservatively keep the
-   residue rather than mis-resolve), and non-fetchable refs
-   (``javascript:``/``mailto:``/``tel:``/``data:`` schemes, pure
-   fragments, refs whose base is not an absolute URL) resolve to NULL.
+   residue rather than mis-resolve) applied to the resolved URL's PATH
+   only (never the authority, never path-like query values), with
+   terminal ``..``/``.`` resolving like ``../``/``./``. Non-fetchable
+   refs resolve to NULL: pure fragments, refs whose base is not an
+   absolute URL, and ANY scheme-bearing ref without ``://`` (mailto:,
+   javascript:, about:, data:, spotify:, ... — an allowlist would
+   fabricate relative edges for every scheme it forgot).
 3. **``canonicalize_urls``** — frontier/dedup normalization: fragment
    dropped, scheme + authority lowercased, default ports (``:80`` http,
    ``:443`` https) dropped, tracking parameters removed (``utm_*``
@@ -84,8 +90,13 @@ from pyspark.sql import functions as F
 HREF_DQ_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"'
 HREF_SQ_RE = r"(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"
 
-# Non-fetchable href schemes -> NULL at resolve time (lowercased match).
-_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+# Any scheme-bearing ref WITHOUT '://' (mailto:, javascript:, tel:,
+# data:, about:, spotify:, intent:, ...) is non-fetchable for an
+# http(s) crawl and resolves NULL — an allowlist of skip-schemes would
+# fabricate relative edges for every scheme it forgot ('about:blank' →
+# 'https://base.com/dir/about:blank'; r13 links review #3). Anchored,
+# backslash-free.
+SCHEME_COLON_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
 # Click-id / campaign query parameters dropped by canonicalize_urls.
 # utm_* is matched by prefix; these by exact (case-sensitive — trackers
@@ -118,6 +129,11 @@ _DOTDOT_PASSES = 4
 DOTDOT_RE = "/[^/]*[^./][^/]*/[.][.]/"
 DOT_SEG_RE = "/[.]/"
 _DOT_SEG_PASSES = 2  # adjacent '/././' needs a second pass
+# terminal (no trailing slash) forms, one pass each after the chains
+DOTDOT_END_RE = "/[^/]*[^./][^/]*/[.][.]$"
+DOT_END_RE = "/[.]$"
+# split a resolved tail into path vs query+fragment (group 1)
+TAIL_QF_RE = "([?#].*)"
 
 # basedir: the base's rest with query/fragment cut, then the trailing
 # segment cut — what a relative href joins onto
@@ -156,8 +172,8 @@ def extract_links(c: Column | str) -> Column:
 
 
 _LK_TEMPS = (
-    "__lk_scheme", "__lk_after", "__lk_auth", "__lk_dir",
-    "__lk_res0", "__lk_r_after", "__lk_tail",
+    "__lk_scheme", "__lk_after", "__lk_auth", "__lk_dir", "__lk_basenq",
+    "__lk_res0", "__lk_r_after", "__lk_tail0", "__lk_tail",
 )
 
 
@@ -195,34 +211,50 @@ def resolve_hrefs(
     d = d.withColumn(
         "__lk_dir", F.when(basedir == "", F.lit("/")).otherwise(basedir)
     )
-    lhref = F.lower(href)
-    skip = F.lit(False)
-    for s in _SKIP_SCHEMES:
-        skip = skip | lhref.startswith(s)
+    # base sans query/fragment — what a query-only ref ('?page=2')
+    # replaces the query OF, per RFC 3986 §5.3 (r13 links review #5)
+    d = d.withColumn(
+        "__lk_basenq", F.regexp_replace(base, BASEDIR_CUT_QF_RE, "")
+    )
     origin = F.concat(F.col("__lk_scheme"), F.lit("://"), F.col("__lk_auth"))
+    # absolute = ANCHORED scheme match, never contains('://') — a
+    # root-relative redirect href like '/out?url=https://x.com' contains
+    # '://' but is not absolute (r13 links review #1)
+    is_abs = F.regexp_extract(href, SCHEME_RE, 1) != ""
+    has_scheme_colon = F.regexp_extract(href, SCHEME_COLON_RE, 0) != ""
     res0 = (
-        F.when(href.isNull() | (href == "") | href.startswith("#") | skip,
+        F.when(href.isNull() | (href == "") | href.startswith("#"),
                F.lit(None).cast("string"))
+        .when(is_abs, href)
+        .when(has_scheme_colon, F.lit(None).cast("string"))
         .when(F.col("__lk_scheme") == "",  # base not absolute
-              F.when(href.contains("://"), href))
-        .when(href.contains("://"), href)
+              F.lit(None).cast("string"))
         .when(href.startswith("//"),
               F.concat(F.col("__lk_scheme"), F.lit(":"), href))
+        .when(href.startswith("?"), F.concat(F.col("__lk_basenq"), href))
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(origin, F.col("__lk_dir"), href))
     )
     d = d.withColumn("__lk_res0", res0)
-    # dot-segment collapse on the resolved url's after-authority tail
-    # ONLY — on the whole string '/seg/../' would match straight across
-    # the authority ('https://a.com/../x' -> 'https:/x'; RE2 has no
-    # lookbehind to anchor inside the path)
+    # dot-segment collapse on the resolved url's PATH only: on the whole
+    # string '/seg/../' would match straight across the authority
+    # ('https://a.com/../x' -> 'https:/x'; RE2 has no lookbehind), and
+    # on path+query it would rewrite path-like QUERY VALUES
+    # ('?next=/a/b/../c' -> '?next=/a/c'; r13 links review #2)
     d = d.withColumn("__lk_r_after", _after(F.col("__lk_res0")))
-    tail = _rest(F.col("__lk_r_after"))
+    d = d.withColumn("__lk_tail0", _rest(F.col("__lk_r_after")))
+    tpath = F.regexp_replace(F.col("__lk_tail0"), BASEDIR_CUT_QF_RE, "")
     for _ in range(_DOT_SEG_PASSES):
-        tail = F.regexp_replace(tail, DOT_SEG_RE, "/")
+        tpath = F.regexp_replace(tpath, DOT_SEG_RE, "/")
     for _ in range(_DOTDOT_PASSES):
-        tail = F.regexp_replace(tail, DOTDOT_RE, "/")
-    d = d.withColumn("__lk_tail", tail)
+        tpath = F.regexp_replace(tpath, DOTDOT_RE, "/")
+    # terminal '..' / '.' (no trailing slash) resolve like '../' / './'
+    # per RFC 3986 — without these a '<a href="..">' parent link gets a
+    # different canonical key than its '../' form (r13 links review #4)
+    tpath = F.regexp_replace(tpath, DOTDOT_END_RE, "/")
+    tpath = F.regexp_replace(tpath, DOT_END_RE, "/")
+    tqf = F.regexp_extract(F.col("__lk_tail0"), TAIL_QF_RE, 1)
+    d = d.withColumn("__lk_tail", F.concat(tpath, tqf))
     resolved = F.when(
         F.col("__lk_res0").isNotNull(),
         F.concat(
@@ -312,13 +344,24 @@ def link_edges(
     """Pages → canonical (src, dst) hyperlink edges: extract →
     explode → resolve → canonicalize both endpoints → drop NULL
     endpoints → (optionally) distinct."""
-    hrefs = pages.select(
-        F.col(url_col).alias("__lk_page"),
-        F.explode(extract_links(html_col)).alias("__lk_raw"),
+    # src canonicalizes BEFORE the explode: once per page, not once per
+    # extracted link (~100x less src-side regex work at the median
+    # links-per-page; r13 links review #6)
+    src_pages = canonicalize_urls(
+        pages.select(
+            F.col(url_col).alias("__lk_page"),
+            F.col(html_col).alias("__lk_html"),
+        ),
+        "__lk_page",
+        "src",
+    )
+    hrefs = src_pages.select(
+        "src",
+        "__lk_page",
+        F.explode(extract_links("__lk_html")).alias("__lk_raw"),
     )
     resolved = resolve_hrefs(hrefs, "__lk_page", "__lk_raw", "__lk_dst")
-    src = canonicalize_urls(resolved, "__lk_page", "src")
-    both = canonicalize_urls(src, "__lk_dst", "dst")
+    both = canonicalize_urls(resolved, "__lk_dst", "dst")
     out = both.select("src", "dst").filter(
         F.col("dst").isNotNull() & F.col("src").isNotNull()
     )
@@ -366,10 +409,10 @@ def _sql_rest(after: str) -> str:
 
 def duckdb_resolve_hrefs_sql(base_expr: str, href_expr: str) -> str:
     """DuckDB twin of :func:`resolve_hrefs`: same pattern constants,
-    same branch order, same pass counts, same prefix/tail split. The
-    engine's temp columns are inlined — single-reference derivations
-    keep even the inlined tree small (the plan-size contract's oracle
-    dividend)."""
+    same branch order, same pass counts, same prefix/path-only-tail
+    split. The engine's temp columns are inlined — single-reference
+    derivations keep even the inlined tree small (the plan-size
+    contract's oracle dividend)."""
     scheme = _sql_scheme(base_expr)
     after = _sql_after(base_expr)
     auth = _sql_auth(f"({after})")
@@ -382,37 +425,45 @@ def duckdb_resolve_hrefs_sql(base_expr: str, href_expr: str) -> str:
     basedir = (
         f"(CASE WHEN ({basedir}) = '' THEN '/' ELSE ({basedir}) END)"
     )
-    skip = " OR ".join(
-        f"substring(lower({href_expr}), 1, {len(s)}) = '{s}'"
-        for s in _SKIP_SCHEMES
+    basenq = (
+        f"regexp_replace({base_expr}, '{BASEDIR_CUT_QF_RE}', '', 'g')"
     )
     origin = f"(({scheme}) || '://' || ({auth}))"
     res0 = f"""CASE
         WHEN {href_expr} IS NULL OR {href_expr} = ''
-             OR substring({href_expr}, 1, 1) = '#' OR {skip}
+             OR substring({href_expr}, 1, 1) = '#'
             THEN CAST(NULL AS VARCHAR)
-        WHEN ({scheme}) = ''
-            THEN (CASE WHEN instr({href_expr}, '://') > 0
-                       THEN {href_expr} END)
-        WHEN instr({href_expr}, '://') > 0 THEN {href_expr}
+        WHEN regexp_extract({href_expr}, '{SCHEME_RE}', 1) <> ''
+            THEN {href_expr}
+        WHEN regexp_extract({href_expr}, '{SCHEME_COLON_RE}', 0) <> ''
+            THEN CAST(NULL AS VARCHAR)
+        WHEN ({scheme}) = '' THEN CAST(NULL AS VARCHAR)
         WHEN substring({href_expr}, 1, 2) = '//'
             THEN ({scheme}) || ':' || {href_expr}
+        WHEN substring({href_expr}, 1, 1) = '?'
+            THEN ({basenq}) || {href_expr}
         WHEN substring({href_expr}, 1, 1) = '/'
             THEN {origin} || {href_expr}
         ELSE {origin} || {basedir} || {href_expr}
     END"""
     r_after = f"({_sql_after(f'({res0})')})"
-    tail = f"({_sql_rest(r_after)})"
+    tail0 = f"({_sql_rest(r_after)})"
+    tpath = (
+        f"regexp_replace({tail0}, '{BASEDIR_CUT_QF_RE}', '', 'g')"
+    )
     for _ in range(_DOT_SEG_PASSES):
-        tail = f"regexp_replace({tail}, '{DOT_SEG_RE}', '/', 'g')"
+        tpath = f"regexp_replace({tpath}, '{DOT_SEG_RE}', '/', 'g')"
     for _ in range(_DOTDOT_PASSES):
-        tail = f"regexp_replace({tail}, '{DOTDOT_RE}', '/', 'g')"
+        tpath = f"regexp_replace({tpath}, '{DOTDOT_RE}', '/', 'g')"
+    tpath = f"regexp_replace({tpath}, '{DOTDOT_END_RE}', '/', 'g')"
+    tpath = f"regexp_replace({tpath}, '{DOT_END_RE}', '/', 'g')"
+    tqf = f"regexp_extract({tail0}, '{TAIL_QF_RE}', 1)"
     prefix = (
         f"({_sql_scheme(f'({res0})')}) || '://' || ({_sql_auth(r_after)})"
     )
     return (
         f"CASE WHEN ({res0}) IS NOT NULL"
-        f" THEN ({prefix}) || ({tail}) END"
+        f" THEN ({prefix}) || ({tpath}) || ({tqf}) END"
     )
 
 

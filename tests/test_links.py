@@ -79,6 +79,27 @@ RESOLVE_CASES = [
     (BASE, "https://a.com/p/../q", "https://a.com/q"),
     # ...but never across the authority (the prefix/tail split)
     (BASE, "https://a.com/../q", "https://a.com/../q"),
+    # r13 links review #1: contains('://') is NOT absoluteness — the
+    # ubiquitous outbound-redirect href resolves against the base
+    (BASE, "/out?url=https://x.com", "https://Base.com/out?url=https://x.com"),
+    (BASE, "go?to=https://x.com",
+     "https://Base.com/dir/sub/go?to=https://x.com"),
+    # r13 links review #2: dot-collapse never rewrites path-like QUERY
+    # values (RFC 3986 limits dot-segment removal to the path)
+    (BASE, "/p?path=/a/b/../c", "https://Base.com/p?path=/a/b/../c"),
+    # r13 links review #3: any scheme-bearing ref without '://' is
+    # non-fetchable, not a relative path
+    (BASE, "about:blank", None),
+    (BASE, "spotify:track:xyz", None),
+    (BASE, "tel:+1-555", None),
+    # r13 links review #4: terminal '..' / '.' resolve like '../' / './'
+    (BASE, "..", "https://Base.com/dir/"),
+    (BASE, ".", "https://Base.com/dir/sub/"),
+    (BASE, "../", "https://Base.com/dir/"),
+    (BASE, "./", "https://Base.com/dir/sub/"),
+    # r13 links review #5: query-only refs replace the base's QUERY,
+    # keeping its full path (RFC 3986 section 5.3)
+    (BASE, "?q=3", "https://Base.com/dir/sub/index.html?q=3"),
 ]
 
 
