@@ -306,3 +306,55 @@ def test_link_edges_plant_dual_dialect_hash_exact(spark):
     assert got == want
     # the non-fetchable branch contributed no mailto/frag edges
     assert not any("mailto" in d or "#" in d for _, d in got)
+
+
+def test_domain_edges_and_crawl_pagerank_composition(spark):
+    """The crawl→graph bridge end to end: planted pages → link_edges →
+    registered-domain rollup (intra-domain self-loops dropped, weights
+    summed) → WEIGHTED pagerank from the graph tier. Pins the
+    composition contract (domain_edges' output shape is pagerank's
+    weighted-input shape) and the rank ordering a hub/authority plant
+    implies."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        domain_edges,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
+        pagerank,
+    )
+
+    def page(site: int, links: list[str]) -> tuple[str, str]:
+        html = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"https://site{site}.com/index.html", html)
+
+    pages = spark.createDataFrame(
+        [
+            # sites 1-3 all endorse hub.com; hub endorses site1 only;
+            # intra-domain navigation must not count
+            page(1, ["https://hub.com/a", "/nav", "about.html"]),
+            page(2, ["https://hub.com/a", "https://hub.com/b"]),
+            page(3, ["https://hub.com/a?utm_source=x"]),
+            (
+                "https://hub.com/index.html",
+                '<a href="https://site1.com/x">o</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    de = {(r.src, r.dst): r.n_links for r in domain_edges(pages).collect()}
+    assert de == {
+        ("site1.com", "hub.com"): 1,
+        ("site2.com", "hub.com"): 2,  # weights sum, no URL dedup
+        ("site3.com", "hub.com"): 1,
+        ("hub.com", "site1.com"): 1,
+    }
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(
+            domain_edges(pages), weight_col="n_links", iterations=3
+        ).collect()
+    }
+    assert set(ranks) == {"hub.com", "site1.com", "site2.com", "site3.com"}
+    # the hub out-ranks everyone; its sole endorsee out-ranks the
+    # endorsers it never links back to
+    assert ranks["hub.com"] > ranks["site1.com"] > ranks["site2.com"]
+    assert ranks["site2.com"] == ranks["site3.com"]
