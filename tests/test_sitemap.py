@@ -1,0 +1,149 @@
+"""Sitemap XML parsing (functions/sitemap): hand-written expectations
+over realistic pretty-printed documents — CRUCIALLY including the
+optional-field misalignment case (an entry missing lastmod between two
+that have it) that parallel whole-document field arrays would get
+wrong — sitemap-index detection, malformed-field behavior, the DuckDB
+twin cell-for-cell from the module's own builder, the frontier
+composition (canonicalize + robots prune), and the all-JVM plan pin."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.sitemap import (
+    duckdb_parse_sitemap_sql,
+    parse_sitemap,
+    sitemap_frontier,
+)
+
+# pretty-printed, entry 2 omits lastmod/changefreq/priority, entry 3
+# omits loc; priority '0.8' casts, 'high' does not
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>
+      https://a.com/page1
+    </loc>
+    <lastmod>2024-01-05</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url>
+    <loc>https://a.com/page2</loc>
+  </url>
+  <url>
+    <lastmod>2024-02-01</lastmod>
+  </url>
+  <url>
+    <loc>https://a.com/page3</loc>
+    <priority>high</priority>
+  </url>
+</urlset>
+"""
+
+INDEX_XML = """<sitemapindex>
+  <sitemap>
+    <loc>https://a.com/sitemap-1.xml.gz</loc>
+    <lastmod>2024-03-01</lastmod>
+  </sitemap>
+  <sitemap><loc>https://a.com/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [("s", SITEMAP_XML), ("i", INDEX_XML)], "doc_id string, xml string"
+    )
+
+
+def test_parse_hand_written(spark):
+    rows = {
+        (r.doc_id, r.kind, r.entry_idx): r
+        for r in parse_sitemap(_docs(spark), keep_cols=("doc_id",)).collect()
+    }
+    e0 = rows[("s", "url", 0)]
+    # surrounding whitespace/newlines trim away
+    assert e0.loc == "https://a.com/page1"
+    assert e0.lastmod == "2024-01-05"
+    assert e0.changefreq == "daily" and e0.priority == 0.8
+    # THE alignment case: entry 1 has only loc; its optional fields are
+    # NULL, not entry 2's values
+    e1 = rows[("s", "url", 1)]
+    assert e1.loc == "https://a.com/page2"
+    assert e1.lastmod is None and e1.changefreq is None
+    # loc-less entry survives as a NULL-loc row (prunable, not an error)
+    e2 = rows[("s", "url", 2)]
+    assert e2.loc is None and e2.lastmod == "2024-02-01"
+    # malformed priority -> NULL double
+    assert rows[("s", "url", 3)].priority is None
+    # index entries come out as kind='sitemap'
+    assert rows[("i", "sitemap", 0)].loc == "https://a.com/sitemap-1.xml.gz"
+    assert rows[("i", "sitemap", 1)].lastmod is None
+    # no cross-kind leakage
+    assert ("i", "url", 0) not in rows
+    assert ("s", "sitemap", 0) not in rows
+
+
+def test_duckdb_twin_cell_for_cell(spark):
+    got = (
+        parse_sitemap(_docs(spark), keep_cols=("doc_id",))
+        .orderBy("doc_id", "kind", "entry_idx")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id VARCHAR, xml VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [("s", SITEMAP_XML), ("i", INDEX_XML)],
+    )
+    want = con.execute(
+        duckdb_parse_sitemap_sql(keep_cols=("doc_id",))
+        + " ORDER BY doc_id, kind, entry_idx"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    assert got.astype(str).equals(want.astype(str))
+
+
+def test_frontier_composition_with_robots(spark):
+    """parse → canonicalize → distinct → robots prune: the seed list a
+    fetch stage consumes. Uses UN-canonical locs (uppercase host, utm
+    params, duplicates) and a robots table blocking one path."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        parse_robots,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://A.com/keep?utm_source=x</loc></url>"
+        "<url><loc>https://a.com/keep</loc></url>"  # dup after canon
+        "<url><loc>https://a.com/private/x</loc></url>"
+        "<url><loc>not a url</loc></url>"
+        "</urlset>"
+    )
+    docs = spark.createDataFrame([(xml,)], "xml string")
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/")],
+            "domain string, robots_txt string",
+        )
+    )
+    got = sorted(
+        r.url for r in sitemap_frontier(docs, rules=rules).collect()
+    )
+    assert got == ["https://a.com/keep"]
+    # without rules, the blocked URL stays; the non-URL loc never enters
+    got2 = sorted(r.url for r in sitemap_frontier(docs).collect())
+    assert got2 == ["https://a.com/keep", "https://a.com/private/x"]
+
+
+def test_parse_plan_is_all_jvm(spark):
+    plan = (
+        parse_sitemap(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "MapInPandas" not in plan
