@@ -45,7 +45,7 @@ expectations live in ``tests/test_sitemap.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # whole-entry blocks; (?is) both dialects; lazy body; '<url>' (exact,
@@ -59,11 +59,10 @@ CHANGEFREQ_RE = "(?is)<changefreq\\s*>([^<]*)</changefreq>"
 PRIORITY_RE = "(?is)<priority\\s*>([^<]*)</priority>"
 
 # field-value trim: plain trim() strips SPACES only in both engines —
-# pretty-printed sitemaps wrap <loc> values in newlines+indent. The
-# character classes below contain the literal whitespace characters
-# (no escapes), so they embed verbatim in both dialects.
-WS_LEAD_RE = "^[ \t\r\n]+"
-WS_TRAIL_RE = "[ \t\r\n]+$"
+# pretty-printed sitemaps wrap <loc> values in newlines+indent. Same
+# btrim(chars) approach as functions/normalize (its _TRIM_CHARS plus
+# carriage return: sitemaps are fetched bytes, CRLF survives).
+_TRIM_CHARS = " \t\n\r"
 
 _FIELDS = (
     ("loc", LOC_RE),
@@ -71,6 +70,28 @@ _FIELDS = (
     ("changefreq", CHANGEFREQ_RE),
     ("priority", PRIORITY_RE),
 )
+
+_SM_RESERVED = (
+    "kind", "entry_idx", "__sm_urls", "__sm_maps", "__sm_nu",
+    "__sm_pos", "__sm_block",
+)
+
+
+def _field_value(block: Column, pat: str) -> Column:
+    """extract → whitespace-trim → named-entity decode → '' becomes
+    NULL. Entity decode reuses functions/html's ordered ENTITY_REPLACES
+    (&amp; LAST for double-escape correctness): sitemaps.org REQUIRES
+    entity-escaping of data values, so every multi-parameter URL
+    arrives as '...?a=1&amp;b=2' — skipping the decode corrupts the
+    loc the fetch stage requests (r13 sitemap review #1)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        ENTITY_REPLACES,
+    )
+
+    out = F.btrim(F.regexp_extract(block, pat, 1), F.lit(_TRIM_CHARS))
+    for search, repl in ENTITY_REPLACES:
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return F.nullif(out, F.lit(""))
 
 
 def parse_sitemap(
@@ -81,37 +102,53 @@ def parse_sitemap(
     through, e.g. the fetch URL for provenance). ``entry_idx`` is the
     entry's position within its document and kind — with a carried
     document key it is a stable row id (the robots ``row_id_col``
-    pattern)."""
-    carried = [F.col(c) for c in keep_cols]
-    parts = []
-    for kind, block_re in (("url", URL_BLOCK_RE), ("sitemap", SITEMAP_BLOCK_RE)):
-        blocks = docs.select(
-            *carried,
-            F.lit(kind).alias("kind"),
-            F.posexplode(
-                F.regexp_extract_all(F.col(xml_col), F.lit(block_re), 1)
-            ).alias("entry_idx", "__sm_block"),
+    pattern). ONE scan of the source: both block arrays extract in the
+    same projection and a single posexplode walks their concatenation,
+    with kind/entry_idx derived from the position against the url-array
+    length (two per-kind passes would regex-scan every XML body twice;
+    r13 sitemap review #4)."""
+    clash = [
+        c for c in _SM_RESERVED if c in keep_cols or c == xml_col
+    ]
+    if clash:
+        raise ValueError(
+            f"parse_sitemap uses reserved columns {clash}; rename the "
+            "existing column(s) first"
         )
-        fields = [
-            F.nullif(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_extract("__sm_block", pat, 1),
-                        WS_LEAD_RE,
-                        "",
-                    ),
-                    WS_TRAIL_RE,
-                    "",
-                ),
-                F.lit(""),
-            ).alias(name)
+    carried = [F.col(c) for c in keep_cols]
+    arrays = docs.select(
+        *carried,
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(URL_BLOCK_RE), 1
+        ).alias("__sm_urls"),
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(SITEMAP_BLOCK_RE), 1
+        ).alias("__sm_maps"),
+    )
+    exploded = arrays.select(
+        *keep_cols,
+        F.size("__sm_urls").alias("__sm_nu"),
+        F.posexplode(F.concat("__sm_urls", "__sm_maps")).alias(
+            "__sm_pos", "__sm_block"
+        ),
+    )
+    is_url = F.col("__sm_pos") < F.col("__sm_nu")
+    return exploded.select(
+        *keep_cols,
+        F.when(is_url, F.lit("url")).otherwise(F.lit("sitemap")).alias("kind"),
+        F.when(is_url, F.col("__sm_pos"))
+        .otherwise(F.col("__sm_pos") - F.col("__sm_nu"))
+        .alias("entry_idx"),
+        *[
+            _field_value(F.col("__sm_block"), pat).alias(name)
             for name, pat in _FIELDS
-        ]
-        parts.append(blocks.select(*keep_cols, "kind", "entry_idx", *fields))
-    out = parts[0].unionByName(parts[1])
-    # try_cast: malformed priorities ('high') are NULL, not ANSI errors
-    return out.withColumn(
-        "priority", F.col("priority").try_cast("double")
+            if name != "priority"
+        ],
+        # try_cast: malformed priorities ('high') are NULL, never ANSI
+        # errors
+        _field_value(F.col("__sm_block"), PRIORITY_RE)
+        .try_cast("double")
+        .alias("priority"),
     )
 
 
@@ -160,29 +197,51 @@ def duckdb_parse_sitemap_sql(
     position arithmetic, matching ``posexplode``), same per-block field
     extraction, same trim/nullif/double-cast. Returns a full SELECT
     over ``docs_relation``."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        ENTITY_REPLACES,
+    )
+
     keep = "".join(f"{c}, " for c in keep_cols)
-    selects = []
-    for kind, block_re in (("url", URL_BLOCK_RE), ("sitemap", SITEMAP_BLOCK_RE)):
-        selects.append(f"""
-            SELECT {keep}'{kind}' AS kind,
-                   unnest(generate_series(0,
-                       len(regexp_extract_all({xml_expr},
-                           '{block_re}', 1)) - 1)) AS entry_idx,
-                   unnest(regexp_extract_all({xml_expr},
-                       '{block_re}', 1)) AS block
-            FROM {docs_relation}
-        """)
+    # _TRIM_CHARS rendered via chr() so the SQL string stays one-line
+    # ASCII (the functions/normalize twin convention)
+    trim_chars = "concat(' ', chr(9), chr(10), chr(13))"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def field(pat: str, alias: str) -> str:
+        v = (
+            f"trim(regexp_extract(block, '{pat}', 1), {trim_chars})"
+        )
+        for search, repl in ENTITY_REPLACES:
+            v = f"replace({v}, {lit(search)}, {lit(repl)})"
+        return f"nullif({v}, '') AS {alias}"
+
     field_sql = ",\n               ".join(
-        f"nullif(regexp_replace(regexp_replace("
-        f"regexp_extract(block, '{pat}', 1),"
-        f" '{WS_LEAD_RE}', '', 'g'), '{WS_TRAIL_RE}', '', 'g'), '')"
-        f" AS {'__p_raw' if name == 'priority' else name}"
+        field(pat, "__p_raw" if name == "priority" else name)
         for name, pat in _FIELDS
     )
     return f"""
-        WITH blocks AS ({selects[0]} UNION ALL {selects[1]}),
+        WITH arrays AS (
+            SELECT {keep}
+                   regexp_extract_all({xml_expr}, '{URL_BLOCK_RE}', 1)
+                       AS u,
+                   regexp_extract_all({xml_expr}, '{SITEMAP_BLOCK_RE}', 1)
+                       AS m
+            FROM {docs_relation}
+        ),
+        blocks AS (
+            SELECT {keep}len(u) AS nu,
+                   unnest(generate_series(0, len(u) + len(m) - 1)) AS pos,
+                   unnest(list_concat(u, m)) AS block
+            FROM arrays
+        ),
         extracted AS (
-            SELECT {keep}kind, entry_idx,
+            SELECT {keep}
+                   CASE WHEN pos < nu THEN 'url' ELSE 'sitemap' END
+                       AS kind,
+                   CAST(CASE WHEN pos < nu THEN pos ELSE pos - nu END
+                        AS INTEGER) AS entry_idx,
                {field_sql}
             FROM blocks
         )

@@ -51,10 +51,23 @@ INDEX_XML = """<sitemapindex>
 </sitemapindex>
 """
 
+# sitemaps.org REQUIRES entity-escaping of data values: the canonical
+# encoding of a two-parameter URL carries &amp;, and a double-escape
+# must decode exactly once (&amp;amp; -> the text &amp;)
+ENTITY_XML = (
+    "<urlset><url>"
+    "<loc>https://a.com/p?a=1&amp;b=2</loc>"
+    "</url><url>"
+    "<loc>https://a.com/q?x=&amp;amp;</loc>"
+    "</url></urlset>"
+)
+
 
 def _docs(spark):
     return spark.createDataFrame(
-        [("s", SITEMAP_XML), ("i", INDEX_XML)], "doc_id string, xml string"
+        [("s", SITEMAP_XML), ("i", INDEX_XML), ("e", ENTITY_XML),
+         ("n", None)],
+        "doc_id string, xml string",
     )
 
 
@@ -84,6 +97,30 @@ def test_parse_hand_written(spark):
     # no cross-kind leakage
     assert ("i", "url", 0) not in rows
     assert ("s", "sitemap", 0) not in rows
+    # entity decode, exactly once (r13 sitemap review #1: &amp; is the
+    # REQUIRED encoding of '&' in a loc; &amp;amp; decodes to '&amp;')
+    assert rows[("e", "url", 0)].loc == "https://a.com/p?a=1&b=2"
+    assert rows[("e", "url", 1)].loc == "https://a.com/q?x=&amp;"
+    # NULL xml contributes zero rows (posexplode drops NULL arrays)
+    assert not any(k[0] == "n" for k in rows)
+
+
+def test_clash_guard_and_single_scan(spark):
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="reserved columns"):
+        parse_sitemap(docs.withColumnRenamed("doc_id", "kind"),
+                      keep_cols=("kind",))
+    # ONE scan of the source (r13 sitemap review #4: the per-kind union
+    # regex-scanned every XML body twice)
+    plan = (
+        parse_sitemap(docs, keep_cols=("doc_id",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
 
 
 def test_duckdb_twin_cell_for_cell(spark):
@@ -96,7 +133,8 @@ def test_duckdb_twin_cell_for_cell(spark):
     con.execute("CREATE TABLE docs(doc_id VARCHAR, xml VARCHAR)")
     con.executemany(
         "INSERT INTO docs VALUES (?, ?)",
-        [("s", SITEMAP_XML), ("i", INDEX_XML)],
+        [("s", SITEMAP_XML), ("i", INDEX_XML), ("e", ENTITY_XML),
+         ("n", None)],
     )
     want = con.execute(
         duckdb_parse_sitemap_sql(keep_cols=("doc_id",))
