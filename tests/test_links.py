@@ -358,3 +358,94 @@ def test_domain_edges_and_crawl_pagerank_composition(spark):
     # endorsers it never links back to
     assert ranks["hub.com"] > ranks["site1.com"] > ranks["site2.com"]
     assert ranks["site2.com"] == ranks["site3.com"]
+
+
+# ---- properties: dialect parity + frontier-key idempotence ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Fragments recombining into every hazardous URL shape the resolution
+# and canonicalization patterns can meet: scheme case variants, ports,
+# dot-segments (terminal and nested), query/fragment splits, embedded
+# absolute URLs, scheme-colon refs, empty/degenerate pieces.
+_BASE_FRAGMENTS = [
+    "https://", "HTTP://", "ftp://", "", "a.com", "A.com:443",
+    "b.org:80", "/dir", "/sub", "/index.html", "?q=1", "#f",
+    "not a url", ".", "//",
+]
+_HREF_FRAGMENTS = [
+    "https://x.com", "HTTPS://Y.com:443", "//cdn.com", "/p", "p",
+    "./", "../", "..", ".", "?x=1&utm_source=y", "?url=https://e.com",
+    "#f", "mailto:", "a:b", "about:blank", "://", "&", "=", "",
+    "/a//b", "/x/../y", "x.html",
+]
+
+_pairs = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_BASE_FRAGMENTS), max_size=5).map("".join),
+        st.lists(st.sampled_from(_HREF_FRAGMENTS), max_size=5).map("".join),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=_pairs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_links_dialect_parity_property(spark, pairs):
+    """For any recombination of hazardous URL fragments, Spark's
+    resolve + canonicalize equal the DuckDB builders cell-for-cell —
+    hunting Java-regex-vs-RE2 and branch-order divergences the hand
+    fixtures can't enumerate. One Spark job + one DuckDB query per
+    example (the batched-rows cost discipline)."""
+    rows = [(i, b, h) for i, (b, h) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, base string, href string")
+    eng = canonicalize_urls(
+        resolve_hrefs(df, "base", "href", "res"), "res", "canon"
+    )
+    got = {r.id: (r.res, r.canon) for r in eng.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    res_sql = duckdb_resolve_hrefs_sql("base", "href")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT id, {res_sql},"
+            f" {duckdb_canonicalize_url_sql(f'({res_sql})')} FROM t"
+        ).fetchall()
+    }
+    for i, b, h in rows:
+        assert got[i] == want[i], (repr(b), repr(h), got[i], want[i])
+
+
+@given(pairs=_pairs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_canonicalize_idempotence_property(spark, pairs):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for any
+    resolvable input — THE frontier-key property: a canonical URL seen
+    again (e.g. re-extracted from a crawl of itself) must map to the
+    same key, or frontier dedup leaks refetches."""
+    rows = [(i, b, h) for i, (b, h) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, base string, href string")
+    once = canonicalize_urls(
+        resolve_hrefs(df, "base", "href", "res"), "res", "c1"
+    )
+    twice = canonicalize_urls(once, "c1", "c2")
+    for r in twice.collect():
+        assert r.c2 == r.c1, (r.id, repr(r.c1), repr(r.c2))

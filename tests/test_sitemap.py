@@ -185,3 +185,56 @@ def test_parse_plan_is_all_jvm(spark):
         .toString()
     )
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+# ---- property: dialect parity over adversarial XML fragments ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_XML_FRAGMENTS = [
+    "<url>", "</url>", "<sitemap>", "</sitemap>", "<urlset>",
+    "</urlset>", "<loc>", "</loc>", "<lastmod>", "</lastmod>",
+    "<priority>", "</priority>", "<changefreq>", "</changefreq>",
+    "https://a.com/p?x=1&amp;y=2", "2024-01-05", "0.8", "high",
+    "daily", "&amp;amp;", "&lt;", " ", "\n  ", "<", ">", "text",
+    "<url >", "<loc >",
+]
+
+_xml_docs = st.lists(
+    st.lists(st.sampled_from(_XML_FRAGMENTS), max_size=16).map("".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_xml_docs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_parse_sitemap_dialect_parity_property(spark, docs):
+    """For any recombination of sitemap-ish fragments (nested/unclosed
+    tags, entity escapes, whitespace padding, malformed priorities),
+    Spark's parse equals the DuckDB builder cell-for-cell."""
+    rows = [(str(i), x) for i, x in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, xml string")
+    got = (
+        parse_sitemap(df, keep_cols=("doc_id",))
+        .orderBy("doc_id", "kind", "entry_idx")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id VARCHAR, xml VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = con.execute(
+        duckdb_parse_sitemap_sql(keep_cols=("doc_id",))
+        + " ORDER BY doc_id, kind, entry_idx"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    assert got.astype(str).equals(want.astype(str))
