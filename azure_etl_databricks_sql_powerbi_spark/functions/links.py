@@ -415,6 +415,42 @@ def domain_edges(
     return out.localCheckpoint(eager=False) if materialize else out
 
 
+def warc_link_edges(
+    spark,
+    path: str,
+    connector: str = "paths",
+    domain_level: bool = False,
+):
+    """The WAT pass: WARC archives → web-graph edges. Composes
+    ``sources/warc.read_warc`` (HTTP responses, HTML Content-Type only
+    — the ``warc_html_corpus`` prune) with :func:`link_edges` over the
+    RAW markup (links extract from markup; ``html_to_text`` would
+    destroy them), base = the record's ``WARC-Target-URI``.
+    ``domain_level=True`` returns :func:`domain_edges`' weighted
+    registered-domain rollup instead of per-URL pairs — the shape the
+    graph tier consumes directly. ``connector="paths"`` is the 100 TB
+    default (no 2 GB shard ceiling, ~1 record of task memory)."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        read_warc,
+        read_warc_paths,
+    )
+
+    if connector not in ("binary", "paths"):
+        raise ValueError(f"unknown connector {connector!r}")
+    reader = read_warc_paths if connector == "paths" else read_warc
+    pages = (
+        reader(spark, path, http_only=True)
+        .filter(F.lower("http_content_type").contains("html"))
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("body_text").alias("html"),
+        )
+    )
+    if domain_level:
+        return domain_edges(pages)
+    return link_edges(pages)
+
+
 # ---------------------------------------------------------------- oracle
 # Builders compose the SAME pattern constants; DuckDB regexp_replace
 # needs the explicit 'g' flag (harmless on the anchored patterns).

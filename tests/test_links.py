@@ -449,3 +449,76 @@ def test_canonicalize_idempotence_property(spark, pairs):
     twice = canonicalize_urls(once, "c1", "c2")
     for r in twice.collect():
         assert r.c2 == r.c1, (r.id, repr(r.c1), repr(r.c2))
+
+
+def test_warc_link_edges_end_to_end(spark, tmp_path):
+    """The WAT pass: a member-per-record gzip WARC shard with linked
+    HTML pages → warc_link_edges → (src, dst) canonical pairs, both
+    connectors row-identical; domain_level returns the weighted rollup.
+    Links extract from the RAW markup (a relative href, an absolute
+    one with tracking params, a mailto that must vanish); the
+    text/plain response and the request record contribute nothing."""
+    import gzip
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        warc_link_edges,
+    )
+
+    def record(uri: str, rec_id: str, body: bytes, ctype: bytes) -> bytes:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
+            + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    shard = tmp_path / "crawl-0.warc.gz"
+    with open(shard, "wb") as fh:
+        fh.write(gzip.compress(record(
+            "https://Site1.com/dir/index.html", "r-1",
+            b'<a href="next.html">n</a>'
+            b'<a href="https://Hub.com:443/x?utm_source=s&k=1">h</a>'
+            b'<a href="mailto:a@b.c">m</a>',
+            b"text/html",
+        )))
+        fh.write(gzip.compress(record(
+            "https://site2.com/p", "r-2",
+            b'<a href="//hub.com/y">p</a>', b"text/html; charset=utf-8",
+        )))
+        fh.write(gzip.compress(record(
+            "https://site3.com/t", "r-3",
+            b'<a href="https://nowhere.com/z">z</a>', b"text/plain",
+        )))
+
+    want = [
+        ("https://site1.com/dir/index.html", "https://hub.com/x?k=1"),
+        ("https://site1.com/dir/index.html",
+         "https://site1.com/dir/next.html"),
+        ("https://site2.com/p", "https://hub.com/y"),
+    ]
+    for connector in ("paths", "binary"):
+        got = sorted(
+            (r.src, r.dst)
+            for r in warc_link_edges(
+                spark, str(tmp_path), connector=connector
+            ).collect()
+        )
+        assert got == want, connector
+
+    dom = {
+        (r.src, r.dst): r.n_links
+        for r in warc_link_edges(
+            spark, str(tmp_path), domain_level=True
+        ).collect()
+    }
+    # site1's self-link drops (intra-domain), both hub links survive
+    assert dom == {
+        ("site1.com", "hub.com"): 1,
+        ("site2.com", "hub.com"): 1,
+    }
