@@ -81,7 +81,7 @@ order differently and are excluded from planted oracles); unquoted
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # href extraction: double-quoted then single-quoted <a> targets. The
@@ -335,6 +335,27 @@ def canonicalize_urls(
     return d.drop(*_CU_TEMPS)
 
 
+def decode_href_entities(c: Column | str) -> Column:
+    """Markup-extracted hrefs carry HTML entity escapes — '&amp;' is
+    the REQUIRED encoding of '&' inside an attribute value, so every
+    spec-compliant multi-parameter link arrives escaped. Decode through
+    functions/html's ordered ENTITY_REPLACES ('&amp;' LAST: a
+    double-escape decodes exactly once) before resolution, or the same
+    URL seen escaped (markup) and unescaped (a crawl target_uri)
+    canonicalizes to two different frontier keys (r13 WAT review #1).
+    :func:`resolve_hrefs` expects ALREADY-DECODED refs; :func:`link_edges`
+    applies this automatically — inside a ``transform`` lambda over the
+    href array, see the plan-size note there."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        ENTITY_REPLACES,
+    )
+
+    out = F.col(c) if isinstance(c, str) else c
+    for search, repl in ENTITY_REPLACES:
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return out
+
+
 def link_edges(
     pages: DataFrame,
     url_col: str = "url",
@@ -342,8 +363,8 @@ def link_edges(
     dedup: bool = True,
 ) -> DataFrame:
     """Pages → canonical (src, dst) hyperlink edges: extract →
-    explode → resolve → canonicalize both endpoints → drop NULL
-    endpoints → (optionally) distinct."""
+    explode → entity-decode → resolve → canonicalize both endpoints →
+    drop NULL endpoints → (optionally) distinct."""
     # src canonicalizes BEFORE the explode: once per page, not once per
     # extracted link (~100x less src-side regex work at the median
     # links-per-page; r13 links review #6)
@@ -355,10 +376,19 @@ def link_edges(
         "__lk_page",
         "src",
     )
+    # entity decode runs INSIDE a transform lambda over the href array:
+    # lambda bodies are opaque to projection collapse, so the exploded
+    # href stays an ATTRIBUTE downstream. Decoding on a post-explode
+    # computed column re-triggered the plan blowup this module was
+    # rebuilt around — resolve's CASE references its href ~14×, and
+    # each reference copied the 7-replace chain (67 MiB task binaries,
+    # session OOM; the r13 WAT review's fix, fixed twice).
     hrefs = src_pages.select(
         "src",
         "__lk_page",
-        F.explode(extract_links("__lk_html")).alias("__lk_raw"),
+        F.explode(
+            F.transform(extract_links("__lk_html"), decode_href_entities)
+        ).alias("__lk_raw"),
     )
     resolved = resolve_hrefs(hrefs, "__lk_page", "__lk_raw", "__lk_dst")
     both = canonicalize_urls(resolved, "__lk_dst", "dst")
@@ -416,39 +446,42 @@ def domain_edges(
 
 
 def warc_link_edges(
-    spark,
+    spark: SparkSession,
     path: str,
     connector: str = "paths",
     domain_level: bool = False,
-):
+    dedup: bool = True,
+    keep_self_loops: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
     """The WAT pass: WARC archives → web-graph edges. Composes
-    ``sources/warc.read_warc`` (HTTP responses, HTML Content-Type only
-    — the ``warc_html_corpus`` prune) with :func:`link_edges` over the
-    RAW markup (links extract from markup; ``html_to_text`` would
-    destroy them), base = the record's ``WARC-Target-URI``.
-    ``domain_level=True`` returns :func:`domain_edges`' weighted
-    registered-domain rollup instead of per-URL pairs — the shape the
-    graph tier consumes directly. ``connector="paths"`` is the 100 TB
-    default (no 2 GB shard ceiling, ~1 record of task memory)."""
+    ``sources/warc.warc_html_pages`` (the shared connector dispatch +
+    HTML prune — one definition with ``warc_html_corpus``) with
+    :func:`link_edges` over the RAW markup (links extract from markup;
+    ``html_to_text`` would destroy them), base = the record's
+    ``WARC-Target-URI``. ``domain_level=True`` returns
+    :func:`domain_edges`' weighted registered-domain rollup instead of
+    per-URL pairs — the shape the graph tier consumes directly
+    (``keep_self_loops``/``materialize`` forward to it; pass
+    ``materialize=False`` when writing the rollup straight to parquet,
+    per its docstring); ``dedup`` forwards to :func:`link_edges`.
+    ``connector="paths"`` is the 100 TB default (no 2 GB shard ceiling,
+    ~1 record of task memory)."""
     from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
-        read_warc,
-        read_warc_paths,
+        warc_html_pages,
     )
 
-    if connector not in ("binary", "paths"):
-        raise ValueError(f"unknown connector {connector!r}")
-    reader = read_warc_paths if connector == "paths" else read_warc
-    pages = (
-        reader(spark, path, http_only=True)
-        .filter(F.lower("http_content_type").contains("html"))
-        .select(
-            F.col("target_uri").alias("url"),
-            F.col("body_text").alias("html"),
-        )
+    pages = warc_html_pages(spark, path, connector).select(
+        F.col("target_uri").alias("url"),
+        F.col("body_text").alias("html"),
     )
     if domain_level:
-        return domain_edges(pages)
-    return link_edges(pages)
+        return domain_edges(
+            pages,
+            keep_self_loops=keep_self_loops,
+            materialize=materialize,
+        )
+    return link_edges(pages, dedup=dedup)
 
 
 # ---------------------------------------------------------------- oracle

@@ -556,6 +556,32 @@ def read_warc_paths(
     return files.mapInPandas(_task_frames(body), WARC_SCHEMA)
 
 
+def warc_html_pages(
+    spark: SparkSession, path: str, connector: str = "binary"
+) -> DataFrame:
+    """The shared front half of every archive-derived pass: HTTP
+    responses whose HTTP header block's Content-Type says HTML
+    (the WARC record header says ``application/http`` for every
+    response — filtering on it keeps nothing), as
+    ``(target_uri, record_id, http_content_type, body_text)``.
+    ``warc_html_corpus`` (text extraction) and
+    ``functions/links.warc_link_edges`` (the WAT pass) both compose on
+    this, so the connector dispatch and the prune can never diverge
+    between them (r13 review)."""
+    from pyspark.sql import functions as F
+
+    if connector not in ("binary", "paths"):
+        raise ValueError(f"unknown connector {connector!r}")
+    reader = read_warc_paths if connector == "paths" else read_warc
+    return (
+        reader(spark, path, http_only=True)
+        .filter(F.lower("http_content_type").contains("html"))
+        .select(
+            "target_uri", "record_id", "http_content_type", "body_text"
+        )
+    )
+
+
 def warc_html_corpus(
     spark: SparkSession, path: str, connector: str = "binary"
 ) -> DataFrame:
@@ -570,23 +596,14 @@ def warc_html_corpus(
     JVM codegen. ``connector="paths"`` swaps in
     :func:`read_warc_paths` (identical rows, unit-pinned; the 100 TB
     default — no 2 GB shard ceiling, ~1 record of task memory)."""
-    from pyspark.sql import functions as F
-
     from azure_etl_databricks_sql_powerbi_spark.functions.html import (
         html_to_text,
     )
 
-    if connector not in ("binary", "paths"):
-        raise ValueError(f"unknown connector {connector!r}")
-    reader = read_warc_paths if connector == "paths" else read_warc
-    recs = reader(spark, path, http_only=True)
-    return (
-        recs.filter(F.lower("http_content_type").contains("html"))
-        .select(
-            "target_uri",
-            "record_id",
-            html_to_text("body_text").alias("text"),
-        )
+    return warc_html_pages(spark, path, connector).select(
+        "target_uri",
+        "record_id",
+        html_to_text("body_text").alias("text"),
     )
 
 

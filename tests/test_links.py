@@ -246,7 +246,7 @@ LINKS_PLANT_BASE_SQL = (
     " || CAST(doc_id AS STRING) || '.html'"
 )
 LINKS_PLANT_HTML_SQL = """CASE doc_id % 5
-  WHEN 0 THEN '<p><a href="https://Hub.com:443/t?utm_source=x&v='
+  WHEN 0 THEN '<p><a href="https://Hub.com:443/t?utm_source=x&amp;v='
        || CAST(doc_id AS STRING) || '">h</a></p>'
   WHEN 1 THEN '<a href="/idx' || CAST(doc_id % 7 AS STRING)
        || '.html">r</a><a href="#frag">n</a>'
@@ -277,7 +277,19 @@ def test_link_edges_plant_dual_dialect_hash_exact(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    res_sql = duckdb_resolve_hrefs_sql("url", "raw")
+    # the replay mirrors link_edges' in-array entity decode: the same
+    # ordered ENTITY_REPLACES chain over the extracted raw href
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        ENTITY_REPLACES,
+    )
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    dec = "raw"
+    for search, repl in ENTITY_REPLACES:
+        dec = f"replace({dec}, {_lit(search)}, {_lit(repl)})"
+    res_sql = duckdb_resolve_hrefs_sql("url", f"({dec})")
     want = sorted(
         tuple(r)
         for r in con.execute(
@@ -483,7 +495,7 @@ def test_warc_link_edges_end_to_end(spark, tmp_path):
         fh.write(gzip.compress(record(
             "https://Site1.com/dir/index.html", "r-1",
             b'<a href="next.html">n</a>'
-            b'<a href="https://Hub.com:443/x?utm_source=s&k=1">h</a>'
+            b'<a href="https://Hub.com:443/x?utm_source=s&amp;k=1">h</a>'
             b'<a href="mailto:a@b.c">m</a>',
             b"text/html",
         )))
