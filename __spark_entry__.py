@@ -465,6 +465,89 @@ def _q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dual-dialect page planting for the WAT-pass query (parsed VERBATIM by
+# Spark F.expr AND DuckDB; no backslashes, no apostrophes — double-quoted
+# hrefs only, chr(10) for the literal newline). The BRANCH selector is
+# doc_id % 7; every branch's CONTENT varies by a coprime modulus
+# (doc_id % 20, % 5, doc_id itself) or a QUOTIENT selector
+# (floor(doc_id / 7) % k — independent of doc_id % 7), so every
+# (branch, content) combination occurs and no branch degenerates to a
+# single constant edge (the r13 correlated-selector lesson,
+# tests/test_links.py simulates the coverage). Branches arm: [0]
+# absolute + default port + utm strip + the REQUIRED &amp; attribute
+# escape (entity decode), [1] root-relative + a fragment-only ref that
+# must contribute NO edge, [2] ../ relative collapse, [3]
+# protocol-relative scheme adoption (uppercase tag/attr), [4]
+# non-fetchable mailto + bare relative, [5] WHATWG whitespace trim
+# (newline + spaces inside the attribute — r14 ADVICE #1), [6]
+# path-leading ../ residue collapse in an absolute href (r14 ADVICE #2).
+# The page number repeats with period 420 = lcm of every selector
+# (20, 5, 7 direct; 6/3/4/5 via floor(doc_id/7): 420/7 = 60 ≡ 0 mod
+# all four), so docs d and d+420 render IDENTICAL pages on branches
+# 1-6 — the final DISTINCT provably removes real duplicate edges —
+# while branch 0's dst varies by doc_id itself, so the edge count
+# still grows with the table (both properties simulated in
+# tests/test_links.py).
+_LINKS_PLANT_BASE_SQL = (
+    "'https://site' || CAST(doc_id % 20 AS STRING) || '.com/d'"
+    " || CAST(doc_id % 5 AS STRING) || '/sub/page'"
+    " || CAST(doc_id % 420 AS STRING) || '.html'"
+)
+_LINKS_PLANT_HTML_SQL = """CASE doc_id % 7
+  WHEN 0 THEN '<p><a href="https://Hub.com:443/t?utm_source=x&amp;v='
+       || CAST(doc_id AS STRING) || '">h</a></p>'
+  WHEN 1 THEN '<a href="/idx'
+       || CAST(CAST(floor(doc_id / 7) AS INT) % 6 AS STRING)
+       || '.html">r</a><a href="#frag">n</a>'
+  WHEN 2 THEN '<a href="../up'
+       || CAST(CAST(floor(doc_id / 7) AS INT) % 3 AS STRING)
+       || '/p.html">u</a>'
+  WHEN 3 THEN '<A HREF="//cdn.site' || CAST(doc_id % 20 AS STRING)
+       || '.com/lib.js">c</A>'
+  WHEN 4 THEN '<a href="mailto:x@y.z">m</a><a href="rel'
+       || CAST(CAST(floor(doc_id / 7) AS INT) % 4 AS STRING)
+       || '.html">q</a>'
+  WHEN 5 THEN '<a href="' || chr(10) || '  /ws'
+       || CAST(CAST(floor(doc_id / 7) AS INT) % 5 AS STRING)
+       || '.html  ">w</a>'
+  ELSE '<a href="https://lead' || CAST(doc_id % 20 AS STRING)
+       || '.com/../x.html">l</a>'
+END"""
+
+
+def _q_link_edges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT pass as driver evidence (functions/links;
+    ROTATION_POLICY.md §5 swap #13): deterministic page planting over
+    the documents table (_LINKS_PLANT_BASE_SQL/_LINKS_PLANT_HTML_SQL,
+    the pii planting discipline) through the FULL crawl→graph chain —
+    extract_links → entity decode inside a transform lambda →
+    resolve_hrefs → canonicalize BOTH endpoints → distinct (src, dst).
+    Hash-exact INCLUDING the canonical URL text. The oracle's
+    RESOLUTION step is an INDEPENDENT SQL algorithm
+    (links.duckdb_resolve_hrefs_rfc_sql: position arithmetic + a true
+    list_reduce stack fold — the registered_domain_psl precedent,
+    VERDICT r13 "What's wrong" #4), composed with the module-owned
+    extract/canonicalize builders; hand-written RFC-3986 expectations
+    live in tests/test_links.py. Plan contract: single-reference regex
+    derivations only, zero Python nodes, optimized plan < 300k chars
+    (tests/test_links.py pins all three — the r13 expression-blowup
+    regression)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        link_edges,
+    )
+
+    # spread: the single-file parquet scan is ONE input split, and the
+    # ~60-regex-per-row extract/resolve/canonicalize pipeline would run
+    # on one core (the round-6 fuzzy lesson; measured 5.4s -> sub-1s on
+    # local[32] at sf0.1)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pages = docs.select(
+        F.expr(_LINKS_PLANT_BASE_SQL).alias("url"),
+        F.expr(_LINKS_PLANT_HTML_SQL).alias("html"),
+    )
+    return link_edges(pages)
+
+
 def _q_url_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl provenance card (functions/urls): deterministic planted
     URLs (shared _URL_PLANT_SQL, the pii planting discipline) → host +
@@ -860,6 +943,95 @@ def _q_robots_policy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for agent in ("*", "trainbot")
     ]
     return parts[0].unionByName(parts[1])
+
+
+# Sitemap planting for _q_sitemap_frontier (ROTATION_POLICY.md §5 swap
+# #14), in the SQL dialect intersection (chr(10) newlines, no
+# backslashes, no apostrophes; XML attribute quotes are double quotes
+# inside single-quoted SQL literals). The DOMAIN index is
+# floor(doc_id / 4) % 20 — NOT doc_id % 20, which is correlated with
+# the doc_id % 4 branch selector (4 | 20: branch-k sitemaps would only
+# ever target domains whose ROBOTS doc is branch k % 4, starving most
+# (sitemap-branch, robots-branch) scenarios — the r13
+# correlated-selector lesson); the content index is floor(doc_id / 80)
+# % 5, independent of both. Branches arm: [0] plain entry + lastmod +
+# priority, a robots-blocked /private/ entry, and an entity-escaped
+# multi-param loc on an uppercase host + default port + utm param
+# (decode + canonicalize work; its canonical form REPEATS across docs
+# sharing a domain, so the frontier DISTINCT provably removes real
+# duplicates) + a malformed <priority>high</priority>; [1]
+# pretty-printed loc wrapped in newline+indent (the whitespace-trim
+# pass) + a loc-less entry that must vanish; [2] a sitemap-INDEX
+# pointer that must NOT reach the frontier + a /no-train/ entry ('*'
+# group selection: allowed for the default agent); [3] a non-URL loc
+# (canonicalize NULL, dropped) + a /blocked/ entry (blocked on
+# robots-branch-2 domains). Robots side reuses the swap-#12 plants —
+# the composed query IS the crawl-seeding pipeline those rules feed.
+_SITEMAP_DOM_SQL = "CAST(CAST(floor(doc_id / 4) AS INT) % 20 AS STRING)"
+_SITEMAP_Q_SQL = "CAST(CAST(floor(doc_id / 80) AS INT) % 5 AS STRING)"
+_SITEMAP_PLANT_SQL = f"""CASE doc_id % 4
+  WHEN 0 THEN '<?xml version="1.0"?><urlset>'
+       || '<url><loc>https://site' || {_SITEMAP_DOM_SQL}
+       || '.com/public/p' || {_SITEMAP_Q_SQL}
+       || '.html</loc><lastmod>2024-01-01</lastmod>'
+       || '<priority>0.8</priority></url>'
+       || '<url><loc>https://site' || {_SITEMAP_DOM_SQL}
+       || '.com/private/secret' || {_SITEMAP_Q_SQL}
+       || '.html</loc></url>'
+       || '<url><loc>https://Site' || {_SITEMAP_DOM_SQL}
+       || '.com:443/dup.html?utm_source=x&amp;a=1</loc>'
+       || '<priority>high</priority></url></urlset>'
+  WHEN 1 THEN '<urlset><url><loc>' || chr(10) || '  https://site'
+       || {_SITEMAP_DOM_SQL} || '.com/private/ok' || {_SITEMAP_Q_SQL}
+       || '.html' || chr(10) || '</loc>'
+       || '<changefreq>daily</changefreq></url>'
+       || '<url><lastmod>2024-02-02</lastmod></url></urlset>'
+  WHEN 2 THEN '<sitemapindex><sitemap><loc>https://site'
+       || {_SITEMAP_DOM_SQL} || '.com/sitemap' || {_SITEMAP_Q_SQL}
+       || '.xml</loc></sitemap></sitemapindex>'
+       || '<urlset><url><loc>https://site' || {_SITEMAP_DOM_SQL}
+       || '.com/no-train/x' || {_SITEMAP_Q_SQL}
+       || '.html</loc></url></urlset>'
+  ELSE '<urlset><url><loc>not a url</loc></url>'
+       || '<url><loc>https://site' || {_SITEMAP_DOM_SQL}
+       || '.com/blocked/x' || {_SITEMAP_Q_SQL}
+       || '.html</loc></url></urlset>'
+END"""
+
+
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-seeding pipeline end-to-end (functions/sitemap +
+    functions/robots; ROTATION_POLICY.md §5 swap #14): planted sitemap
+    XML (ONE dual-dialect _SITEMAP_PLANT_SQL) → parse_sitemap
+    (block-isolate-then-extract, whitespace trim, entity decode,
+    index/url kind split) → canonicalize_urls → distinct →
+    filter_robots_allowed for the default '*' agent over the
+    swap-#12 robots rule table. Hash-exact INCLUDING the canonical
+    frontier URL text vs an oracle composed from the module's OWN
+    duckdb_parse_sitemap_sql + duckdb_canonicalize_url_sql +
+    duckdb_parse_robots_sql builders plus the robots_policy_docs
+    window replay (single-agent form); hand-written frontier
+    expectations live in tests/test_sitemap.py."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        parse_robots,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.sitemap import (
+        sitemap_frontier,
+    )
+
+    # spread: same single-split rationale as _q_link_edges_docs — the
+    # sitemap side runs block-extraction + per-entry canonicalization
+    # regexes per row
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sitemaps = docs.select(F.expr(_SITEMAP_PLANT_SQL).alias("xml"))
+    robots = docs.filter(
+        (F.col("doc_id") < 20) & (F.col("doc_id") % 4 < 3)
+    ).select(
+        F.expr(_ROBOTS_DOMAIN_PLANT_SQL).alias("domain"),
+        F.expr(_ROBOTS_TXT_PLANT_SQL).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    return sitemap_frontier(sitemaps, rules=rules)
 
 
 # ------------------------------------------------- EXT: similarity search
@@ -2343,7 +2515,14 @@ def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (north-star
     curation op): md5-bucket assignment is a map-side expression — zero
-    shuffle, reproducible across engines/re-runs (operators/sampling.py)."""
+    shuffle, reproducible across engines/re-runs (operators/sampling.py).
+    Carries the corpus data card PER SPLIT (§5 swap #13 fold: the
+    retired one-row corpus_stats query's column set — source/lang
+    cardinalities, char inventory, exact-dup count/rate — rides this
+    summary; the split hashes on text, so identical texts land in ONE
+    split and the per-split dup counts partition the global count
+    exactly. plans/curation.corpus_stats and its twin remain,
+    tests/test_mixing_stats.py)."""
     from azure_etl_databricks_sql_powerbi_spark.functions import text as T
     from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
         deterministic_split,
@@ -2358,6 +2537,15 @@ def _q_dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(T.token_count("text")).alias("total_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            (F.count(F.lit(1)) - F.count_distinct("text")).alias(
+                "exact_dup_docs"
+            ),
+        )
+        .withColumn(
+            "dup_rate", F.col("exact_dup_docs") / F.col("n_docs")
         )
         .orderBy("split")
     )
@@ -3025,28 +3213,6 @@ def _q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-label hard-negative mining: top-5 most-similar corpus vectors
-    with a DIFFERENT label per anchor (vec_id < 8). Broadcast-anchor pair
-    stage, per-anchor top-k window; hash-exact vs the module-owned
-    NEGATIVES_SQL twin (declared r11 via the first ROTATION_POLICY.md §5
-    retirement swap — replaced ann_pq_topk, whose PQ/ADC plan is a strict
-    subset of ann_ivfpq_topk + ann_ivfpq_day2)."""
-    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
-        hard_negatives,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
-
-
-def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row corpus data card (plans/curation.corpus_stats)."""
-    from azure_etl_databricks_sql_powerbi_spark.plans.curation import corpus_stats
-
-    return corpus_stats(load_table(spark, sf_dir, "documents"))
-
-
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source capped token allocation (operators/mixing)."""
     from azure_etl_databricks_sql_powerbi_spark.functions.text import token_count
@@ -3582,8 +3748,120 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-13 window: the r10-evidence cohort (stalest on the
-    # board, re-greens this round per ROTATION_POLICY.md §2) ---
+    # --- round-14 window: the r11-window cohort (ex-r7 cohort with
+    # the three §5 swaps; stalest on the board — last green r11,
+    # re-greens this round per ROTATION_POLICY.md §2) ---
+    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+    "pagerank_supplier_part": _q_pagerank_supplier_part,
+    "bm25_rank_docs": _q_bm25_rank_docs,
+    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
+    "quality_classifier_docs": _q_quality_classifier_docs,
+    "triplet_candidates": _q_triplet_candidates,
+    "customer_order_distribution": _q_customer_order_distribution,
+    "idle_customer_balance": _q_idle_customer_balance,
+    "dataset_split_summary": _q_dataset_split_summary,
+    "stratified_sample_docs": _q_stratified_sample_docs,
+    "pack_sequences_docs": _q_pack_sequences_docs,
+    "skewed_join_salted": _q_skewed_join_salted,
+    "stream_upsert_replay": _q_stream_upsert_replay,
+    "dpp_priority_revenue": _q_dpp_priority_revenue,
+    "near_dup_clusters": _q_near_dup_clusters,
+    "resample_daily_ffill": _q_resample_daily,
+    "cumulative_distinct_users": _q_cumulative_users,
+    "cohort_retention": _q_cohort_retention,
+    "funnel_conversion": _q_funnel_conversion,
+    "salient_terms": _q_salient_terms,
+    "decontaminate_docs": _q_decontaminate_docs,
+    "min_cost_supplier": _q_min_cost_supplier,
+    "important_suppliers": _q_important_suppliers,
+    "top_quarter_shippers": _q_top_quarter_shippers,
+    "part_supplier_breadth": _q_part_supplier_breadth,
+    "pii_scrub_docs": _q_pii_scrub_docs,
+    # §5 swap #13: link_edges_docs replaced corpus_stats in place (the
+    # one-row data card folded into dataset_split_summary's per-split
+    # stats columns; twin + proof moved to tests/test_mixing_stats.py)
+    "link_edges_docs": _q_link_edges_docs,
+    # §5 swap #14: sitemap_frontier replaced hard_negatives in place
+    # (same broadcast-anchor BNL family as the still-declared
+    # triplet_candidates; twin + proof live in tests/test_negatives.py)
+    "sitemap_frontier": _q_sitemap_frontier,
+    "domain_mix_allocation": _q_domain_mix,
+    "trade_volume_q7": _q_trade_volume,
+    "market_share_q8": _q_market_share,
+    "large_quantity_orders_q18": _q_large_quantity_orders,
+    "bracket_revenue_q19": _q_bracket_revenue,
+    "sole_return_supplier_q21": _q_sole_return_supplier,
+    "vocab_top100": _q_vocab_top100,
+    "price_histogram": _q_price_histogram,
+    "approx_percentiles_by_status": _q_approx_percentiles,
+    "repetition_ratio_docs": _q_repetition_ratio,
+    "revenue_change_q6": _q_revenue_change_q6,
+    "priority_line_health_q12": _q_priority_line_health_q12,
+    "promo_revenue_q14": _q_promo_revenue_q14,
+    "stats_profile_lineitem": _q_stats_profile,
+    "order_rank_distribution": _q_order_rank_distribution,
+    "dedup_spans_docs": _q_dedup_spans_docs,
+    "semantic_dedup_embeddings": _q_semantic_dedup,
+    "full_curation_pipeline": _q_full_curation,
+    "asof_forward_tolerance": _q_asof_forward_tolerance,
+    "stateful_running_totals": _q_stateful_running_totals,
+    "pricing_summary": _q_pricing_summary,
+    "merge_upsert_orders": _q_merge_upsert,
+    # ================= end of the 50-entry driver window =================
+    # --- round-12-evidence cohort (the ex-r9 cohort with §5 swaps
+    # #4–#7 in place; re-greens in the r15 window) ---
+    "triangle_counts_parts": _q_triangle_counts_parts,
+    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
+    "label_propagation_parts": _q_label_propagation_parts,
+    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
+    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
+    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
+    "payments_decimal_rollup": _q_payments_decimal_rollup,
+    "decimal_star_rollup": _q_decimal_star_rollup,
+    "product_profit_q9": _q_product_profit_q9,
+    "returned_items_q10": _q_returned_items_q10,
+    "audio_features": _q_audio_features,
+    "media_frames": _q_media_frames,
+    "media_decode_features": _q_media_decode_features,
+    "star_revenue_by_region": _q_star_revenue,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "asof_events_orders": _q_asof_events_orders,
+    "dim_customers": _q_dim_customers,
+    "fact_payments": _q_fact_payments,
+    "latest_order_per_customer": _q_latest_order_per_customer,
+    "top_customers_by_segment": _q_top_customers_by_segment,
+    "compression_band_docs": _q_compression_band_docs,
+    "customer_order_windows": _q_customer_order_windows,
+    "events_watermark_7d": _q_events_watermark,
+    "events_json_kpis": _q_events_json_kpis,
+    "union_schema_drift": _q_union_drift,
+    "qbo_invoices_flatten": _q_qbo_flatten,
+    "qc_metrics_orders": _q_qc_metrics,
+    "url_provenance_docs": _q_url_provenance_docs,
+    "text_stats": _q_text_stats,
+    "lang_id_docs": _q_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "token_jaccard_pairs": _q_token_jaccard,
+    "ann_cosine_topk": _q_ann_bruteforce,
+    "embedding_near_pairs": _q_embedding_near_pairs,
+    "events_tumbling_daily": _q_events_tumbling,
+    "events_sliding_6h": _q_events_sliding,
+    "events_sessions_2h": _q_events_sessions,
+    "range_join_business_hours": _q_range_join_business_hours,
+    "status_pivot_by_priority": _q_status_pivot,
+    "price_percentiles_by_status": _q_price_percentiles,
+    "sales_cube": _q_sales_cube,
+    "token_counts_docs": _q_token_counts,
+    "grouping_sets_orders": _q_grouping_sets,
+    "shipping_priority_top10": _q_shipping_priority,
+    "brand_nation_volume": _q_brand_nation_volume,
+    "curate_documents": _q_curate_documents,
+    "scd2_customer_status": _q_scd2_customer_status,
+    "normalize_text_docs": _q_normalize_text_docs,
+    "gopher_quality_docs": _q_gopher_quality_docs,
+    # --- round-13-evidence cohort (the ex-r10 cohort with §5 swaps
+    # #8–#12 in place; freshest — re-greens in the r16 window) ---
     "strip_boilerplate_docs": _q_strip_boilerplate_docs,
     "mixture_curation_budget": _q_mixture_curation_budget,
     "join_diagnostics_summary": _q_join_diagnostics_summary,
@@ -3641,111 +3919,6 @@ QUERIES: dict[str, QueryFn] = {
     "pretraining_prep": _q_pretraining_prep,
     "sessionize_stream": _q_sessionize_stream,
     "order_priority_exists": _q_order_priority_exists,
-    # ================= end of the 50-entry driver window =================
-    # --- round-11-window cohort (ex-r7 cohort with the three §5
-    # swaps; last green r11 — re-greens in the r14 window) ---
-    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
-    "pagerank_supplier_part": _q_pagerank_supplier_part,
-    "bm25_rank_docs": _q_bm25_rank_docs,
-    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
-    "quality_classifier_docs": _q_quality_classifier_docs,
-    "triplet_candidates": _q_triplet_candidates,
-    "customer_order_distribution": _q_customer_order_distribution,
-    "idle_customer_balance": _q_idle_customer_balance,
-    "dataset_split_summary": _q_dataset_split_summary,
-    "stratified_sample_docs": _q_stratified_sample_docs,
-    "pack_sequences_docs": _q_pack_sequences_docs,
-    "skewed_join_salted": _q_skewed_join_salted,
-    "stream_upsert_replay": _q_stream_upsert_replay,
-    "dpp_priority_revenue": _q_dpp_priority_revenue,
-    "near_dup_clusters": _q_near_dup_clusters,
-    "resample_daily_ffill": _q_resample_daily,
-    "cumulative_distinct_users": _q_cumulative_users,
-    "cohort_retention": _q_cohort_retention,
-    "funnel_conversion": _q_funnel_conversion,
-    "salient_terms": _q_salient_terms,
-    "decontaminate_docs": _q_decontaminate_docs,
-    "min_cost_supplier": _q_min_cost_supplier,
-    "important_suppliers": _q_important_suppliers,
-    "top_quarter_shippers": _q_top_quarter_shippers,
-    "part_supplier_breadth": _q_part_supplier_breadth,
-    "pii_scrub_docs": _q_pii_scrub_docs,
-    "corpus_stats": _q_corpus_stats,
-    "hard_negatives": _q_hard_negatives,
-    "domain_mix_allocation": _q_domain_mix,
-    "trade_volume_q7": _q_trade_volume,
-    "market_share_q8": _q_market_share,
-    "large_quantity_orders_q18": _q_large_quantity_orders,
-    "bracket_revenue_q19": _q_bracket_revenue,
-    "sole_return_supplier_q21": _q_sole_return_supplier,
-    "vocab_top100": _q_vocab_top100,
-    "price_histogram": _q_price_histogram,
-    "approx_percentiles_by_status": _q_approx_percentiles,
-    "repetition_ratio_docs": _q_repetition_ratio,
-    "revenue_change_q6": _q_revenue_change_q6,
-    "priority_line_health_q12": _q_priority_line_health_q12,
-    "promo_revenue_q14": _q_promo_revenue_q14,
-    "stats_profile_lineitem": _q_stats_profile,
-    "order_rank_distribution": _q_order_rank_distribution,
-    "dedup_spans_docs": _q_dedup_spans_docs,
-    "semantic_dedup_embeddings": _q_semantic_dedup,
-    "full_curation_pipeline": _q_full_curation,
-    "asof_forward_tolerance": _q_asof_forward_tolerance,
-    "stateful_running_totals": _q_stateful_running_totals,
-    "pricing_summary": _q_pricing_summary,
-    "merge_upsert_orders": _q_merge_upsert,
-    # --- round-12-evidence cohort (the ex-r9 cohort with §5 swaps
-    # #4–#7 in place; freshest — re-greens in the r15 window) ---
-    "triangle_counts_parts": _q_triangle_counts_parts,
-    "clustering_coefficients_parts": _q_clustering_coefficients_parts,
-    "label_propagation_parts": _q_label_propagation_parts,
-    "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
-    "minhash_near_dup_day2": _q_minhash_near_dup_day2,
-    "simhash_near_dup_day2": _q_simhash_near_dup_day2,
-    "semantic_decontam_pruned": _q_semantic_decontam_pruned,
-    "payments_decimal_rollup": _q_payments_decimal_rollup,
-    "decimal_star_rollup": _q_decimal_star_rollup,
-    "product_profit_q9": _q_product_profit_q9,
-    "returned_items_q10": _q_returned_items_q10,
-    "audio_features": _q_audio_features,
-    "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode_features,
-    "star_revenue_by_region": _q_star_revenue,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "asof_events_orders": _q_asof_events_orders,
-    "dim_customers": _q_dim_customers,
-    "fact_payments": _q_fact_payments,
-    "latest_order_per_customer": _q_latest_order_per_customer,
-    "top_customers_by_segment": _q_top_customers_by_segment,
-    "compression_band_docs": _q_compression_band_docs,
-    "customer_order_windows": _q_customer_order_windows,
-    "events_watermark_7d": _q_events_watermark,
-    "events_json_kpis": _q_events_json_kpis,
-    "union_schema_drift": _q_union_drift,
-    "qbo_invoices_flatten": _q_qbo_flatten,
-    "qc_metrics_orders": _q_qc_metrics,
-    "url_provenance_docs": _q_url_provenance_docs,
-    "text_stats": _q_text_stats,
-    "lang_id_docs": _q_lang_id,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "token_jaccard_pairs": _q_token_jaccard,
-    "ann_cosine_topk": _q_ann_bruteforce,
-    "embedding_near_pairs": _q_embedding_near_pairs,
-    "events_tumbling_daily": _q_events_tumbling,
-    "events_sliding_6h": _q_events_sliding,
-    "events_sessions_2h": _q_events_sessions,
-    "range_join_business_hours": _q_range_join_business_hours,
-    "status_pivot_by_priority": _q_status_pivot,
-    "price_percentiles_by_status": _q_price_percentiles,
-    "sales_cube": _q_sales_cube,
-    "token_counts_docs": _q_token_counts,
-    "grouping_sets_orders": _q_grouping_sets,
-    "shipping_priority_top10": _q_shipping_priority,
-    "brand_nation_volume": _q_brand_nation_volume,
-    "curate_documents": _q_curate_documents,
-    "scd2_customer_status": _q_scd2_customer_status,
-    "normalize_text_docs": _q_normalize_text_docs,
-    "gopher_quality_docs": _q_gopher_quality_docs,
 }
 
 
@@ -4710,29 +4883,6 @@ ORACLES: dict[str, str] = {
     # Twin of tests/test_negatives.py::NEGATIVES_SQL (pytest-proven before
     # declaration, per ROTATION_POLICY.md §3): same cosine fold, same
     # cross-label predicate, same (cos DESC, negative_id ASC) tie-break.
-    "hard_negatives": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        a AS (SELECT * FROM e WHERE vec_id < 8),
-        pairs AS (
-            SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
-                   c.label AS negative_label,
-                   CASE WHEN sqrt(list_dot_product(a.v, a.v))
-                             * sqrt(list_dot_product(c.v, c.v)) = 0
-                        THEN 0.0
-                        ELSE list_dot_product(a.v, c.v)
-                             / (sqrt(list_dot_product(a.v, a.v))
-                                * sqrt(list_dot_product(c.v, c.v)))
-                   END AS cos
-            FROM e c, a WHERE c.label <> a.label
-        )
-        SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id,
-               negative_label, cos AS cosine_sim
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
-            ) AS rank FROM pairs
-        ) WHERE rank <= 5
-    """,
     "embedding_near_pairs": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
@@ -5190,7 +5340,7 @@ ORACLES: dict[str, str] = {
     """,
     "dataset_split_summary": r"""
         WITH b AS (
-            SELECT text,
+            SELECT text, source, lang,
                    CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 10000
                        AS bucket,
                    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
@@ -5202,7 +5352,12 @@ ORACLES: dict[str, str] = {
                     WHEN bucket < 9500 THEN 'val'
                     ELSE 'test' END          AS split,
                COUNT(*)                      AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT source)::BIGINT AS n_sources,
+               COUNT(DISTINCT lang)::BIGINT   AS n_langs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+               (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS exact_dup_docs,
+               (COUNT(*) - COUNT(DISTINCT text)) / COUNT(*) AS dup_rate
         FROM b
         GROUP BY 1
         ORDER BY 1
@@ -5472,18 +5627,6 @@ ORACLES: dict[str, str] = {
         FROM pairs
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-    """,
-    "corpus_stats": r"""
-        SELECT COUNT(*)::BIGINT AS n_docs,
-               COUNT(DISTINCT source)::BIGINT AS n_sources,
-               COUNT(DISTINCT lang)::BIGINT AS n_langs,
-               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
-               CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                             ELSE len(string_split_regex(TRIM(text), '\s+'))
-                        END) AS BIGINT) AS total_tokens,
-               (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS exact_dup_docs,
-               (COUNT(*) - COUNT(DISTINCT text)) / COUNT(*) AS dup_rate
-        FROM documents
     """,
     "domain_mix_allocation": r"""
         WITH per AS (
@@ -6336,6 +6479,155 @@ def _registered_domain_psl_oracle() -> str:
 
 
 ORACLES["registered_domain_psl_docs"] = _registered_domain_psl_oracle()
+
+
+def _link_edges_oracle() -> str:
+    """DuckDB twin of _q_link_edges_docs (§5 swap #13): extraction and
+    canonicalization replay via the module-owned builders
+    (duckdb_extract_links_sql / duckdb_canonicalize_url_sql — RE2 runs
+    the same backslash-free patterns), entity decode via the SAME
+    ordered ENTITY_REPLACES chain the engine's transform lambda runs,
+    and RESOLUTION via links.duckdb_resolve_hrefs_rfc_sql — an
+    INDEPENDENT SQL algorithm (position arithmetic + a true
+    list_reduce stack fold per RFC 3986 remove_dot_segments; the
+    engine runs anchored-regex derivations), the
+    registered_domain_psl precedent for structurally-lower shared-bug
+    risk. Hand-written RFC-3986 expectations and the pinned
+    bounded-depth divergence: tests/test_links.py."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
+        ENTITY_REPLACES,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        duckdb_canonicalize_url_sql,
+        duckdb_extract_links_sql,
+        duckdb_resolve_hrefs_rfc_sql,
+    )
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    dec = "raw"
+    for search, repl in ENTITY_REPLACES:
+        dec = f"replace({dec}, {_lit(search)}, {_lit(repl)})"
+    # AS MATERIALIZED throughout: DuckDB's default CTE inlining
+    # substitutes each stage's expression tree into EVERY reference
+    # site — with the deep resolve/canonicalize derivations the
+    # DISTINCT + IS NOT NULL consumers re-trigger exactly the
+    # expression blowup the engine's plan-size contract exists for
+    # (observed: the un-materialized form never finished at sf0.001;
+    # materialized runs in ~0.1s)
+    return f"""
+        WITH pages AS MATERIALIZED (
+            SELECT {_LINKS_PLANT_BASE_SQL} AS url,
+                   {_LINKS_PLANT_HTML_SQL} AS html
+            FROM documents
+        ),
+        hrefs AS MATERIALIZED (
+            SELECT url, unnest({duckdb_extract_links_sql("html")}) AS raw
+            FROM pages
+        ),
+        dec AS MATERIALIZED (
+            SELECT url, {dec} AS href FROM hrefs
+        ),
+        res AS MATERIALIZED (
+            {duckdb_resolve_hrefs_rfc_sql("dec", "url", "href", "resolved")}
+        ),
+        can AS MATERIALIZED (
+            SELECT {duckdb_canonicalize_url_sql("url")} AS src,
+                   {duckdb_canonicalize_url_sql("resolved")} AS dst
+            FROM res
+        )
+        SELECT DISTINCT src, dst FROM can
+        WHERE src IS NOT NULL AND dst IS NOT NULL
+    """
+
+
+ORACLES["link_edges_docs"] = _link_edges_oracle()
+
+
+def _sitemap_frontier_oracle() -> str:
+    """DuckDB twin of _q_sitemap_frontier (§5 swap #14): the module's
+    OWN duckdb_parse_sitemap_sql builder over the verbatim plant,
+    canonicalization via duckdb_canonicalize_url_sql, the robots rule
+    table via duckdb_parse_robots_sql over the swap-#12 plants, and
+    the robots_policy_docs window replay in its single-agent '*' form
+    (filter_robots_allowed(agent='*') keeps only '*'-group rows, so
+    group selection reduces to the agent filter; longest pattern wins,
+    allow on ties, default allow; the DISTINCT frontier URL is unique
+    per row, so the per-URL window needs no synthetic row id). AS
+    MATERIALIZED throughout — the link_edges_docs lesson: DuckDB's
+    CTE inlining re-expands the deep parse/canonicalize trees into
+    every reference site."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        duckdb_canonicalize_url_sql,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+        duckdb_parse_robots_sql,
+        duckdb_url_path_sql,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.sitemap import (
+        duckdb_parse_sitemap_sql,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+
+    dom = duckdb_registered_domain_sql(duckdb_host_sql("url"))
+    return f"""
+        WITH robots_docs AS MATERIALIZED (
+            SELECT {_ROBOTS_DOMAIN_PLANT_SQL} AS domain,
+                   {_ROBOTS_TXT_PLANT_SQL} AS robots_txt
+            FROM documents
+            WHERE doc_id < 20 AND doc_id % 4 < 3
+        ),
+        rules AS MATERIALIZED (
+            {duckdb_parse_robots_sql("robots_docs")}
+        ),
+        sitemaps AS MATERIALIZED (
+            SELECT {_SITEMAP_PLANT_SQL} AS xml FROM documents
+        ),
+        entries AS MATERIALIZED (
+            {duckdb_parse_sitemap_sql("sitemaps", "xml")}
+        ),
+        canon AS MATERIALIZED (
+            SELECT {duckdb_canonicalize_url_sql("loc")} AS url
+            FROM entries
+            WHERE kind = 'url' AND loc IS NOT NULL
+        ),
+        frontier AS MATERIALIZED (
+            SELECT DISTINCT url FROM canon WHERE url IS NOT NULL
+        ),
+        u AS MATERIALIZED (
+            SELECT url, {dom} AS dom,
+                   {duckdb_url_path_sql("url")} AS path
+            FROM frontier
+        ),
+        j AS (
+            SELECT u.*, r.directive, r.pattern_len, r.regex
+            FROM u
+            LEFT JOIN rules r ON u.dom = r.domain AND r.agent = '*'
+        ),
+        m AS (
+            SELECT *, coalesce(regex IS NOT NULL
+                               AND regexp_matches(path, regex),
+                               FALSE) AS hit
+            FROM j
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url
+                ORDER BY hit DESC, pattern_len DESC,
+                         (directive = 'disallow') ASC
+            ) AS rk
+            FROM m
+        )
+        SELECT url FROM best
+        WHERE rk = 1 AND ((NOT hit) OR directive = 'allow')
+    """
+
+
+ORACLES["sitemap_frontier"] = _sitemap_frontier_oracle()
 
 
 def _normalize_docs_oracle() -> str:

@@ -49,8 +49,15 @@ _LINE_RE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*)"
 # the SQL dialect intersection (instr/substring/CASE parse identically
 # in Spark and DuckDB), shared by the engine's __path derivation and
 # the duckdb_url_path_sql oracle builder so the two can never desync
-# (the r13 swap-commit review's twin-discipline finding).
-_AFTER_SCHEME_SQL = "substring({url}, instr({url}, '://') + 3)"
+# (the r13 swap-commit review's twin-discipline finding). A URL
+# without '://' (relative or malformed) has NO path under this rule —
+# instr()=0 would otherwise yield substring(url, 3), a garbage path
+# that can spuriously match rules — so it derives NULL and falls
+# through to default-allow with a NULL rule (r13 ADVICE #3).
+_AFTER_SCHEME_SQL = (
+    "CASE WHEN instr({url}, '://') = 0 THEN CAST(NULL AS STRING) "
+    "ELSE substring({url}, instr({url}, '://') + 3) END"
+)
 _PATH_FROM_AFTER_SQL = (
     "CASE WHEN instr({after}, '/') = 0 THEN '/' "
     "ELSE substring({after}, instr({after}, '/')) END"
@@ -203,18 +210,36 @@ def filter_robots_allowed(
     agent: str = "*",
     keep_verdict: bool = False,
     row_id_col: str | None = None,
+    broadcast_rules: bool = True,
+    max_broadcast_rules: int = 2_000_000,
 ) -> DataFrame:
-    """Keep the URLs the (broadcast) rule table permits for ``agent``.
-    Group selection per REP, simplified to the two groups a pipeline
+    """Keep the URLs the rule table permits for ``agent``. Group
+    selection per REP, simplified to the two groups a pipeline
     queries: rules for the EXACT agent if that domain declares any,
     else the ``*`` group. Path match = the module's anchored regex;
     the LONGEST matching pattern decides; a tie prefers allow; no
-    matching rule (or no robots.txt for the domain) allows. One
-    broadcast join + one per-URL window; the URL side never shuffles
-    on a rule key. ``keep_verdict=True`` keeps blocked rows and adds
-    ``robots_allowed``/``robots_rule`` columns instead of filtering."""
+    matching rule (or no robots.txt for the domain) allows. URLs
+    without ``://`` carry a NULL path and fall through to
+    default-allow with a NULL ``robots_rule`` (see
+    ``_AFTER_SCHEME_SQL``). ``keep_verdict=True`` keeps blocked rows
+    and adds ``robots_allowed``/``robots_rule`` columns instead of
+    filtering.
+
+    Join strategy: ``broadcast_rules=True`` (default) ships the rule
+    table to every executor — one broadcast join + one per-URL window,
+    the URL side never shuffles on a rule key — and is guarded by
+    ``util.require_broadcastable``: a rule table over
+    ``max_broadcast_rules`` rows raises ValueError instead of OOMing
+    the driver mid-broadcast (a full-web crawl has ~10^8 domains'
+    worth of rules). ``broadcast_rules=False`` takes the shuffle
+    equi-join on the domain key instead — same verdicts
+    (unit-pinned), linear scale-out, for rule tables past broadcast
+    size."""
     from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
         registered_domain,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.util import (
+        require_broadcastable,
     )
 
     # the clash guard covers BOTH the URL-side temp columns and the
@@ -266,9 +291,17 @@ def filter_robots_allowed(
         .withColumn("__path", F.expr(_PATH_FROM_AFTER_SQL.format(after="__after")))
         .drop("__after")
     )
-    j = u.join(
-        F.broadcast(perm), u["__dom"] == perm["__r_dom"], "left"
-    )
+    if broadcast_rules:
+        require_broadcastable(
+            perm,
+            max_broadcast_rules,
+            "max_broadcast_rules",
+            "the per-domain robots rule table",
+            "pass broadcast_rules=False for the shuffle "
+            "equi-join-on-domain path",
+        )
+        perm = F.broadcast(perm)
+    j = u.join(perm, u["__dom"] == perm["__r_dom"], "left")
     # group selection: exact agent outranks '*'; if the domain has any
     # exact-agent rule, '*' rules are ignored for it
     has_exact = F.max(
@@ -281,10 +314,17 @@ def filter_robots_allowed(
     )
     matched = grp.withColumn(
         "__hit",
-        F.col("regex").isNotNull()
-        # column-valued pattern: the Column API's .rlike takes only a
-        # literal, the SQL form takes any expression
-        & F.expr("__path RLIKE regex"),
+        # coalesce: a NULL __path (URL without '://', see
+        # _AFTER_SCHEME_SQL) makes the RLIKE NULL — treat as no-hit so
+        # such rows default-allow instead of carrying tri-state
+        # verdicts through the window ordering
+        F.coalesce(
+            F.col("regex").isNotNull()
+            # column-valued pattern: the Column API's .rlike takes only
+            # a literal, the SQL form takes any expression
+            & F.expr("__path RLIKE regex"),
+            F.lit(False),
+        ),
     )
     # longest pattern wins, allow beats disallow on equal length;
     # URLs with no hit (or no rules at all) fall through to allow

@@ -77,8 +77,22 @@ RESOLVE_CASES = [
     ("https://bare.com", "x.html", "https://bare.com/x.html"),
     # dot-segments in an ABSOLUTE href collapse too (frontier form)...
     (BASE, "https://a.com/p/../q", "https://a.com/q"),
-    # ...but never across the authority (the prefix/tail split)
-    (BASE, "https://a.com/../q", "https://a.com/../q"),
+    # ...never across the authority (the prefix/tail split), and a
+    # path-LEADING '..' residue collapses to '/' per RFC
+    # remove_dot_segments — a fetcher requests /q here (r14 ADVICE #2)
+    (BASE, "https://a.com/../q", "https://a.com/q"),
+    (BASE, "https://a.com/../../q", "https://a.com/q"),
+    (BASE, "https://a.com/../", "https://a.com/"),
+    (BASE, "https://a.com/..", "https://a.com/"),
+    # leading residue PRODUCED by the collapse chains resolves too
+    (BASE, "https://a.com/a/../../q", "https://a.com/q"),
+    # r14 ADVICE #1: WHATWG trims surrounding space/tab/CR/LF before
+    # scheme detection — multi-line attributes stay root-relative /
+    # absolute instead of falling into the generic-relative branch
+    (BASE, "\n  /page", "https://Base.com/page"),
+    (BASE, " https://x.com/a", "https://x.com/a"),
+    (BASE, "\t../up\r\n", "https://Base.com/dir/up"),
+    (BASE, "   ", None),  # whitespace-only trims to '' -> NULL
     # r13 links review #1: contains('://') is NOT absoluteness — the
     # ubiquitous outbound-redirect href resolves against the base
     (BASE, "/out?url=https://x.com", "https://Base.com/out?url=https://x.com"),
@@ -188,6 +202,49 @@ def test_duckdb_twins_cell_for_cell(spark):
     assert eng_l == orc_l
 
 
+def test_rfc_resolver_independent_oracle_parity(spark):
+    """The INDEPENDENT-algorithm resolver oracle
+    (duckdb_resolve_hrefs_rfc_sql: position arithmetic + a true
+    list_reduce stack fold — no shared pattern constants) agrees with
+    the engine on every hand-written fixture EXCEPT the documented
+    bounded-depth case, where the engine keeps the conservative
+    ``_DOTDOT_PASSES`` residue and the RFC stack resolves fully. That
+    divergence is pinned HERE so a plant drifting past the bound fails
+    loudly instead of silently hash-mismatching."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        duckdb_resolve_hrefs_rfc_sql,
+    )
+
+    rows = [(i, b, h) for i, (b, h, _) in enumerate(RESOLVE_CASES)]
+    df = spark.createDataFrame(rows, "id int, base string, href string")
+    eng = {
+        r.id: r.res for r in resolve_hrefs(df, "base", "href", "res").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    rfc = {
+        r[0]: r[3]
+        for r in con.execute(
+            duckdb_resolve_hrefs_rfc_sql("t", "base", "href", "res")
+        ).fetchall()
+    }
+    deep = {
+        i for i, (_, h, _w) in enumerate(RESOLVE_CASES)
+        if h == "../../../../../x"
+    }
+    assert deep, "the bounded-depth fixture must stay in RESOLVE_CASES"
+    for i, (b, h, want) in enumerate(RESOLVE_CASES):
+        if i in deep:
+            assert eng[i] == "https://h.com/a/../x"
+            assert rfc[i] == "https://h.com/x"
+        else:
+            assert eng[i] == rfc[i] == want, (
+                f"case {i}: {b!r} + {h!r}: engine {eng[i]!r} "
+                f"rfc {rfc[i]!r} want {want!r}"
+            )
+
+
 def test_link_edges_end_to_end_and_dedup(spark):
     df = spark.createDataFrame(
         [(BASE, HTML), (BASE, HTML)],  # duplicate page -> same edges
@@ -232,38 +289,47 @@ def test_temp_column_clash_guards(spark):
 
 
 # Dual-dialect HTML+href planting over the documents table — parsed
-# VERBATIM by Spark F.expr AND DuckDB (the _URL_PLANT_SQL discipline:
-# no backslashes, no apostrophes — double-quoted hrefs only; the
-# single-quote extractor keeps its unit fixtures above). PRE-STAGED for
-# a future swap: a declared `link_edges_docs` query would run this over
-# documents and oracle via the three builders — this twin test IS that
-# query at unit scale. Branches arm: absolute with port+utm (canon
-# work), root-relative, ../ relative, protocol-relative, and a
-# non-fetchable pair that must contribute NO edge.
-LINKS_PLANT_BASE_SQL = (
-    "'https://site' || CAST(doc_id % 20 AS STRING) || '.com/d'"
-    " || CAST(doc_id % 5 AS STRING) || '/sub/page'"
-    " || CAST(doc_id AS STRING) || '.html'"
+# VERBATIM by Spark F.expr AND DuckDB. DECLARED as of §5 swap #13: the
+# plant constants live in __spark_entry__ (the _PSL_PLANT_SQL
+# precedent); the tests below are the declared query's unit-scale
+# proofs — branch-coverage simulation (the r13 correlated-selector
+# lesson), the generated-twin replay via the three module builders,
+# AND the entry oracle itself (independent RFC resolver), cell for
+# cell against the entry query.
+from __spark_entry__ import (  # noqa: E402
+    _LINKS_PLANT_BASE_SQL as LINKS_PLANT_BASE_SQL,
+    _LINKS_PLANT_HTML_SQL as LINKS_PLANT_HTML_SQL,
 )
-LINKS_PLANT_HTML_SQL = """CASE doc_id % 5
-  WHEN 0 THEN '<p><a href="https://Hub.com:443/t?utm_source=x&amp;v='
-       || CAST(doc_id AS STRING) || '">h</a></p>'
-  WHEN 1 THEN '<a href="/idx' || CAST(doc_id % 7 AS STRING)
-       || '.html">r</a><a href="#frag">n</a>'
-  WHEN 2 THEN '<a href="../up' || CAST(doc_id % 3 AS STRING)
-       || '/p.html">u</a>'
-  WHEN 3 THEN '<A HREF="//cdn.site' || CAST(doc_id % 20 AS STRING)
-       || '.com/lib.js">c</A>'
-  ELSE '<a href="mailto:x@y.z">m</a><a href="rel'
-       || CAST(doc_id % 4 AS STRING) || '.html">q</a>'
-END"""
+
+
+def test_links_plant_selector_coverage():
+    """Simulate the plant in plain Python over the real doc_id range:
+    every branch's content selector must hit ALL its values (quotient
+    selectors floor(doc_id/7) % k are independent of the branch
+    selector doc_id % 7; %20 is coprime to 7), so no branch
+    degenerates to a single constant edge — the r13
+    correlated-selector lesson, where doc_id %5-in-%5 made most
+    combinations unreachable while still hashing exact."""
+    n = 600  # sf0.001 documents has >= this many rows
+    combos: dict[int, set[int]] = {b: set() for b in range(7)}
+    for doc_id in range(n):
+        b = doc_id % 7
+        q = doc_id // 7
+        c = {0: doc_id % 20, 1: q % 6, 2: q % 3, 3: doc_id % 20,
+             4: q % 4, 5: q % 5, 6: doc_id % 20}[b]
+        combos[b].add(c)
+    expect = {0: 20, 1: 6, 2: 3, 3: 20, 4: 4, 5: 5, 6: 20}
+    for b, k in expect.items():
+        assert len(combos[b]) == k, f"branch {b}: only {combos[b]}"
 
 
 def test_link_edges_plant_dual_dialect_hash_exact(spark):
-    """The pre-staged declared-query shape: planted pages over the
+    """The declared-query shape at unit scale: planted pages over the
     documents table through the FULL chain (extract → resolve →
-    canonicalize × 2 → distinct), Spark vs the DuckDB replay composed
-    from the module's own three builders — cell for cell."""
+    canonicalize × 2 → distinct), Spark vs (a) the DuckDB replay
+    composed from the module's own three builders AND (b) the entry's
+    actual ORACLES string (independent RFC resolver) — cell for cell,
+    three-way."""
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     pages = docs.select(
@@ -277,6 +343,20 @@ def test_link_edges_plant_dual_dialect_hash_exact(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
+    # (b) the entry oracle — the very string the driver runs
+    import __spark_entry__ as entry
+
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(entry.ORACLES["link_edges_docs"]).fetchall()
+    )
+    assert got == oracle
+    # and the entry QUERY is this same plant + chain
+    eq = sorted(
+        (r.src, r.dst)
+        for r in entry.QUERIES["link_edges_docs"](spark, sf).collect()
+    )
+    assert eq == got
     # the replay mirrors link_edges' in-array entity decode: the same
     # ordered ENTITY_REPLACES chain over the extracted raw href
     from azure_etl_databricks_sql_powerbi_spark.functions.html import (

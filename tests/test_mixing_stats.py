@@ -42,6 +42,48 @@ def test_corpus_stats_counts(spark):
     assert r["dup_rate"] == 1 / 3
 
 
+# The retired corpus_stats driver query's full SQL twin + hash-exact
+# proof (ROTATION_POLICY.md §5 swap #13: the data-card column set now
+# rides dataset_split_summary per split; the operator and this
+# cell-for-cell contract REMAIN — retirement removes driver-evidence
+# obligations, never capability).
+CORPUS_STATS_SQL = r"""
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT source)::BIGINT AS n_sources,
+           COUNT(DISTINCT lang)::BIGINT AS n_langs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(TRIM(text), '\s+'))
+                    END) AS BIGINT) AS total_tokens,
+           (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS exact_dup_docs,
+           (COUNT(*) - COUNT(DISTINCT text)) / COUNT(*) AS dup_rate
+    FROM documents
+"""
+
+
+def test_corpus_stats_twin_hash_exact(spark):
+    """The retired query's oracle contract, cell-for-cell at sf0.001
+    (the tests/test_gold_twins.py pattern for hash-exact retirees)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = corpus_stats(docs).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(CORPUS_STATS_SQL).fetchone()
+    cols = (
+        "n_docs", "n_sources", "n_langs", "total_chars", "total_tokens",
+        "exact_dup_docs", "dup_rate",
+    )
+    eng = {c: got[c] for c in cols}
+    orc = dict(zip([d[0] for d in con.execute(CORPUS_STATS_SQL).description],
+                   want))
+    assert eng == orc
+
+
 def test_min_cost_supplier_ties_resolve_to_lowest_suppkey(spark):
     lineitem = spark.createDataFrame(
         [

@@ -121,7 +121,8 @@ _ALLOWED_FLAGS = {
     # set (similarity/negatives.{hard_negatives,triplet_candidates} —
     # max_anchors ValueError bounds the broadcast side; the
     # ann_cosine_topk shape)
-    "hard_negatives": {"BNLJoin"},
+    # (hard_negatives retired r14, §5 swap #14 — its BNL plan contract
+    # is re-pointed at the operator in the negatives plan test below)
     "triplet_candidates": {"BNLJoin"},
     # 1-row global token total broadcast onto #domains rows (operators/mixing)
     "domain_mix_allocation": {"BNLJoin", "SinglePartitionExchange"},
@@ -520,8 +521,23 @@ def test_negative_mining_plans_broadcast_anchors_and_prune_topk(spark, entry):
     k rows per (anchor, partition), never the scored pair stream. A
     regression to a shuffled (sort-merge) pairing or an unpruned window
     would flip both markers."""
-    for name in ("hard_negatives", "triplet_candidates"):
-        plan = _plan(entry.queries()[name](spark, SF_SMOKE))
+    from azure_etl_databricks_sql_powerbi_spark.similarity.negatives import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plans = {
+        # hard_negatives' driver query retired r14 (§5 swap #14) — the
+        # plan contract is pinned on the operator directly, the
+        # small_quantity_part_revenue precedent
+        "hard_negatives": _plan(
+            hard_negatives(emb, emb.filter("vec_id < 8"), k=5)
+        ),
+        "triplet_candidates": _plan(
+            entry.queries()["triplet_candidates"](spark, SF_SMOKE)
+        ),
+    }
+    for name, plan in plans.items():
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "WindowGroupLimit" in plan, name
         # the pairing itself must not shuffle: no sort-merge join anywhere

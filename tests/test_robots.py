@@ -303,6 +303,11 @@ def test_url_path_twin_cell_for_cell(spark):
         ("https://a.com/x?q=1&r=2",),
         ("http://b.org:8080/p",),
         (None,),
+        # r14 ADVICE #3: no '://' -> NULL path (never substring(url, 3)
+        # garbage), identical in both dialects
+        ("relative/path.html",),
+        ("mailto:x@y.z",),
+        ("",),
     ]
     df = spark.createDataFrame(urls, "url string")
     got = [
@@ -328,3 +333,74 @@ def test_url_path_twin_cell_for_cell(spark):
     assert got[0] == "/" and got[2] == "/x/y.html"
     assert got[3] == "/x?q=1&r=2" and got[4] == "/p"
     assert got[5] is None
+    # the scheme-less tail is NULL, not garbage (r14 ADVICE #3)
+    assert got[-3:] == [None, None, None]
+
+
+def test_malformed_urls_default_allow_null_rule(spark, rules):
+    """A URL without '://' has no host (so no rules join) AND a NULL
+    path (r14 ADVICE #3) — it must default-allow with a NULL rule, not
+    emit a nonsense verdict or vanish."""
+    urls = spark.createDataFrame(
+        [
+            (1, "www.a.com/private/secret.html"),  # scheme-less
+            (2, "relative/private/x"),
+            (3, "https://www.a.com/private/x"),    # control: blocked
+        ],
+        "id long, url string",
+    )
+    v = {
+        r.id: (r.robots_allowed, r.robots_rule)
+        for r in filter_robots_allowed(
+            urls, rules, keep_verdict=True, row_id_col="id"
+        ).collect()
+    }
+    assert v[1] == (True, None)
+    assert v[2] == (True, None)
+    assert v[3] == (False, "disallow /private/")
+
+
+def test_shuffle_fallback_equivalent_to_broadcast(spark, rules):
+    """VERDICT r13 'What's wrong' #3: the rule-table broadcast is now
+    guarded, and ``broadcast_rules=False`` takes a shuffle equi-join on
+    the domain key instead — verdict columns must be IDENTICAL row for
+    row across both strategies (including duplicates, NULLs and
+    malformed URLs)."""
+    urls = spark.createDataFrame(
+        URLS + [(13, None), (14, "no-scheme/x")], "id long, url string"
+    )
+
+    def verdicts(**kw):
+        return sorted(
+            (r.id, r.robots_allowed, r.robots_rule)
+            for r in filter_robots_allowed(
+                urls, rules, keep_verdict=True, row_id_col="id", **kw
+            ).collect()
+        )
+
+    assert verdicts(broadcast_rules=False) == verdicts(broadcast_rules=True)
+    # both agents, filtered form too
+    for agent in ("*", "trainbot"):
+        a = {
+            r.id
+            for r in filter_robots_allowed(
+                urls, rules, agent=agent, broadcast_rules=False,
+                row_id_col="id",
+            ).collect()
+        }
+        b = {
+            r.id
+            for r in filter_robots_allowed(
+                urls, rules, agent=agent, row_id_col="id"
+            ).collect()
+        }
+        assert a == b
+
+
+def test_oversized_rule_table_raises_not_oom(spark, rules):
+    """require_broadcastable guards the broadcast side: past the cap
+    the call fails LOUDLY with the fallback named in the message,
+    instead of OOMing the driver mid-broadcast."""
+    urls = spark.createDataFrame(URLS[:2], "id long, url string")
+    with pytest.raises(ValueError, match="broadcast_rules=False"):
+        filter_robots_allowed(urls, rules, max_broadcast_rules=3)
