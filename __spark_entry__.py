@@ -3748,8 +3748,8 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-14 window: the r11-window cohort (ex-r7 cohort with
-    # the three §5 swaps; stalest on the board — last green r11,
+    # --- round-14 window: the r11-window cohort (ex-r7 cohort with §5
+    # swaps #1-#3 and #13-#14; stalest on the board — last green r11,
     # re-greens this round per ROTATION_POLICY.md §2) ---
     "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
     "pagerank_supplier_part": _q_pagerank_supplier_part,
@@ -4880,9 +4880,6 @@ ORACLES: dict[str, str] = {
             ) AS rank FROM pairs
         ) WHERE rank <= 5
     """,
-    # Twin of tests/test_negatives.py::NEGATIVES_SQL (pytest-proven before
-    # declaration, per ROTATION_POLICY.md §3): same cosine fold, same
-    # cross-label predicate, same (cos DESC, negative_id ASC) tie-break.
     "embedding_near_pairs": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
@@ -6495,7 +6492,7 @@ def _link_edges_oracle() -> str:
     risk. Hand-written RFC-3986 expectations and the pinned
     bounded-depth divergence: tests/test_links.py."""
     from azure_etl_databricks_sql_powerbi_spark.functions.html import (
-        ENTITY_REPLACES,
+        duckdb_decode_entities_sql,
     )
     from azure_etl_databricks_sql_powerbi_spark.functions.links import (
         duckdb_canonicalize_url_sql,
@@ -6503,12 +6500,7 @@ def _link_edges_oracle() -> str:
         duckdb_resolve_hrefs_rfc_sql,
     )
 
-    def _lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    dec = "raw"
-    for search, repl in ENTITY_REPLACES:
-        dec = f"replace({dec}, {_lit(search)}, {_lit(repl)})"
+    dec = duckdb_decode_entities_sql("raw")
     # AS MATERIALIZED throughout: DuckDB's default CTE inlining
     # substitutes each stage's expression tree into EVERY reference
     # site — with the deep resolve/canonicalize derivations the

@@ -184,6 +184,22 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def duckdb_decode_entities_sql(expr: str) -> str:
+    """DuckDB twin of the ordered ``ENTITY_REPLACES`` chain (the same
+    fold :func:`strip_html` and ``links.decode_href_entities`` run
+    JVM-side): literal ``replace`` steps in ORDER, ``&amp;`` last so a
+    double-escape decodes exactly once. ONE definition for every
+    oracle that replays the decode (the r14 review's
+    duplicated-fold finding) — returns a SQL expression string over
+    ``expr``."""
+    out = expr
+    for search, repl in ENTITY_REPLACES:
+        s = search.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{s}', '{r}')"
+    return out
+
+
 def duckdb_strip_html_sql(
     text_expr: str = "text", decode_entities: bool = True
 ) -> str:

@@ -646,16 +646,23 @@ def duckdb_resolve_hrefs_rfc_sql(
       positions — not regex extraction;
     - dot segments: a TRUE STACK FOLD (``list_reduce`` over
       ``string_split`` segments, RFC 3986 remove_dot_segments) —
-      not the engine's bounded regex passes. The one documented
-      divergence: ``../`` chains deeper than ``_DOTDOT_PASSES`` levels
-      resolve FULLY here while the engine conservatively keeps the
-      residue (``tests/test_links.py`` pins it); planted oracles stay
-      within the bound.
+      not the engine's bounded regex passes. THREE documented
+      divergence classes follow, all of the shape "the stack resolves
+      FULLY where the engine conservatively keeps residue"
+      (``tests/test_links.py`` pins each; planted oracles stay within
+      the engine's bounds): (a) ``../`` chains deeper than
+      ``_DOTDOT_PASSES`` levels; (b) ``./`` runs deeper than
+      ``_DOT_SEG_PASSES``; (c) segments consisting SOLELY of dots
+      (``/.../../x`` — ``DOTDOT_RE`` requires a non-dot char in the
+      preceding segment, the fold pops any segment).
 
     Returns a full SELECT over ``relation``: every input column
     (stage columns EXCLUDEd) plus ``out_col``. DuckDB-only — the
     lambda/EXCLUDE forms are not in the dual-dialect intersection."""
-    h = f"(trim(BOTH concat(' ', chr(9), chr(13), chr(10)) FROM {href_col}))"
+    # the WHATWG trim is SHARED semantics, not part of the independent
+    # surface — reuse the module constant so the engine and this oracle
+    # can never trim differently (r14 review #4)
+    h = f"({HREF_TRIM_SQL.format(href=href_col)})"
     pos = "coalesce(nullif(instr({s}, '{c}'), 0), length({s}) + 1)"
 
     def cut3(s: str) -> str:

@@ -157,12 +157,19 @@ def sitemap_frontier(
     xml_col: str = "xml",
     rules: DataFrame | None = None,
     agent: str = "*",
+    broadcast_rules: bool = True,
+    max_broadcast_rules: int = 2_000_000,
 ) -> DataFrame:
     """Page entries → canonical frontier URLs, optionally pruned by a
     robots rule table: ``parse_sitemap`` (url rows only, NULL locs
     dropped) → ``links.canonicalize_urls`` → distinct →
     ``robots.filter_robots_allowed`` when ``rules`` is given. Returns
-    one ``url`` column — the seed list a fetch stage consumes."""
+    one ``url`` column — the seed list a fetch stage consumes.
+    ``broadcast_rules``/``max_broadcast_rules`` forward to the robots
+    filter: a full-web frontier's rule table (~10^8 domains) is past
+    broadcast size, and THIS composition is exactly the consumer that
+    needs the shuffle equi-join-on-domain path
+    (``broadcast_rules=False``) rather than a ValueError."""
     from azure_etl_databricks_sql_powerbi_spark.functions.links import (
         canonicalize_urls,
     )
@@ -179,7 +186,13 @@ def sitemap_frontier(
             filter_robots_allowed,
         )
 
-        out = filter_robots_allowed(out, rules, agent=agent)
+        out = filter_robots_allowed(
+            out,
+            rules,
+            agent=agent,
+            broadcast_rules=broadcast_rules,
+            max_broadcast_rules=max_broadcast_rules,
+        )
     return out
 
 

@@ -202,15 +202,45 @@ def test_duckdb_twins_cell_for_cell(spark):
     assert eng_l == orc_l
 
 
+# The three documented engine-vs-RFC-fold divergence classes (see the
+# duckdb_resolve_hrefs_rfc_sql docstring): deep '../' chains, deep './'
+# runs, and all-dot segments. Each row = (base, href, engine_expected,
+# rfc_expected) — pinned EMPIRICALLY so a plant or fixture drifting
+# into one of these classes fails THIS loud pin instead of silently
+# hash-mismatching the declared query (r14 review #1).
+RFC_DIVERGENCE_CASES = [
+    (  # (a) ../ deeper than _DOTDOT_PASSES = 4
+        "https://h.com/a/b/c/d/e/f.html",
+        "../../../../../x",
+        "https://h.com/a/../x",
+        "https://h.com/x",
+    ),
+    (  # (b) ./ runs deeper than _DOT_SEG_PASSES = 2 (4+ adjacent)
+        "https://h.com/",
+        "https://h.com/./././././x",
+        "https://h.com/./x",
+        "https://h.com/x",
+    ),
+    (  # (c) all-dot segment: not 'collapsible' for DOTDOT_RE, popped
+        # by the stack fold
+        "https://h.com/",
+        "https://h.com/.../../x",
+        "https://h.com/.../../x",
+        "https://h.com/x",
+    ),
+]
+
+
 def test_rfc_resolver_independent_oracle_parity(spark):
     """The INDEPENDENT-algorithm resolver oracle
     (duckdb_resolve_hrefs_rfc_sql: position arithmetic + a true
     list_reduce stack fold — no shared pattern constants) agrees with
-    the engine on every hand-written fixture EXCEPT the documented
-    bounded-depth case, where the engine keeps the conservative
-    ``_DOTDOT_PASSES`` residue and the RFC stack resolves fully. That
-    divergence is pinned HERE so a plant drifting past the bound fails
-    loudly instead of silently hash-mismatching."""
+    the engine on every hand-written fixture EXCEPT the three
+    documented residue classes, where the engine keeps the
+    conservative bounded-pass residue and the RFC stack resolves
+    fully. Each divergence is pinned HERE (engine and RFC values BOTH
+    asserted) so a plant drifting past the bounds fails loudly
+    instead of silently hash-mismatching."""
     from azure_etl_databricks_sql_powerbi_spark.functions.links import (
         duckdb_resolve_hrefs_rfc_sql,
     )
@@ -243,6 +273,26 @@ def test_rfc_resolver_independent_oracle_parity(spark):
                 f"case {i}: {b!r} + {h!r}: engine {eng[i]!r} "
                 f"rfc {rfc[i]!r} want {want!r}"
             )
+    # all three documented residue classes, both sides pinned
+    drows = [
+        (i, b, h) for i, (b, h, _e, _r) in enumerate(RFC_DIVERGENCE_CASES)
+    ]
+    ddf = spark.createDataFrame(drows, "id int, base string, href string")
+    deng = {
+        r.id: r.res
+        for r in resolve_hrefs(ddf, "base", "href", "res").collect()
+    }
+    con.execute("CREATE TABLE d(id INT, base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", drows)
+    drfc = {
+        r[0]: r[3]
+        for r in con.execute(
+            duckdb_resolve_hrefs_rfc_sql("d", "base", "href", "res")
+        ).fetchall()
+    }
+    for i, (b, h, eng_want, rfc_want) in enumerate(RFC_DIVERGENCE_CASES):
+        assert deng[i] == eng_want, (i, b, h, deng[i])
+        assert drfc[i] == rfc_want, (i, b, h, drfc[i])
 
 
 def test_link_edges_end_to_end_and_dedup(spark):
@@ -310,7 +360,10 @@ def test_links_plant_selector_coverage():
     degenerates to a single constant edge — the r13
     correlated-selector lesson, where doc_id %5-in-%5 made most
     combinations unreachable while still hashing exact."""
-    n = 600  # sf0.001 documents has >= this many rows
+    # EXACTLY the sf0.001 table size — simulating doc_ids the shipped
+    # plant never renders would let coverage pass on phantom rows
+    # (r14 review #3)
+    n = 500
     combos: dict[int, set[int]] = {b: set() for b in range(7)}
     for doc_id in range(n):
         b = doc_id % 7
@@ -360,15 +413,10 @@ def test_link_edges_plant_dual_dialect_hash_exact(spark):
     # the replay mirrors link_edges' in-array entity decode: the same
     # ordered ENTITY_REPLACES chain over the extracted raw href
     from azure_etl_databricks_sql_powerbi_spark.functions.html import (
-        ENTITY_REPLACES,
+        duckdb_decode_entities_sql,
     )
 
-    def _lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    dec = "raw"
-    for search, repl in ENTITY_REPLACES:
-        dec = f"replace({dec}, {_lit(search)}, {_lit(repl)})"
+    dec = duckdb_decode_entities_sql("raw")
     res_sql = duckdb_resolve_hrefs_sql("url", f"({dec})")
     want = sorted(
         tuple(r)
