@@ -661,6 +661,11 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content-type filter), 1 -> request record (pruned by http_only),
 # 2/3/4 -> HTML response. Expected output rows = |{docs: id%5 >= 2}|,
 # pinned by tests/test_warc.py::test_warc_fixture_row_arithmetic.
+# The writer ALSO emits index.cdxj beside the shards (offsets recorded
+# while writing, one line per RECORD incl. the request/plain branches
+# select_captures must prune) — the staged warc_cdx_ranged_corpus
+# chain reads the corpus index-first and must return exactly the
+# full-scan rows (tests/test_cdx.py).
 _WARC_SHARD_CACHE: dict[str, str] = {}
 _WARC_N_SHARDS = 4
 
@@ -669,6 +674,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _WARC_SHARD_CACHE:
         return _WARC_SHARD_CACHE[sf_dir]
     import gzip
+    import json as _json
     import os
 
     out_dir = _scratch_dir("spark_graft_warc_")
@@ -681,6 +687,8 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         open(os.path.join(out_dir, f"shard-{i}.warc.gz"), "wb")
         for i in range(_WARC_N_SHARDS)
     ]
+    offsets = [0] * _WARC_N_SHARDS
+    index_lines: list[str] = []
     try:
         # toLocalIterator bounds driver memory at one partition
         for row in docs.toLocalIterator():
@@ -716,12 +724,32 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                 f"Content-Type: {ctype}\r\n"
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode()
-            shards[doc_id % _WARC_N_SHARDS].write(
-                gzip.compress(head + payload + b"\r\n\r\n")
+            member = gzip.compress(head + payload + b"\r\n\r\n")
+            si = doc_id % _WARC_N_SHARDS
+            meta = {
+                "url": f"http://corpus.example/doc/{doc_id}",
+                "digest": f"sha1:DOC{doc_id}",
+                "length": str(len(member)),
+                "offset": str(offsets[si]),
+                "filename": f"shard-{si}.warc.gz",
+            }
+            # request records carry no HTTP status/mime — their NULL
+            # status fails select_captures' filter, exactly like a
+            # real index's non-response lines
+            if kind != 1:
+                meta["status"] = "200"
+                meta["mime"] = http_ctype
+            index_lines.append(
+                f"example,corpus)/doc/{doc_id} "
+                f"2024010100{doc_id % 60:02d}00 {_json.dumps(meta)}"
             )
+            shards[si].write(member)
+            offsets[si] += len(member)
     finally:
         for fh in shards:
             fh.close()
+    with open(os.path.join(out_dir, "index.cdxj"), "w") as ih:
+        ih.write("\n".join(index_lines) + "\n")
     _WARC_SHARD_CACHE[sf_dir] = out_dir
     return out_dir
 
@@ -745,7 +773,12 @@ def _q_warc_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shard_dir = _warc_fixture_dir(spark, sf_dir)
-    return warc_html_corpus(spark, shard_dir, connector="paths")
+    # explicit suffix glob: the fixture dir also holds index.cdxj (the
+    # staged index-first chain's input) — the WARC scan must list
+    # shards only, the P5 suffix-predicate discipline
+    return warc_html_corpus(
+        spark, shard_dir + "/*.warc.gz", connector="paths"
+    )
 
 
 # CDXJ planting for _q_cdx_capture_selection (ROTATION_POLICY.md §5 swap

@@ -299,3 +299,46 @@ def test_cdx_plant_dual_dialect_hash_exact(spark):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) > 0
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_warc_cdx_ranged_corpus_staged(spark):
+    """STAGED declare-ready (ROTATION_POLICY §4: the composed
+    index-first chain, VERDICT r13 'What's missing' #3): the entry's
+    WARC fixture now writes index.cdxj beside its shards (offsets
+    recorded while writing, one line per record INCLUDING the
+    request/plain branches select_captures must prune), and
+    warc_cdx_ranged_corpus — read_cdxj → select_captures →
+    cdx_fetch_plan → read_warc_ranges → HTML prune → html_to_text —
+    must return EXACTLY the rows the full-scan warc_html_corpus
+    returns: the index decided WHICH bytes to fetch, the reader fetched
+    only those, and the text is identical. This test IS the future
+    declared query at unit scale (rows-only by necessity: DuckDB
+    cannot parse WARC)."""
+    import __spark_entry__ as entry
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        warc_cdx_ranged_corpus,
+        warc_html_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shard_dir = entry._warc_fixture_dir(spark, sf)
+    got = {
+        r.record_id: (r.target_uri, r.text)
+        for r in warc_cdx_ranged_corpus(
+            spark, shard_dir + "/index.cdxj", base_uri=shard_dir + "/"
+        ).collect()
+    }
+    want = {
+        r.record_id: (r.target_uri, r.text)
+        for r in warc_html_corpus(
+            spark, shard_dir + "/*.warc.gz", connector="paths"
+        ).collect()
+    }
+    # full-scan keeps text/plain OUT at the html filter and requests
+    # out at http_only; the index path prunes BOTH at selection time —
+    # identical survivors, identical text
+    assert got == want
+    assert len(got) > 0
+    # the fixture arithmetic: survivors are exactly doc_id % 5 >= 2
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(got) == sum(1 for d in range(n_docs) if d % 5 >= 2)
