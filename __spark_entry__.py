@@ -688,7 +688,10 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         for i in range(_WARC_N_SHARDS)
     ]
     offsets = [0] * _WARC_N_SHARDS
-    index_lines: list[str] = []
+    # index lines stream straight to disk — buffering the whole index
+    # in a list would contradict the loop's own bounded-memory
+    # discipline below (r14 review)
+    index_fh = open(os.path.join(out_dir, "index.cdxj"), "w")
     try:
         # toLocalIterator bounds driver memory at one partition
         for row in docs.toLocalIterator():
@@ -739,17 +742,16 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             if kind != 1:
                 meta["status"] = "200"
                 meta["mime"] = http_ctype
-            index_lines.append(
+            index_fh.write(
                 f"example,corpus)/doc/{doc_id} "
-                f"2024010100{doc_id % 60:02d}00 {_json.dumps(meta)}"
+                f"2024010100{doc_id % 60:02d}00 {_json.dumps(meta)}\n"
             )
             shards[si].write(member)
             offsets[si] += len(member)
     finally:
         for fh in shards:
             fh.close()
-    with open(os.path.join(out_dir, "index.cdxj"), "w") as ih:
-        ih.write("\n".join(index_lines) + "\n")
+        index_fh.close()
     _WARC_SHARD_CACHE[sf_dir] = out_dir
     return out_dir
 

@@ -320,7 +320,7 @@ def test_warc_cdx_ranged_corpus_staged(spark):
         warc_html_corpus,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = entry.SF0001
     shard_dir = entry._warc_fixture_dir(spark, sf)
     got = {
         r.record_id: (r.target_uri, r.text)
@@ -342,3 +342,75 @@ def test_warc_cdx_ranged_corpus_staged(spark):
     # the fixture arithmetic: survivors are exactly doc_id % 5 >= 2
     n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
     assert len(got) == sum(1 for d in range(n_docs) if d % 5 >= 2)
+
+
+def test_warc_cdx_ranged_corpus_dedup_winner(spark, tmp_path):
+    """The r14 review's vacuous-dedup finding: the entry fixture's
+    digests are unique, so the staged equivalence test cannot catch a
+    dedup regression. Here two captures share a digest with DIFFERENT
+    bodies and timestamps — the index-first chain must fetch ONLY the
+    deterministic winner (earliest ts per select_captures' pinned
+    ordering) and must not fetch the loser's bytes at all; with
+    dedup_by_digest=False both captures come back."""
+    import gzip as _gz
+    import json as _json
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        warc_cdx_ranged_corpus,
+    )
+
+    def record(rec_id: str, uri: str, body: bytes) -> bytes:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    recs = [
+        # (rec_id, uri, body, ts, digest) — r-a/r-b share a digest;
+        # r-a's EARLIER ts makes it the pinned winner
+        ("r-a", "http://ex.com/dup", b"<p>winner</p>", "20240101000000",
+         "sha1:SAME"),
+        ("r-b", "http://ex.com/dup2", b"<p>loser</p>", "20240102000000",
+         "sha1:SAME"),
+        ("r-c", "http://ex.com/solo", b"<p>solo</p>", "20240103000000",
+         "sha1:SOLO"),
+    ]
+    shard = tmp_path / "shard-0.warc.gz"
+    lines, off = [], 0
+    with open(shard, "wb") as fh:
+        for rid, uri, body, ts, digest in recs:
+            member = _gz.compress(record(rid, uri, body))
+            meta = {
+                "url": uri, "mime": "text/html", "status": "200",
+                "digest": digest, "length": str(len(member)),
+                "offset": str(off), "filename": shard.name,
+            }
+            lines.append(f"com,ex)/{rid} {ts} {_json.dumps(meta)}")
+            fh.write(member)
+            off += len(member)
+    (tmp_path / "idx.cdxj").write_text("\n".join(lines) + "\n")
+
+    deduped = {
+        r.record_id: r.text
+        for r in warc_cdx_ranged_corpus(
+            spark, str(tmp_path / "idx.cdxj"),
+            base_uri=str(tmp_path) + "/",
+        ).collect()
+    }
+    assert set(deduped) == {"<urn:uuid:r-a>", "<urn:uuid:r-c>"}
+    assert deduped["<urn:uuid:r-a>"] == "winner"
+    both = {
+        r.record_id
+        for r in warc_cdx_ranged_corpus(
+            spark, str(tmp_path / "idx.cdxj"),
+            base_uri=str(tmp_path) + "/", dedup_by_digest=False,
+        ).collect()
+    }
+    assert both == {"<urn:uuid:r-a>", "<urn:uuid:r-b>", "<urn:uuid:r-c>"}
