@@ -3783,68 +3783,9 @@ def _q_join_diagnostics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position; tests/test_oracle_parity.py checks ALL of them
 # at sf0.001 on every pytest run.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-14 window: the r11-window cohort (ex-r7 cohort with §5
-    # swaps #1-#3 and #13-#14; stalest on the board — last green r11,
+    # --- round-15 window: the r12-evidence cohort (ex-r9 cohort with §5
+    # swaps #4–7 in place; stalest on the board — last green r12,
     # re-greens this round per ROTATION_POLICY.md §2) ---
-    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
-    "pagerank_supplier_part": _q_pagerank_supplier_part,
-    "bm25_rank_docs": _q_bm25_rank_docs,
-    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
-    "quality_classifier_docs": _q_quality_classifier_docs,
-    "triplet_candidates": _q_triplet_candidates,
-    "customer_order_distribution": _q_customer_order_distribution,
-    "idle_customer_balance": _q_idle_customer_balance,
-    "dataset_split_summary": _q_dataset_split_summary,
-    "stratified_sample_docs": _q_stratified_sample_docs,
-    "pack_sequences_docs": _q_pack_sequences_docs,
-    "skewed_join_salted": _q_skewed_join_salted,
-    "stream_upsert_replay": _q_stream_upsert_replay,
-    "dpp_priority_revenue": _q_dpp_priority_revenue,
-    "near_dup_clusters": _q_near_dup_clusters,
-    "resample_daily_ffill": _q_resample_daily,
-    "cumulative_distinct_users": _q_cumulative_users,
-    "cohort_retention": _q_cohort_retention,
-    "funnel_conversion": _q_funnel_conversion,
-    "salient_terms": _q_salient_terms,
-    "decontaminate_docs": _q_decontaminate_docs,
-    "min_cost_supplier": _q_min_cost_supplier,
-    "important_suppliers": _q_important_suppliers,
-    "top_quarter_shippers": _q_top_quarter_shippers,
-    "part_supplier_breadth": _q_part_supplier_breadth,
-    "pii_scrub_docs": _q_pii_scrub_docs,
-    # §5 swap #13: link_edges_docs replaced corpus_stats in place (the
-    # one-row data card folded into dataset_split_summary's per-split
-    # stats columns; twin + proof moved to tests/test_mixing_stats.py)
-    "link_edges_docs": _q_link_edges_docs,
-    # §5 swap #14: sitemap_frontier replaced hard_negatives in place
-    # (same broadcast-anchor BNL family as the still-declared
-    # triplet_candidates; twin + proof live in tests/test_negatives.py)
-    "sitemap_frontier": _q_sitemap_frontier,
-    "domain_mix_allocation": _q_domain_mix,
-    "trade_volume_q7": _q_trade_volume,
-    "market_share_q8": _q_market_share,
-    "large_quantity_orders_q18": _q_large_quantity_orders,
-    "bracket_revenue_q19": _q_bracket_revenue,
-    "sole_return_supplier_q21": _q_sole_return_supplier,
-    "vocab_top100": _q_vocab_top100,
-    "price_histogram": _q_price_histogram,
-    "approx_percentiles_by_status": _q_approx_percentiles,
-    "repetition_ratio_docs": _q_repetition_ratio,
-    "revenue_change_q6": _q_revenue_change_q6,
-    "priority_line_health_q12": _q_priority_line_health_q12,
-    "promo_revenue_q14": _q_promo_revenue_q14,
-    "stats_profile_lineitem": _q_stats_profile,
-    "order_rank_distribution": _q_order_rank_distribution,
-    "dedup_spans_docs": _q_dedup_spans_docs,
-    "semantic_dedup_embeddings": _q_semantic_dedup,
-    "full_curation_pipeline": _q_full_curation,
-    "asof_forward_tolerance": _q_asof_forward_tolerance,
-    "stateful_running_totals": _q_stateful_running_totals,
-    "pricing_summary": _q_pricing_summary,
-    "merge_upsert_orders": _q_merge_upsert,
-    # ================= end of the 50-entry driver window =================
-    # --- round-12-evidence cohort (the ex-r9 cohort with §5 swaps
-    # #4–#7 in place; re-greens in the r15 window) ---
     "triangle_counts_parts": _q_triangle_counts_parts,
     "clustering_coefficients_parts": _q_clustering_coefficients_parts,
     "label_propagation_parts": _q_label_propagation_parts,
@@ -3895,8 +3836,9 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_customer_status": _q_scd2_customer_status,
     "normalize_text_docs": _q_normalize_text_docs,
     "gopher_quality_docs": _q_gopher_quality_docs,
+    # ================= end of the 50-entry driver window =================
     # --- round-13-evidence cohort (the ex-r10 cohort with §5 swaps
-    # #8–#12 in place; freshest — re-greens in the r16 window) ---
+    # #8–12 in place; re-greens in the r16 window) ---
     "strip_boilerplate_docs": _q_strip_boilerplate_docs,
     "mixture_curation_budget": _q_mixture_curation_budget,
     "join_diagnostics_summary": _q_join_diagnostics_summary,
@@ -3954,6 +3896,64 @@ QUERIES: dict[str, QueryFn] = {
     "pretraining_prep": _q_pretraining_prep,
     "sessionize_stream": _q_sessionize_stream,
     "order_priority_exists": _q_order_priority_exists,
+    # --- round-14-evidence cohort (the ex-r11/r7 cohort with §5 swaps
+    # #1–3 and #13–14 in place; freshest — re-greens in the r17 window) ---
+    "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+    "pagerank_supplier_part": _q_pagerank_supplier_part,
+    "bm25_rank_docs": _q_bm25_rank_docs,
+    "ann_ivfpq_day2": _q_ann_ivfpq_day2,
+    "quality_classifier_docs": _q_quality_classifier_docs,
+    "triplet_candidates": _q_triplet_candidates,
+    "customer_order_distribution": _q_customer_order_distribution,
+    "idle_customer_balance": _q_idle_customer_balance,
+    "dataset_split_summary": _q_dataset_split_summary,
+    "stratified_sample_docs": _q_stratified_sample_docs,
+    "pack_sequences_docs": _q_pack_sequences_docs,
+    "skewed_join_salted": _q_skewed_join_salted,
+    "stream_upsert_replay": _q_stream_upsert_replay,
+    "dpp_priority_revenue": _q_dpp_priority_revenue,
+    "near_dup_clusters": _q_near_dup_clusters,
+    "resample_daily_ffill": _q_resample_daily,
+    "cumulative_distinct_users": _q_cumulative_users,
+    "cohort_retention": _q_cohort_retention,
+    "funnel_conversion": _q_funnel_conversion,
+    "salient_terms": _q_salient_terms,
+    "decontaminate_docs": _q_decontaminate_docs,
+    "min_cost_supplier": _q_min_cost_supplier,
+    "important_suppliers": _q_important_suppliers,
+    "top_quarter_shippers": _q_top_quarter_shippers,
+    "part_supplier_breadth": _q_part_supplier_breadth,
+    "pii_scrub_docs": _q_pii_scrub_docs,
+    # §5 swap #13: link_edges_docs replaced corpus_stats in place (the
+    # one-row data card folded into dataset_split_summary's per-split
+    # stats columns; twin + proof moved to tests/test_mixing_stats.py)
+    "link_edges_docs": _q_link_edges_docs,
+    # §5 swap #14: sitemap_frontier replaced hard_negatives in place
+    # (same broadcast-anchor BNL family as the still-declared
+    # triplet_candidates; twin + proof live in tests/test_negatives.py)
+    "sitemap_frontier": _q_sitemap_frontier,
+    "domain_mix_allocation": _q_domain_mix,
+    "trade_volume_q7": _q_trade_volume,
+    "market_share_q8": _q_market_share,
+    "large_quantity_orders_q18": _q_large_quantity_orders,
+    "bracket_revenue_q19": _q_bracket_revenue,
+    "sole_return_supplier_q21": _q_sole_return_supplier,
+    "vocab_top100": _q_vocab_top100,
+    "price_histogram": _q_price_histogram,
+    "approx_percentiles_by_status": _q_approx_percentiles,
+    "repetition_ratio_docs": _q_repetition_ratio,
+    "revenue_change_q6": _q_revenue_change_q6,
+    "priority_line_health_q12": _q_priority_line_health_q12,
+    "promo_revenue_q14": _q_promo_revenue_q14,
+    "stats_profile_lineitem": _q_stats_profile,
+    "order_rank_distribution": _q_order_rank_distribution,
+    "dedup_spans_docs": _q_dedup_spans_docs,
+    "semantic_dedup_embeddings": _q_semantic_dedup,
+    "full_curation_pipeline": _q_full_curation,
+    "asof_forward_tolerance": _q_asof_forward_tolerance,
+    "stateful_running_totals": _q_stateful_running_totals,
+    "pricing_summary": _q_pricing_summary,
+    "merge_upsert_orders": _q_merge_upsert,
 }
 
 
