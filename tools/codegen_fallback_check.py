@@ -1,0 +1,59 @@
+"""Silent-codegen-fallback sweep (VERDICT r14 "Next round" #3).
+
+The r14 judge found `url_provenance_docs` running its main projection
+INTERPRETED: a multi-reference expression blew Janino's 64 KB generated-
+method limit, `ERROR CodeGenerator: Failed to compile` landed only in
+executor stderr, and Spark silently degraded the stage — correctness
+stayed EXACT, so nothing on the board noticed for two rounds. This tool
+makes that failure class LOUD for every declared query:
+
+- ``spark.sql.codegen.fallback=false`` — a whole-stage-codegen compile
+  failure THROWS instead of silently interpreting the stage.
+- ``spark.sql.codegen.factoryMode=CODEGEN_ONLY`` — expression-level
+  codegen (UnsafeProjection / Predicate / Ordering, used outside WSCG)
+  throws instead of falling back to interpreted evaluation.
+
+Every `entry.queries()` callable is executed to completion (collect) at
+the smoke scale under those confs; any Janino blowup anywhere in any
+plan surfaces as a per-query failure. Run it after adding or touching
+any Column-expression-heavy operator.
+
+Usage::
+
+    python /root/repo/tools/codegen_fallback_check.py            # all 150
+    python /root/repo/tools/codegen_fallback_check.py q1 q2 ...  # specific
+
+Prints one JSON line; exit 0 iff every checked query compiles.
+"""
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+
+from azure_etl_databricks_sql_powerbi_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_CODEGEN_SF", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(entry.queries())
+    spark = get_spark(app_name="codegen-sweep", master="local[8]")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    q = entry.queries()
+    failures: dict[str, str] = {}
+    for n in names:
+        try:
+            q[n](spark, SF).collect()
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            failures[n] = f"{type(e).__name__}: {e}"[:400]
+    print(json.dumps({"sf": SF, "checked": len(names), "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
