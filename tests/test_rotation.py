@@ -92,6 +92,13 @@ def test_every_query_has_oracle_or_documented_exemption():
         # the binaryFile≡paths connector identity, and the fixture row
         # arithmetic in tests/test_warc.py (declared r13, §5 swap #9)
         "warc_html_corpus",
+        # index-first WARC ingestion (declared r15, §5 swap #15): same
+        # no-WARC-reader-in-DuckDB necessity as warc_html_corpus;
+        # semantics pinned by tests/test_cdx.py (index-first rows ≡
+        # full-scan rows on the digest-unique fixture, deterministic-
+        # winner selection on planted duplicate digests) and the
+        # ranged-reader bounds/exact-range units in tests/test_warc.py
+        "warc_cdx_ranged_corpus",
         # persisted-index day-2 probes: same no-SQL-twin hashes as the
         # one-shot variants; no-corpus-rescan plan + recall unit-tested
         "minhash_near_dup_day2",
@@ -110,7 +117,6 @@ def test_every_query_has_oracle_or_documented_exemption():
         # pinned in tests/test_compress.py (declared r12, §5 swap #5)
         "compression_band_docs",
         # codec featurization: roundtrip/determinism unit-tested
-        "media_frames",
         "media_decode_features",
         "audio_features",
         # greedy iterative merge replay is not SQL-expressible; paper
