@@ -234,7 +234,16 @@ def filter_robots_allowed(
     worth of rules). ``broadcast_rules=False`` takes the shuffle
     equi-join on the domain key instead — same verdicts
     (unit-pinned), linear scale-out, for rule tables past broadcast
-    size."""
+    size.
+
+    NOTE the guard is EAGER: it runs a ``limit(cap+1).count()`` Spark
+    job when this function is CALLED (not when the result is
+    consumed), and the rule-table lineage is then evaluated again by
+    the real query — acceptable when rules come from a small parse,
+    but if deriving them is expensive, ``rules.persist()`` before
+    calling (probe and join then share one evaluation) or pass
+    ``broadcast_rules=False``, which skips the probe entirely (the
+    r14 ADVICE eager-probe note)."""
     from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
         registered_domain,
     )

@@ -83,14 +83,17 @@ def _field_value(block: Column, pat: str) -> Column:
     (&amp; LAST for double-escape correctness): sitemaps.org REQUIRES
     entity-escaping of data values, so every multi-parameter URL
     arrives as '...?a=1&amp;b=2' — skipping the decode corrupts the
-    loc the fetch stage requests (r13 sitemap review #1)."""
-    from azure_etl_databricks_sql_powerbi_spark.functions.html import (
-        ENTITY_REPLACES,
+    loc the fetch stage requests (r13 sitemap review #1). The fold is
+    links.decode_href_entities — ONE engine-side definition, mirroring
+    the oracle side's single duckdb_decode_entities_sql builder (the
+    r14 ADVICE de-duplication)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        decode_href_entities,
     )
 
-    out = F.btrim(F.regexp_extract(block, pat, 1), F.lit(_TRIM_CHARS))
-    for search, repl in ENTITY_REPLACES:
-        out = F.replace(out, F.lit(search), F.lit(repl))
+    out = decode_href_entities(
+        F.btrim(F.regexp_extract(block, pat, 1), F.lit(_TRIM_CHARS))
+    )
     return F.nullif(out, F.lit(""))
 
 
@@ -211,7 +214,7 @@ def duckdb_parse_sitemap_sql(
     extraction, same trim/nullif/double-cast. Returns a full SELECT
     over ``docs_relation``."""
     from azure_etl_databricks_sql_powerbi_spark.functions.html import (
-        ENTITY_REPLACES,
+        duckdb_decode_entities_sql,
     )
 
     keep = "".join(f"{c}, " for c in keep_cols)
@@ -219,15 +222,13 @@ def duckdb_parse_sitemap_sql(
     # ASCII (the functions/normalize twin convention)
     trim_chars = "concat(' ', chr(9), chr(10), chr(13))"
 
-    def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
     def field(pat: str, alias: str) -> str:
-        v = (
+        # entity decode via the ONE shared builder (the r14 ADVICE
+        # finding: a private replace-loop here contradicted
+        # duckdb_decode_entities_sql's single-definition purpose)
+        v = duckdb_decode_entities_sql(
             f"trim(regexp_extract(block, '{pat}', 1), {trim_chars})"
         )
-        for search, repl in ENTITY_REPLACES:
-            v = f"replace({v}, {lit(search)}, {lit(repl)})"
         return f"nullif({v}, '') AS {alias}"
 
     field_sql = ",\n               ".join(

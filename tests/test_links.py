@@ -368,12 +368,28 @@ def test_links_plant_selector_coverage():
     for doc_id in range(n):
         b = doc_id % 7
         q = doc_id // 7
-        c = {0: doc_id % 20, 1: q % 6, 2: q % 3, 3: doc_id % 20,
+        # branch 0's planted href varies by doc_id ITSELF (the v=
+        # query param — unbounded distinct dst, one per branch-0 doc);
+        # %20 selectors below are the branches whose CONTENT uses them
+        # (3 and 6). The r14 ADVICE fix: the old map modeled branch 0
+        # with the page-URL's %20 selector, which is not what the
+        # plant renders for that branch.
+        c = {0: doc_id, 1: q % 6, 2: q % 3, 3: doc_id % 20,
              4: q % 4, 5: q % 5, 6: doc_id % 20}[b]
         combos[b].add(c)
-    expect = {0: 20, 1: 6, 2: 3, 3: 20, 4: 4, 5: 5, 6: 20}
+    n_b0 = len([d for d in range(n) if d % 7 == 0])
+    expect = {0: n_b0, 1: 6, 2: 3, 3: 20, 4: 4, 5: 5, 6: 20}
     for b, k in expect.items():
         assert len(combos[b]) == k, f"branch {b}: only {combos[b]}"
+    # the PAGE-URL host selector (base plant: doc_id % 20, all
+    # branches) must also cover all 20 hosts WITHIN every branch —
+    # relative-href resolution depends on the base, so a branch stuck
+    # on one host would exercise one resolution base only
+    base_combos: dict[int, set[int]] = {b: set() for b in range(7)}
+    for doc_id in range(n):
+        base_combos[doc_id % 7].add(doc_id % 20)
+    for b, hosts in base_combos.items():
+        assert len(hosts) == 20, f"branch {b}: hosts {sorted(hosts)}"
 
 
 def test_link_edges_plant_dual_dialect_hash_exact(spark):
