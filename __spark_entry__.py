@@ -1165,8 +1165,9 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media metadata over GENERATED REAL PNGs — the same
-    provenance as media_frames / media_decode_features (VERDICT-r5 nit:
-    this query was the last one on synthetic fake-media bytes). Each doc
+    provenance as media_decode_features (and the r15-retired
+    media_frames, §5 swap #15; VERDICT-r5 nit: this query was the last
+    one on synthetic fake-media bytes). Each doc
     gets a valid in-plan PNG (stored-deflate, per-row height = 8 +
     doc_id % 9) and the engine extracts (media_type sniffed from real
     magic bytes, n_bytes) JVM-side. With compress_level=0 the PNG length

@@ -40,15 +40,20 @@ SF = os.environ.get("SPARK_GRAFT_CODEGEN_SF", "/root/testdata/sf0.001")
 
 
 def main() -> int:
-    names = sys.argv[1:] or list(entry.queries())
+    q_all = entry.queries()
+    names = sys.argv[1:] or list(q_all)
+    unknown = [n for n in names if n not in q_all]
+    if unknown:
+        # fail BEFORE the sweep: a typo'd name must not be reported as
+        # a codegen failure while the intended query silently never runs
+        raise SystemExit(f"unknown queries: {unknown}")
     spark = get_spark(app_name="codegen-sweep", master="local[8]")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    q = entry.queries()
     failures: dict[str, str] = {}
     for n in names:
         try:
-            q[n](spark, SF).collect()
+            q_all[n](spark, SF).collect()
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             failures[n] = f"{type(e).__name__}: {e}"[:400]
     print(json.dumps({"sf": SF, "checked": len(names), "failures": failures}))
