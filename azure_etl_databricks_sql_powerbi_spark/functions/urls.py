@@ -169,20 +169,25 @@ def filter_blocklisted_domains(
             out = out.filter(F.col(tmp).isNotNull())
         return out if keep_domain_col else out.drop(tmp)
     blocked = [b.lower() for b in blocked]
-    cond = ~dom.isin(*blocked) if blocked else F.lit(True)
+    # project the domain ONCE and filter on the attribute: cond
+    # references it up to 3x (isin + null guard + keep column), and
+    # each Column-level reference is a full copy of the regex chain —
+    # the registered_domain single-reference discipline, applied at
+    # the DataFrame level (mirrors the DataFrame-blocklist branch)
+    tmp = keep_domain_col or "__dom"
+    if tmp in df.columns:
+        raise ValueError(
+            f"filter_blocklisted_domains uses '{tmp}' as a temp "
+            f"column; rename the existing '{tmp}' column first"
+        )
+    d = F.col(tmp)
+    cond = ~d.isin(*blocked) if blocked else F.lit(True)
     if keep_unparseable:
-        cond = dom.isNull() | cond
+        cond = d.isNull() | cond
     else:
-        cond = dom.isNotNull() & cond
-    out = df.filter(cond)
-    if keep_domain_col:
-        if keep_domain_col in df.columns:
-            raise ValueError(
-                f"filter_blocklisted_domains uses '{keep_domain_col}' as "
-                f"a temp column; rename the existing column first"
-            )
-        out = out.withColumn(keep_domain_col, dom)
-    return out
+        cond = d.isNotNull() & cond
+    out = df.withColumn(tmp, dom).filter(cond)
+    return out if keep_domain_col else out.drop(tmp)
 
 
 def domain_stats(

@@ -453,3 +453,51 @@ def test_resync_recovers_next_member_at_every_window_alignment():
         assert got[0] == "<urn:uuid:info-1>", cs
         assert "<urn:uuid:resp-1>" in got, cs   # member AFTER the corrupt one
         assert "<urn:uuid:resp-2>" in got, cs
+
+
+def test_warc_wet_write_readback_staged(spark, tmp_path):
+    """STAGED declare-ready (ROTATION_POLICY §4, r15): the WET
+    write->read-back corpus shape at documents-table scale — the query
+    a future swap would declare rows-only (DuckDB cannot parse WARC).
+    Curated text from the sf0.001 documents table is written as
+    conversion records BY THE EXECUTORS (one gzip shard per partition,
+    manifest returned) and read back via the batch connector: row set
+    ≡ input (uri, text) pairs including non-ASCII, record ids
+    deterministic (md5 of uri+text), shard count == input partitions.
+    This test IS the future declared query at unit scale."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from azure_etl_databricks_sql_powerbi_spark.sources.warc import (
+        write_warc_conversions,
+    )
+
+    docs = spark.read.parquet(f"{entry.SF0001}/documents.parquet")
+    df = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.concat(
+                F.lit("http://corpus.example/doc/"), F.col("doc_id")
+            ).alias("target_uri"),
+            F.concat(
+                F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")
+            ).alias("record_id"),
+            "text",
+        )
+        .repartition(4)
+    )
+    out = str(tmp_path / "wet_corpus")
+    manifest = write_warc_conversions(df, out).collect()
+    n_in = df.count()
+    assert sum(m.n_records for m in manifest) == n_in
+    assert len(manifest) == 4  # one shard per partition, none empty
+
+    back = read_warc(spark, out + "/*.warc.gz")
+    got = {(r.target_uri, r.body_text) for r in back.collect()}
+    want = {(r.target_uri, r.text) for r in df.collect()}
+    assert got == want
+    # determinism across re-writes (bench runs each query 3x): md5
+    # record ids, not uuids
+    out2 = str(tmp_path / "wet_corpus2")
+    write_warc_conversions(df, out2).collect()
+    ids = lambda d: {r.record_id for r in read_warc(spark, d).collect()}  # noqa: E731
+    assert ids(out) == ids(out2)
