@@ -51,12 +51,33 @@ def main() -> int:
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     failures: dict[str, str] = {}
+    plan_chars: dict[str, int] = {}
     for n in names:
         try:
-            q_all[n](spark, SF).collect()
+            df = q_all[n](spark, SF)
+            # optimized-plan size rides along as an observatory for the
+            # NEXT blowup: the multi-reference class grows plan text long
+            # before it breaks Janino (r13 measured 28.5M chars; healthy
+            # queries sit well under 300k — the test_links bound)
+            plan_chars[n] = len(
+                df._jdf.queryExecution().optimizedPlan().toString()
+            )
+            df.collect()
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             failures[n] = f"{type(e).__name__}: {e}"[:400]
-    print(json.dumps({"sf": SF, "checked": len(names), "failures": failures}))
+    top = dict(
+        sorted(plan_chars.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "sf": SF,
+                "checked": len(names),
+                "failures": failures,
+                "top_plan_chars": top,
+            }
+        )
+    )
     return 1 if failures else 0
 
 
