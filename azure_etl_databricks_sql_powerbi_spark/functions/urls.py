@@ -169,25 +169,30 @@ def filter_blocklisted_domains(
             out = out.filter(F.col(tmp).isNotNull())
         return out if keep_domain_col else out.drop(tmp)
     blocked = [b.lower() for b in blocked]
-    # project the domain ONCE and filter on the attribute: cond
-    # references it up to 3x (isin + null guard + keep column), and
-    # each Column-level reference is a full copy of the regex chain —
-    # the registered_domain single-reference discipline, applied at
-    # the DataFrame level (mirrors the DataFrame-blocklist branch)
-    tmp = keep_domain_col or "__dom"
-    if tmp in df.columns:
-        raise ValueError(
-            f"filter_blocklisted_domains uses '{tmp}' as a temp "
-            f"column; rename the existing '{tmp}' column first"
-        )
-    d = F.col(tmp)
-    cond = ~d.isin(*blocked) if blocked else F.lit(True)
-    if keep_unparseable:
-        cond = d.isNull() | cond
-    else:
-        cond = d.isNotNull() & cond
-    out = df.withColumn(tmp, dom).filter(cond)
-    return out if keep_domain_col else out.drop(tmp)
+
+    def _verdict(d: Column) -> Column:
+        cond = ~d.isin(*blocked) if blocked else F.lit(True)
+        if keep_unparseable:
+            return d.isNull() | cond
+        return d.isNotNull() & cond
+
+    # evaluate the domain extraction ONCE per row: the verdict
+    # references it 2x (null guard + isin), each Column-level reference
+    # is a full copy of the regex chain, and a plain aliased projection
+    # does NOT help — filter pushdown re-inlines project aliases into
+    # the pushed predicate (PushPredicateThroughNonJoin; the r15 review
+    # verified the re-inlined plan empirically). The transform-lambda
+    # barrier is the same single-reference discipline registered_domain
+    # uses internally.
+    out = df.filter(F.element_at(F.transform(F.array(dom), _verdict), 1))
+    if keep_domain_col:
+        if keep_domain_col in df.columns:
+            raise ValueError(
+                f"filter_blocklisted_domains uses '{keep_domain_col}' as "
+                f"a temp column; rename the existing column first"
+            )
+        out = out.withColumn(keep_domain_col, dom)
+    return out
 
 
 def domain_stats(

@@ -422,3 +422,21 @@ def test_registered_domain_projection_compiles(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(opt) < 50_000, f"provenance plan blew up: {len(opt)} chars"
     assert opt.count("regexp_extract") <= 16, opt.count("regexp_extract")
+
+
+def test_literal_blocklist_single_domain_evaluation(spark):
+    """Pin for the r15 review finding: a plain aliased projection does
+    NOT single-evaluate the domain for the literal-blocklist filter —
+    filter pushdown re-inlines project aliases into the pushed
+    predicate, restoring 2-3 copies of the regex chain. The verdict now
+    runs inside a transform lambda over a 1-element array of the domain
+    (the registered_domain barrier, one level up), so the optimized
+    plan carries exactly ONE url_host evaluation: host6 x2 + host x2 =
+    4 regexp_extract occurrences, not 8."""
+    df = spark.createDataFrame(
+        [("https://a.example.com/x",), ("notaurl",)], "url string"
+    )
+    out = filter_blocklisted_domains(df, "url", ["bad.com"])
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_extract") <= 4, opt.count("regexp_extract")
+    assert [r.url for r in out.collect()] == ["https://a.example.com/x"]

@@ -58,10 +58,20 @@ def main() -> int:
             # optimized-plan size rides along as an observatory for the
             # NEXT blowup: the multi-reference class grows plan text long
             # before it breaks Janino (r13 measured 28.5M chars; healthy
-            # queries sit well under 300k — the test_links bound)
-            plan_chars[n] = len(
-                df._jdf.queryExecution().optimizedPlan().toString()
-            )
+            # queries sit well under 300k — the test_links bound).
+            # Its OWN try: a failure stringifying a multi-megachar plan
+            # must be reported as a measurement error, not masquerade as
+            # a codegen failure — and must not skip the real check below
+            try:
+                plan_chars[n] = len(
+                    df._jdf.queryExecution().optimizedPlan().toString()
+                )
+            except Exception as e:  # noqa: BLE001
+                plan_chars[n] = -1
+                print(
+                    f"# plan-size measurement failed for {n}: {e}"[:200],
+                    file=sys.stderr,
+                )
             df.collect()
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             failures[n] = f"{type(e).__name__}: {e}"[:400]
