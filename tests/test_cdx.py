@@ -414,3 +414,25 @@ def test_warc_cdx_ranged_corpus_dedup_winner(spark, tmp_path):
         ).collect()
     }
     assert both == {"<urn:uuid:r-a>", "<urn:uuid:r-b>", "<urn:uuid:r-c>"}
+
+
+def test_warc_cdx_ranged_corpus_plan_shape(spark):
+    """The declared chain's scale contract as a plan pin (r15): BOTH
+    Exchanges sit on the INDEX side (hashpartitioning on digest — the
+    dedup window; hashpartitioning on filename — the per-shard fetch
+    plan), the ranged fetch is ONE MapInPandas, and nothing downstream
+    of it ever shuffles — at 100 TB the index rows are ~1/1000 of the
+    corpus bytes, so the only shuffles in the chain move metadata,
+    never fetched content."""
+    import __spark_entry__ as entry
+
+    df = entry.QUERIES["warc_cdx_ranged_corpus"](spark, entry.SF0001)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 2, phys.count("Exchange")
+    assert "hashpartitioning(digest" in phys
+    assert "hashpartitioning(filename" in phys
+    assert phys.count("MapInPandas") == 1
+    # the fetched-content tail (everything ABOVE the MapInPandas in the
+    # plan string) is shuffle-free: project/filter/Arrow-eval only
+    tail = phys.split("MapInPandas")[0]
+    assert "Exchange" not in tail, tail
