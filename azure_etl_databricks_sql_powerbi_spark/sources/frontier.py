@@ -1,0 +1,302 @@
+"""Crawl-frontier politeness scheduling — the stage between the crawl
+index's fetch plan (WHICH bytes: ``sources/cdx.cdx_fetch_plan``) and the
+ranged fetch (``sources/warc.read_warc_ranges``): WHEN each capture may
+be fetched. A crawler that hammers one host gets blocked (and is rude);
+the politeness contract is *serialize within a host, parallelize across
+hosts*, with the per-host spacing coming from robots.txt
+``Crawl-delay`` where the publisher declares one.
+
+North-star extension: the reference engine at /root/reference has no
+crawl surface (its closest analog is the REST source's fixed inter-page
+rate limiting, `rest_api.py:58-93` — a single-stream politeness knob);
+this module is the archive-scale generalization: per-HOST spacing over
+millions of hosts at once.
+
+Two stages, both pure Catalyst:
+
+1. **``crawl_delays``** — parsed robots rules (``functions/robots.
+   parse_robots`` output) → one ``(domain, delay_s)`` row per domain.
+   Group selection per REP exactly as ``filter_robots_allowed``: the
+   exact agent's group if the domain declares one (marker rows make
+   zero-rule groups visible), else the ``*`` group — and an exact
+   group WITHOUT a Crawl-delay means "no declared delay" (the
+   default), never the ``*`` group's value. Within the winning group
+   the LARGEST valid value wins (REP leaves multiples undefined;
+   largest is the conservative, deterministic choice). Invalid values
+   (non-numeric, negative) are ignored per-line — a typo must not
+   un-declare the group. One hash aggregate, no window, no shuffle of
+   anything bigger than the rule table.
+2. **``fetch_schedule``** — captures (the ``sources/cdx``
+   ``select_captures`` shape, or any frame with a URL) × delays →
+   per-capture ``(host, lane, slot, delay_s, scheduled_offset_s)``:
+   ``slot`` is the capture's position in its host's deterministic
+   fetch order (caller-supplied total order — default the CDX winner
+   order ``ts, urlkey, filename, offset``), ``scheduled_offset_s =
+   (slot - 1) * delay_s`` is the earliest start relative to the
+   host's first fetch, and ``lane`` routes the host to one of
+   ``n_lanes`` fetch workers via the portable md5-prefix bucket
+   (``operators/sampling.hash_bucket`` — the SAME arithmetic the
+   DuckDB oracle replays, so lane assignment is engine-independent
+   and stable across re-runs/partitionings).
+
+100 TB shape: the delay table is per-domain KB-to-MB scale —
+broadcast, guarded by ``util.require_broadcastable`` with the proven
+shuffle equi-join fallback (the ``filter_robots_allowed`` r14
+discipline); the ONE shuffle is the per-host window over index
+METADATA rows (urlkey/ts/offset — never payload bytes), the same class
+as ``cdx_fetch_plan``'s groupBy. Hosts are the natural unit of
+politeness and the natural skew risk: a mega-host's captures land in
+one window partition, but its schedule is inherently sequential — the
+skew is the semantics, not an accident, and lanes keep the *worker*
+assignment balanced across hosts.
+
+Oracle/twin: ``duckdb_crawl_delays_sql`` replays the group selection +
+aggregate from the module's own constants; the full schedule twin
+(parse → delays → join → window → lane) is composed in
+``tests/test_frontier.py`` from this builder plus the robots/urls
+module-owned builders and proven cell-for-cell, including the float
+offsets (integer × small-decimal doubles — exact IEEE in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# the default per-host spacing when no (valid) Crawl-delay is declared,
+# in seconds — the common crawler default of 1 fetch/second/host.
+DEFAULT_DELAY_S = 1.0
+
+# value parse shared by engine and oracle: robots values arrive trimmed
+# from parse_robots; TRY_CAST keeps typos NULL in both dialects, and
+# the >= 0 guard drops negatives (NULL >= 0 is NULL → also dropped).
+_DELAY_VALUE_SQL = "try_cast({pattern} AS double)"
+
+_SCHEDULE_OUT_COLS = ("host", "delay_s", "slot", "scheduled_offset_s", "lane")
+
+
+def crawl_delays(
+    rules: DataFrame,
+    agent: str = "*",
+    default_delay_s: float = DEFAULT_DELAY_S,
+    max_delay_s: float | None = None,
+) -> DataFrame:
+    """Parsed robots rules → effective ``(domain, delay_s)`` for
+    ``agent``, one row per domain present in the rule table (domains
+    with no robots.txt at all are absent — the consumer defaults them,
+    see :func:`fetch_schedule`).
+
+    ``max_delay_s`` caps the effective value: hostile or confused
+    robots files declare ``Crawl-delay: 86400``, and an uncapped
+    scheduler would happily plan one fetch per day — at archive scale
+    the cap is what keeps a single publisher from stretching the whole
+    plan. ``None`` (default) = no cap; the cap applies to the
+    *effective* value, default included.
+    """
+    agent = agent.lower()
+    val = F.expr(_DELAY_VALUE_SQL.format(pattern="pattern"))
+    valid = (F.col("directive") == "crawl-delay") & (val >= 0)
+    exact = F.col("agent") == agent
+    g = (
+        rules.filter(F.col("agent").isin(agent, "*"))
+        .groupBy("domain")
+        .agg(
+            # marker rows (directive 'user-agent') count: a domain that
+            # declares the exact agent with an EMPTY group selects the
+            # exact group (→ default delay), not '*' — the
+            # filter_robots_allowed group-selection rule
+            F.max(exact.cast("int")).alias("__has_exact"),
+            F.max(F.when(exact & valid, val)).alias("__d_exact"),
+            F.max(F.when(~exact & valid, val)).alias("__d_star"),
+        )
+    )
+    eff = F.coalesce(
+        F.when(F.col("__has_exact") == 1, F.col("__d_exact")).otherwise(
+            F.col("__d_star")
+        ),
+        F.lit(float(default_delay_s)),
+    )
+    if max_delay_s is not None:
+        eff = F.least(eff, F.lit(float(max_delay_s)))
+    return g.select("domain", eff.alias("delay_s"))
+
+
+def fetch_schedule(
+    captures: DataFrame,
+    rules: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    order_cols: tuple[str, ...] = ("ts", "urlkey", "filename", "offset"),
+    agent: str = "*",
+    default_delay_s: float = DEFAULT_DELAY_S,
+    max_delay_s: float | None = None,
+    n_lanes: int = 64,
+    broadcast_delays: bool = True,
+    max_broadcast_domains: int = 2_000_000,
+) -> DataFrame:
+    """Captures → captures + ``host``, ``delay_s``, ``slot``,
+    ``scheduled_offset_s``, ``lane``.
+
+    - ``host`` is the registered domain of ``url_col`` — the SAME key
+      ``functions/robots`` files rules under, so the delay join can
+      never miss on a www./port variant. URLs without a parseable
+      host (NULL) schedule as one shared NULL-host group on the
+      default delay: they are kept (a scheduler must not silently
+      drop work) and trivially identifiable downstream.
+    - ``slot`` = 1-based position in the host's fetch order.
+      ``order_cols`` MUST be a per-host total order for the schedule
+      to be deterministic (the default is the ``sources/cdx`` winner
+      order; ``(filename, offset)`` alone is already total for CDX
+      shapes). NULLs order last.
+    - ``scheduled_offset_s`` = ``(slot - 1) * delay_s`` — earliest
+      start relative to the host's first fetch. Relative, not
+      absolute: wall-clock anchoring is the fetch loop's job (and
+      would break determinism).
+    - ``lane`` = md5-prefix bucket of host in ``[0, n_lanes)`` — the
+      worker assignment. Same-host rows always share a lane, so
+      per-host serialization survives the fan-out.
+
+    Plan: delay build is one aggregate over the (tiny) rule table;
+    the delay join broadcasts under ``require_broadcastable`` (pass
+    ``broadcast_delays=False`` past ~``max_broadcast_domains`` rule
+    domains for the shuffle equi-join — same results, unit-pinned);
+    the ONE data shuffle is the per-host window over index metadata.
+    """
+    reserved = [*_SCHEDULE_OUT_COLS, "__cd_dom", "__cd_delay"]
+    clash = [c for c in reserved if c in captures.columns]
+    if clash:
+        raise ValueError(
+            f"fetch_schedule produces/uses columns {clash}; rename the "
+            "existing column(s) first"
+        )
+    missing = [c for c in order_cols if c not in captures.columns]
+    if missing:
+        raise ValueError(
+            f"order_cols {missing} not in captures; pass order_cols= "
+            "naming a per-host total order"
+        )
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        registered_domain,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.util import (
+        require_broadcastable,
+    )
+
+    u = captures.withColumn("host", registered_domain(F.col(url_col)))
+    if rules is not None:
+        delays = crawl_delays(
+            rules,
+            agent=agent,
+            default_delay_s=default_delay_s,
+            max_delay_s=max_delay_s,
+        ).select(
+            F.col("domain").alias("__cd_dom"),
+            F.col("delay_s").alias("__cd_delay"),
+        )
+        if broadcast_delays:
+            require_broadcastable(
+                delays,
+                max_broadcast_domains,
+                "max_broadcast_domains",
+                "the per-domain crawl-delay table",
+                "pass broadcast_delays=False for the shuffle "
+                "equi-join-on-host path",
+            )
+            delays = F.broadcast(delays)
+        u = (
+            u.join(delays, u["host"] == delays["__cd_dom"], "left")
+            .drop("__cd_dom")
+            .withColumn(
+                # robots-less domains: absent from the delay table →
+                # default (capped like every effective value)
+                "delay_s",
+                F.coalesce(
+                    F.col("__cd_delay"),
+                    F.lit(
+                        float(default_delay_s)
+                        if max_delay_s is None
+                        else min(float(default_delay_s), float(max_delay_s))
+                    ),
+                ),
+            )
+            .drop("__cd_delay")
+        )
+    else:
+        u = u.withColumn("delay_s", F.lit(float(default_delay_s)))
+    w = Window.partitionBy("host").orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
+    return (
+        u.withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "scheduled_offset_s",
+            (F.col("slot") - F.lit(1)).cast("double") * F.col("delay_s"),
+        )
+        .withColumn(
+            "lane",
+            hash_bucket(
+                F.coalesce(F.col("host"), F.lit("")), buckets=int(n_lanes)
+            ).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def duckdb_crawl_delays_sql(
+    rules_relation: str = "rules",
+    agent: str = "*",
+    default_delay_s: float = DEFAULT_DELAY_S,
+    max_delay_s: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`crawl_delays`, generated from the module's
+    OWN value-parse SQL and selection constants (the functions/pii
+    discipline): same agent pre-filter, same has-exact/group pick,
+    same max-of-valid aggregate, same default/cap fold. Returns a full
+    SELECT over ``rules_relation`` (a ``parse_robots``-shaped
+    relation). Hand-written expectations in ``tests/test_frontier.py``
+    are the independent check."""
+    a = agent.lower().replace("'", "''")
+    val = _DELAY_VALUE_SQL.format(pattern="pattern")
+    eff = (
+        f"coalesce(CASE WHEN has_exact = 1 THEN d_exact ELSE d_star END, "
+        f"CAST({float(default_delay_s)!r} AS DOUBLE))"
+    )
+    if max_delay_s is not None:
+        eff = f"least({eff}, CAST({float(max_delay_s)!r} AS DOUBLE))"
+    return f"""
+        SELECT domain, {eff} AS delay_s
+        FROM (
+            SELECT domain,
+                   max(CASE WHEN agent = '{a}' THEN 1 ELSE 0 END)
+                       AS has_exact,
+                   max(CASE WHEN agent = '{a}'
+                             AND directive = 'crawl-delay'
+                             AND {val} >= 0
+                        THEN {val} END) AS d_exact,
+                   max(CASE WHEN agent = '*'
+                             AND directive = 'crawl-delay'
+                             AND {val} >= 0
+                        THEN {val} END) AS d_star
+            FROM {rules_relation}
+            WHERE agent IN ('{a}', '*')
+            GROUP BY domain
+        )
+    """
+
+
+def duckdb_lane_sql(host_expr: str, n_lanes: int = 64) -> str:
+    """DuckDB twin of the lane assignment — the md5-prefix bucket
+    arithmetic of ``operators/sampling.hash_bucket`` (salt-less form)
+    over a host expression, NULL hosts folding to ``''`` exactly as
+    the engine does."""
+    src = f"coalesce({host_expr}, '')"
+    return (
+        f"CAST(CAST(('0x' || substr(md5({src}), 1, 8)) AS BIGINT) "
+        f"% {int(n_lanes)} AS INTEGER)"
+    )

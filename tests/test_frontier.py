@@ -1,0 +1,249 @@
+"""Crawl-frontier politeness scheduling (``sources/frontier``):
+hand-written expectations for the REP group selection of
+``Crawl-delay`` (exact-beats-*, empty exact group → default not *,
+invalid/negative values ignored, max-of-multiples, cap), the per-host
+serialized fetch slots (deterministic order, offsets, lane routing,
+NULL-host fall-through, broadcast≡shuffle join parity), and the STAGED
+declared-query twin: the full schedule proven cell-for-cell against a
+DuckDB replay composed from the module-owned oracle builders
+(ROTATION_POLICY §4 declare-ready discipline)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
+    duckdb_parse_robots_sql,
+    parse_robots,
+)
+from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+    crawl_delays,
+    duckdb_crawl_delays_sql,
+    duckdb_lane_sql,
+    fetch_schedule,
+)
+
+# one robots document per delay-selection branch; keys arrive
+# case-insensitively (parse lowercases), values survive inline comments
+ROBOTS_DOCS = [
+    # exact group declares 10, '*' declares 2 → trainbot 10, others 2
+    ("a.com", "User-agent: *\nCrawl-delay: 2\n\nUser-agent: trainbot\nCrawl-Delay: 10\n"),
+    # only '*', with an inline comment on the value
+    ("b.com", "User-agent: *\nCrawl-delay: 4 # be gentle\n"),
+    # trainbot declares an EMPTY group (marker only): exact selection →
+    # DEFAULT for trainbot, never '*' group's 5
+    ("c.com", "User-agent: trainbot\n\nUser-agent: *\nCrawl-delay: 5\n"),
+    # invalid value → ignored → default
+    ("d.com", "User-agent: *\nCrawl-delay: fast\n"),
+    # negative → ignored → default
+    ("e.com", "User-agent: *\nCrawl-delay: -3\n"),
+    # multiple valid values → the largest (conservative) wins
+    ("f.com", "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 7\n"),
+    # past the cap
+    ("g.com", "User-agent: *\nCrawl-delay: 86400\n"),
+    # fractional value
+    ("h.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+    # robots.txt with no delay anywhere → default
+    ("i.com", "User-agent: *\nDisallow: /private/\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    docs = spark.createDataFrame(
+        ROBOTS_DOCS, "domain string, robots_txt string"
+    )
+    return parse_robots(docs).cache()
+
+
+def _delays(rules, **kw):
+    rows = crawl_delays(rules, **kw).collect()
+    return {r.domain: r.delay_s for r in rows}
+
+
+def test_crawl_delay_group_selection(rules):
+    d = _delays(rules, agent="trainbot")
+    assert d["a.com"] == 10.0  # exact beats *
+    assert d["b.com"] == 4.0  # inline comment stripped
+    assert d["c.com"] == 1.0  # empty exact group → default, NOT *'s 5
+    assert d["d.com"] == 1.0  # invalid → default
+    assert d["e.com"] == 1.0  # negative → default
+    assert d["f.com"] == 7.0  # max of multiples
+    assert d["h.com"] == 1.5  # fractional
+    assert d["i.com"] == 1.0  # no delay declared
+
+
+def test_crawl_delay_star_agent_and_cap(rules):
+    d = _delays(rules, agent="*", max_delay_s=30.0)
+    assert d["a.com"] == 2.0  # '*' asks for the '*' group
+    assert d["g.com"] == 30.0  # cap
+    assert _delays(rules, agent="*")["g.com"] == 86400.0  # uncapped
+
+
+CAPTURES = [
+    # (url, urlkey, ts, filename, offset) — (ts, urlkey, filename,
+    # offset) is a per-host TOTAL order; www. variant must join a.com's
+    # delay via registered_domain
+    ("http://www.a.com/p1", "com,a)/p1", "2024-01-01 00:00:00", "s1.warc.gz", 0),
+    ("http://a.com/p2", "com,a)/p2", "2024-01-01 00:00:01", "s1.warc.gz", 100),
+    ("http://a.com/p3", "com,a)/p3", "2024-01-01 00:00:01", "s2.warc.gz", 0),
+    ("http://b.com/x", "com,b)/x", "2024-01-02 00:00:00", "s1.warc.gz", 200),
+    ("http://b.com/y", "com,b)/y", "2024-01-02 00:00:05", "s2.warc.gz", 50),
+    # no robots.txt for k.com → default delay
+    ("http://k.com/only", "com,k)/only", "2024-01-03 00:00:00", "s3.warc.gz", 0),
+    # malformed URL: NULL host group, kept on the default delay
+    ("not-a-url", "zz)/bad", "2024-01-04 00:00:00", "s3.warc.gz", 10),
+]
+
+@pytest.fixture(scope="module")
+def captures(spark):
+    raw = spark.createDataFrame(
+        CAPTURES,
+        "url string, urlkey string, ts string, filename string, offset long",
+    )
+    return raw.withColumn("ts", F.to_timestamp("ts")).cache()
+
+
+def test_fetch_schedule_slots_offsets_lanes(spark, captures, rules):
+    out = fetch_schedule(
+        captures, rules, agent="trainbot", n_lanes=16
+    ).collect()
+    by_key = {r.urlkey: r for r in out}
+    assert len(out) == len(CAPTURES)  # nothing dropped, NULL host kept
+
+    # a.com: delay 10 (trainbot group), serialized in (ts, urlkey) order
+    a = [by_key[k] for k in ("com,a)/p1", "com,a)/p2", "com,a)/p3")]
+    assert all(r.host == "a.com" for r in a)  # www. folded by reg-domain
+    assert [r.slot for r in a] == [1, 2, 3]
+    assert [r.scheduled_offset_s for r in a] == [0.0, 10.0, 20.0]
+    assert len({r.lane for r in a}) == 1  # one host, one lane
+
+    # b.com: delay 4, two captures
+    b = [by_key["com,b)/x"], by_key["com,b)/y"]]
+    assert [r.slot for r in b] == [1, 2]
+    assert [r.scheduled_offset_s for r in b] == [0.0, 4.0]
+
+    # robots-less and NULL-host rows: default delay 1.0
+    assert by_key["com,k)/only"].delay_s == 1.0
+    bad = by_key["zz)/bad"]
+    assert bad.host is None and bad.delay_s == 1.0 and bad.slot == 1
+    assert all(0 <= r.lane < 16 for r in out)
+
+
+def test_fetch_schedule_broadcast_equals_shuffle(spark, captures, rules):
+    kw = dict(agent="trainbot", max_delay_s=30.0, n_lanes=8)
+    a = fetch_schedule(captures, rules, broadcast_delays=True, **kw)
+    b = fetch_schedule(captures, rules, broadcast_delays=False, **kw)
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_fetch_schedule_without_rules_and_guards(spark, captures):
+    out = fetch_schedule(captures, None, default_delay_s=2.0).collect()
+    assert {r.delay_s for r in out} == {2.0}
+
+    with pytest.raises(ValueError, match="order_cols"):
+        fetch_schedule(captures.drop("ts"), None)
+    with pytest.raises(ValueError, match="rename"):
+        fetch_schedule(captures.withColumn("slot", F.lit(1)), None)
+
+
+def test_fetch_schedule_plan_shape(spark, captures, rules):
+    """100 TB posture pinned: the delay table joins BROADCAST (the
+    capture side never shuffles on a rule key), the ONE Exchange is
+    the per-host window's hash partitioning over index metadata, and
+    the whole schedule is JVM-side — zero Python nodes."""
+    plan = (
+        fetch_schedule(captures, rules, agent="trainbot")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly one capture-side shuffle: the host window. Every other
+    # Exchange keys on the rule table's domain — KB-scale robots
+    # metadata inside the broadcast subtree (the warc_cdx_ranged_corpus
+    # precedent: index-side shuffles don't move payload bytes)
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys.count("host") == 1
+    assert set(keys) <= {"host", "domain"}
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_fetch_schedule_staged_duckdb_twin(spark, captures, rules):
+    """STAGED declare-ready (ROTATION_POLICY §4): the politeness
+    schedule proven cell-for-cell against a DuckDB replay composed
+    from the module-owned builders (parse_robots twin → crawl_delays
+    twin → registered-domain host twin → window + lane arithmetic) —
+    the future declared query's oracle at unit scale, hash-exact
+    class including the float offsets."""
+    import duckdb
+
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+
+    agent, default_s, cap_s, n_lanes = "trainbot", 1.0, 30.0, 16
+    got = fetch_schedule(
+        captures,
+        rules,
+        agent=agent,
+        default_delay_s=default_s,
+        max_delay_s=cap_s,
+        n_lanes=n_lanes,
+    ).select(
+        "urlkey", "host", "delay_s", "slot", "scheduled_offset_s", "lane"
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "robots_docs",
+        pd.DataFrame(ROBOTS_DOCS, columns=["domain", "robots_txt"]),
+    )
+    con.register("captures", captures.toPandas())
+    host = duckdb_registered_domain_sql(duckdb_host_sql("c.url"))
+    eff_default = min(default_s, cap_s)
+    sql = f"""
+        WITH rules AS MATERIALIZED (
+            {duckdb_parse_robots_sql("robots_docs")}
+        ),
+        delays AS MATERIALIZED (
+            {duckdb_crawl_delays_sql("rules", agent, default_s, cap_s)}
+        ),
+        hosted AS (
+            SELECT c.urlkey, c.ts, c.filename, c."offset",
+                   {host} AS host
+            FROM captures c
+        ),
+        joined AS (
+            SELECT h.*,
+                   coalesce(d.delay_s,
+                            CAST({eff_default!r} AS DOUBLE)) AS delay_s
+            FROM hosted h LEFT JOIN delays d ON h.host = d.domain
+        )
+        SELECT urlkey, host, delay_s,
+               CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY ts ASC NULLS LAST, urlkey ASC NULLS LAST,
+                            filename ASC NULLS LAST,
+                            "offset" ASC NULLS LAST) AS INTEGER) AS slot,
+               CAST((CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY ts ASC NULLS LAST, urlkey ASC NULLS LAST,
+                            filename ASC NULLS LAST,
+                            "offset" ASC NULLS LAST) AS INTEGER) - 1)
+                    AS DOUBLE)
+                   * delay_s AS scheduled_offset_s,
+               {duckdb_lane_sql("host", n_lanes)} AS lane
+        FROM joined
+    """
+    oracle = con.execute(sql).fetchdf()
+    errs = compare(got, oracle, float_tol=0.0)
+    assert not errs, errs
