@@ -71,7 +71,11 @@ DEFAULT_DELAY_S = 1.0
 # value parse shared by engine and oracle: robots values arrive trimmed
 # from parse_robots; TRY_CAST keeps typos NULL in both dialects, and
 # the >= 0 guard drops negatives (NULL >= 0 is NULL → also dropped).
+# NaN needs its own guard: BOTH engines order NaN greater than every
+# number, so 'Crawl-delay: nan' would pass >= 0 AND win the max — a
+# NaN delay then poisons every offset downstream.
 _DELAY_VALUE_SQL = "try_cast({pattern} AS double)"
+_DELAY_VALID_SQL = "{val} >= 0 AND NOT isnan({val})"
 
 _SCHEDULE_OUT_COLS = ("host", "delay_s", "slot", "scheduled_offset_s", "lane")
 
@@ -95,8 +99,11 @@ def crawl_delays(
     *effective* value, default included.
     """
     agent = agent.lower()
-    val = F.expr(_DELAY_VALUE_SQL.format(pattern="pattern"))
-    valid = (F.col("directive") == "crawl-delay") & (val >= 0)
+    val_sql = _DELAY_VALUE_SQL.format(pattern="pattern")
+    val = F.expr(val_sql)
+    valid = (F.col("directive") == "crawl-delay") & F.expr(
+        _DELAY_VALID_SQL.format(val=val_sql)
+    )
     exact = F.col("agent") == agent
     g = (
         rules.filter(F.col("agent").isin(agent, "*"))
@@ -186,6 +193,13 @@ def fetch_schedule(
         require_broadcastable,
     )
 
+    # the delay for hosts with no (selected) robots rules — capped like
+    # every effective value, on BOTH the with-rules and no-rules paths
+    eff_default = (
+        float(default_delay_s)
+        if max_delay_s is None
+        else min(float(default_delay_s), float(max_delay_s))
+    )
     u = captures.withColumn("host", registered_domain(F.col(url_col)))
     if rules is not None:
         delays = crawl_delays(
@@ -211,22 +225,14 @@ def fetch_schedule(
             u.join(delays, u["host"] == delays["__cd_dom"], "left")
             .drop("__cd_dom")
             .withColumn(
-                # robots-less domains: absent from the delay table →
-                # default (capped like every effective value)
+                # robots-less domains: absent from the delay table
                 "delay_s",
-                F.coalesce(
-                    F.col("__cd_delay"),
-                    F.lit(
-                        float(default_delay_s)
-                        if max_delay_s is None
-                        else min(float(default_delay_s), float(max_delay_s))
-                    ),
-                ),
+                F.coalesce(F.col("__cd_delay"), F.lit(eff_default)),
             )
             .drop("__cd_delay")
         )
     else:
-        u = u.withColumn("delay_s", F.lit(float(default_delay_s)))
+        u = u.withColumn("delay_s", F.lit(eff_default))
     w = Window.partitionBy("host").orderBy(
         *[F.col(c).asc_nulls_last() for c in order_cols]
     )
@@ -263,6 +269,7 @@ def duckdb_crawl_delays_sql(
     are the independent check."""
     a = agent.lower().replace("'", "''")
     val = _DELAY_VALUE_SQL.format(pattern="pattern")
+    valid = _DELAY_VALID_SQL.format(val=val)
     eff = (
         f"coalesce(CASE WHEN has_exact = 1 THEN d_exact ELSE d_star END, "
         f"CAST({float(default_delay_s)!r} AS DOUBLE))"
@@ -277,11 +284,11 @@ def duckdb_crawl_delays_sql(
                        AS has_exact,
                    max(CASE WHEN agent = '{a}'
                              AND directive = 'crawl-delay'
-                             AND {val} >= 0
+                             AND {valid}
                         THEN {val} END) AS d_exact,
                    max(CASE WHEN agent = '*'
                              AND directive = 'crawl-delay'
-                             AND {val} >= 0
+                             AND {valid}
                         THEN {val} END) AS d_star
             FROM {rules_relation}
             WHERE agent IN ('{a}', '*')

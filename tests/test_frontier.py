@@ -48,6 +48,9 @@ ROBOTS_DOCS = [
     ("h.com", "User-agent: *\nCrawl-delay: 1.5\n"),
     # robots.txt with no delay anywhere → default
     ("i.com", "User-agent: *\nDisallow: /private/\n"),
+    # 'nan' parses to a DOUBLE that both engines order ABOVE every
+    # number (it would pass >= 0 and win the max unguarded) → ignored
+    ("j.com", "User-agent: *\nCrawl-delay: nan\nCrawl-delay: 3\n"),
 ]
 
 
@@ -74,6 +77,7 @@ def test_crawl_delay_group_selection(rules):
     assert d["f.com"] == 7.0  # max of multiples
     assert d["h.com"] == 1.5  # fractional
     assert d["i.com"] == 1.0  # no delay declared
+    assert d["j.com"] == 3.0  # NaN invalid; the valid sibling wins
 
 
 def test_crawl_delay_star_agent_and_cap(rules):
@@ -145,6 +149,12 @@ def test_fetch_schedule_broadcast_equals_shuffle(spark, captures, rules):
 def test_fetch_schedule_without_rules_and_guards(spark, captures):
     out = fetch_schedule(captures, None, default_delay_s=2.0).collect()
     assert {r.delay_s for r in out} == {2.0}
+
+    # the cap applies to the default on the no-rules path too
+    capped = fetch_schedule(
+        captures, None, default_delay_s=2.0, max_delay_s=0.5
+    ).collect()
+    assert {r.delay_s for r in capped} == {0.5}
 
     with pytest.raises(ValueError, match="order_cols"):
         fetch_schedule(captures.drop("ts"), None)
