@@ -71,11 +71,20 @@ DEFAULT_DELAY_S = 1.0
 # value parse shared by engine and oracle: robots values arrive trimmed
 # from parse_robots; TRY_CAST keeps typos NULL in both dialects, and
 # the >= 0 guard drops negatives (NULL >= 0 is NULL → also dropped).
-# NaN needs its own guard: BOTH engines order NaN greater than every
-# number, so 'Crawl-delay: nan' would pass >= 0 AND win the max — a
-# NaN delay then poisons every offset downstream.
+# NaN and Infinity need their own guards: BOTH engines order NaN
+# greater than every number, so 'Crawl-delay: nan' would pass >= 0 AND
+# win the max; '1e999' casts to +Infinity in both, which would make
+# slot 1's offset 0.0 * inf = NaN and every later slot inf — the same
+# offset poisoning. The <= DBL_MAX bound rejects inf in both dialects
+# (NaN fails it too; isnan kept for explicitness). One deliberate
+# parse divergence is pinned in tests/test_frontier.py: the literal
+# 'inf' casts to +Infinity in DuckDB but NULL in Spark (Java's parser
+# wants 'Infinity') — the finiteness gate classifies BOTH as invalid,
+# so the divergence is unobservable in any output.
 _DELAY_VALUE_SQL = "try_cast({pattern} AS double)"
-_DELAY_VALID_SQL = "{val} >= 0 AND NOT isnan({val})"
+_DELAY_VALID_SQL = (
+    "{val} >= 0 AND {val} <= 1.7976931348623157e308 AND NOT isnan({val})"
+)
 
 _SCHEDULE_OUT_COLS = ("host", "delay_s", "slot", "scheduled_offset_s", "lane")
 
@@ -87,9 +96,13 @@ def crawl_delays(
     max_delay_s: float | None = None,
 ) -> DataFrame:
     """Parsed robots rules → effective ``(domain, delay_s)`` for
-    ``agent``, one row per domain present in the rule table (domains
-    with no robots.txt at all are absent — the consumer defaults them,
-    see :func:`fetch_schedule`).
+    ``agent``, one row per domain that declares a group for ``agent``
+    or ``*``. Domains with no robots.txt at all, AND domains whose
+    robots.txt only addresses other agents (no matching group → no
+    restrictions per REP), are ABSENT from the output — a standalone
+    consumer must left-join and default, exactly as
+    :func:`fetch_schedule` does; an inner join on this table silently
+    drops such domains.
 
     ``max_delay_s`` caps the effective value: hostile or confused
     robots files declare ``Crawl-delay: 86400``, and an uncapped
@@ -169,6 +182,16 @@ def fetch_schedule(
     ``broadcast_delays=False`` past ~``max_broadcast_domains`` rule
     domains for the shuffle equi-join — same results, unit-pinned);
     the ONE data shuffle is the per-host window over index metadata.
+
+    NOTE the broadcast guard is EAGER (the ``filter_robots_allowed``
+    caveat verbatim): it runs a ``limit(cap+1).count()`` Spark job when
+    this function is CALLED, and the delay table's lineage — the
+    ``crawl_delays`` aggregate over the whole ``parse_robots``
+    pipeline — is then evaluated AGAIN by the real query. Acceptable
+    when rules come from a small parse; if deriving them is expensive,
+    ``rules.persist()`` before calling (probe and query then share one
+    evaluation) or pass ``broadcast_delays=False``, which skips the
+    probe entirely.
     """
     reserved = [*_SCHEDULE_OUT_COLS, "__cd_dom", "__cd_delay"]
     clash = [c for c in reserved if c in captures.columns]

@@ -51,6 +51,11 @@ ROBOTS_DOCS = [
     # 'nan' parses to a DOUBLE that both engines order ABOVE every
     # number (it would pass >= 0 and win the max unguarded) → ignored
     ("j.com", "User-agent: *\nCrawl-delay: nan\nCrawl-delay: 3\n"),
+    # '1e999' casts to +Infinity in BOTH engines — unguarded it would
+    # win the max and make slot 1's offset 0.0*inf = NaN; 'inf' is the
+    # PINNED parse divergence (DuckDB +Infinity, Spark NULL — Java
+    # wants 'Infinity') that the finiteness gate makes unobservable
+    ("l.com", "User-agent: *\nCrawl-delay: 1e999\nCrawl-delay: inf\nCrawl-delay: 6\n"),
 ]
 
 
@@ -78,6 +83,7 @@ def test_crawl_delay_group_selection(rules):
     assert d["h.com"] == 1.5  # fractional
     assert d["i.com"] == 1.0  # no delay declared
     assert d["j.com"] == 3.0  # NaN invalid; the valid sibling wins
+    assert d["l.com"] == 6.0  # inf variants invalid; finite sibling wins
 
 
 def test_crawl_delay_star_agent_and_cap(rules):
@@ -98,6 +104,10 @@ CAPTURES = [
     ("http://b.com/y", "com,b)/y", "2024-01-02 00:00:05", "s2.warc.gz", 50),
     # no robots.txt for k.com → default delay
     ("http://k.com/only", "com,k)/only", "2024-01-03 00:00:00", "s3.warc.gz", 0),
+    # l.com routes the inf/1e999/'inf' robots plant through the TWIN
+    # compare: both dialects must agree the finite 6 wins
+    ("http://l.com/a", "com,l)/a", "2024-01-03 01:00:00", "s3.warc.gz", 5),
+    ("http://l.com/b", "com,l)/b", "2024-01-03 01:00:01", "s3.warc.gz", 7),
     # malformed URL: NULL host group, kept on the default delay
     ("not-a-url", "zz)/bad", "2024-01-04 00:00:00", "s3.warc.gz", 10),
 ]

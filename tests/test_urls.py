@@ -414,7 +414,7 @@ def test_registered_domain_projection_compiles(spark):
     fallback = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
-        df = entry.QUERIES["url_provenance_docs"](spark, "/root/testdata/sf0.001")
+        df = entry.QUERIES["url_provenance_docs"](spark, entry.SF0001)
         rows = df.collect()
         assert len(rows) > 0
     finally:
