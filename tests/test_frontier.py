@@ -195,6 +195,165 @@ def test_fetch_schedule_plan_shape(spark, captures, rules):
         assert node not in plan
 
 
+# ------------------------------------------------------------------
+# Pre-staged declared-query shape (the 6fdd190 CDX precedent): the
+# dual-dialect plants + composed twin the r16 declare lifts verbatim
+# into __spark_entry__. Domain index doc_id % 12 over 8 robots
+# branches (12 and 8 share factor 4, so dom_idx 8..11 re-arm branches
+# 0..3 — every branch fires at every table size); dom_idx 10/11 carry
+# NO robots.txt, arming the robots-less default path; the www. prefix
+# selector doc_id % 3 is coprime with neither 12 nor 8 but varies
+# WITHIN each domain, arming registered-domain folding per host.
+# ------------------------------------------------------------------
+
+# one robots document per delay-selection branch, keyed by dom_idx
+_FRONTIER_ROBOTS_PLANT_SQL = """CASE dom_idx % 8
+  WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+       || chr(10) || chr(10) || 'User-Agent: TrainBot' || chr(10)
+       || 'Crawl-Delay: 10'
+  WHEN 1 THEN 'User-agent: *' || chr(10)
+       || 'Crawl-delay: 4 # be gentle'
+  WHEN 2 THEN 'User-agent: trainbot' || chr(10) || chr(10)
+       || 'User-agent: *' || chr(10) || 'Crawl-delay: 5'
+  WHEN 3 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
+       || chr(10) || 'Crawl-delay: nan' || chr(10)
+       || 'Crawl-delay: 1e999' || chr(10) || 'Crawl-delay: 3'
+  WHEN 4 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: -3'
+  WHEN 5 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+       || chr(10) || 'Crawl-delay: 7'
+  WHEN 6 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 86400'
+  ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: 1.5'
+END"""
+
+# captures planted over the WHOLE documents table — expressions only
+# (aliases applied per side: DuckDB must quote "offset")
+_FRONTIER_CAPTURE_EXPRS = {
+    "url": (
+        "CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.site' "
+        "ELSE 'https://site' END || CAST(doc_id % 12 AS STRING) "
+        "|| '.com/p/' || CAST(doc_id AS STRING)"
+    ),
+    "urlkey": (
+        "'com,site' || CAST(doc_id % 12 AS STRING) || ')/p/' "
+        "|| CAST(doc_id AS STRING)"
+    ),
+    "filename": "'s' || CAST(doc_id % 4 AS STRING) || '.warc.gz'",
+    "offset": "doc_id * 100",
+}
+
+_STAGED_AGENT, _STAGED_DEFAULT, _STAGED_CAP, _STAGED_LANES = (
+    "trainbot", 1.0, 30.0, 16,
+)
+
+
+def test_fetch_schedule_staged_declared_shape(spark, sf_dir):
+    """STAGED declare-ready (ROTATION_POLICY §4): the FULL declared
+    query at documents-table scale — captures planted from doc_id
+    arithmetic, robots documents planted per domain (dom_idx 10/11
+    robots-less), schedule computed for the exact 'trainbot' agent
+    with the 30 s cap, proven cell-for-cell (float_tol=0) against the
+    DuckDB replay composed from the module-owned builders. The r16
+    declare lifts this plant + oracle verbatim into the entry."""
+    import duckdb
+
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caps = docs.selectExpr(
+        "doc_id",
+        *[f"{ex} AS {name}" for name, ex in _FRONTIER_CAPTURE_EXPRS.items()],
+    )
+    robots_docs = (
+        docs.selectExpr("CAST(doc_id % 12 AS INT) AS dom_idx")
+        .filter("dom_idx < 10")
+        .distinct()
+        .selectExpr(
+            "'site' || CAST(dom_idx AS STRING) || '.com' AS domain",
+            f"{_FRONTIER_ROBOTS_PLANT_SQL} AS robots_txt",
+        )
+    )
+    got = fetch_schedule(
+        caps,
+        parse_robots(robots_docs),
+        url_col="url",
+        order_cols=("urlkey", "filename", "offset"),
+        agent=_STAGED_AGENT,
+        default_delay_s=_STAGED_DEFAULT,
+        max_delay_s=_STAGED_CAP,
+        n_lanes=_STAGED_LANES,
+    ).select("urlkey", "host", "delay_s", "slot", "scheduled_offset_s", "lane")
+
+    # hand-written anchors, independent of the generated twin: branch
+    # 0 domains (dom_idx 0 and 8) carry the exact-agent 10 s delay;
+    # branch-2 domains select trainbot's EMPTY group → default 1.0
+    # (never *'s 5); branch-6 hits the cap; 10/11 are robots-less
+    by_host = {
+        r.host: r.delay_s for r in got.select("host", "delay_s").distinct().collect()
+    }
+    assert by_host["site0.com"] == 10.0 and by_host["site8.com"] == 10.0
+    assert by_host["site2.com"] == 1.0
+    assert by_host["site3.com"] == 3.0  # fast/nan/1e999 invalid, 3 wins
+    assert by_host["site6.com"] == 30.0  # capped
+    assert by_host["site10.com"] == 1.0 and by_host["site11.com"] == 1.0
+
+    host = duckdb_registered_domain_sql(duckdb_host_sql("c.url"))
+    order = 'urlkey ASC NULLS LAST, filename ASC NULLS LAST, "offset" ASC NULLS LAST'
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+        WITH captures AS (
+            SELECT doc_id,
+                   {_FRONTIER_CAPTURE_EXPRS['url']} AS url,
+                   {_FRONTIER_CAPTURE_EXPRS['urlkey']} AS urlkey,
+                   {_FRONTIER_CAPTURE_EXPRS['filename']} AS filename,
+                   {_FRONTIER_CAPTURE_EXPRS['offset']} AS "offset"
+            FROM documents
+        ),
+        robots_docs AS (
+            SELECT 'site' || CAST(dom_idx AS STRING) || '.com' AS domain,
+                   {_FRONTIER_ROBOTS_PLANT_SQL} AS robots_txt
+            FROM (SELECT DISTINCT CAST(doc_id % 12 AS INT) AS dom_idx
+                  FROM documents WHERE doc_id % 12 < 10)
+        ),
+        rules AS MATERIALIZED (
+            {duckdb_parse_robots_sql("robots_docs")}
+        ),
+        delays AS MATERIALIZED (
+            {duckdb_crawl_delays_sql(
+                "rules", _STAGED_AGENT, _STAGED_DEFAULT, _STAGED_CAP)}
+        ),
+        hosted AS (
+            SELECT c.urlkey, c.filename, c."offset", {host} AS host
+            FROM captures c
+        ),
+        joined AS (
+            SELECT h.*,
+                   coalesce(d.delay_s,
+                            CAST({min(_STAGED_DEFAULT, _STAGED_CAP)!r}
+                                 AS DOUBLE)) AS delay_s
+            FROM hosted h LEFT JOIN delays d ON h.host = d.domain
+        )
+        SELECT urlkey, host, delay_s,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY {order}) AS INTEGER) AS slot,
+               CAST((CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY {order}) AS INTEGER) - 1)
+                    AS DOUBLE) * delay_s AS scheduled_offset_s,
+               {duckdb_lane_sql("host", _STAGED_LANES)} AS lane
+        FROM joined
+    """
+    oracle = con.execute(sql).fetchdf()
+    errs = compare(got, oracle, float_tol=0.0)
+    assert not errs, errs
+
+
 def test_fetch_schedule_staged_duckdb_twin(spark, captures, rules):
     """STAGED declare-ready (ROTATION_POLICY §4): the politeness
     schedule proven cell-for-cell against a DuckDB replay composed
