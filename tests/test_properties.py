@@ -779,3 +779,110 @@ def test_round_half_up_4_matches_decimal_reference(xs):
         for v in xs
     ]
     assert got.tolist() == want
+
+
+# ---------------------------------------------------------------- frontier
+
+_ROBOTS_LINES = st.sampled_from(
+    [
+        "User-agent: *",
+        "User-agent: trainbot",
+        "",
+        "Disallow: /x",
+        "Crawl-delay: 1",
+        "Crawl-delay: 2.5",
+        "Crawl-delay: 0",
+        "Crawl-delay: 86400",
+        "Crawl-delay: -1",
+        "Crawl-delay: nan",
+        "Crawl-delay: 1e999",
+        "Crawl-delay: fast",
+        "Crawl-delay:",
+    ]
+)
+
+# the finite, non-negative values the line pool can declare — the ONLY
+# non-default delays any schedule may carry (cap folds them down)
+_VALID_POOL = {1.0, 2.5, 0.0, 86400.0}
+
+
+@given(
+    docs=st.lists(
+        st.lists(_ROBOTS_LINES, min_size=0, max_size=10).map("\n".join),
+        min_size=1,
+        max_size=3,
+    ),
+    agent=st.sampled_from(["*", "trainbot"]),
+    cap=st.sampled_from([None, 30.0]),
+)
+@settings(**SETTINGS)
+def test_crawl_delay_properties(spark, docs, agent, cap):
+    """For ANY robots.txt built from the directive pool: every
+    effective delay is finite, non-negative, at most the cap, and is
+    either the default or (the capped image of) a value some line
+    actually declared — garbage lines can never mint a delay."""
+    import math
+
+    from azure_etl_databricks_sql_powerbi_spark.functions.robots import parse_robots
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import crawl_delays
+
+    frame = spark.createDataFrame(
+        [(f"d{i}.com", txt) for i, txt in enumerate(docs)],
+        "domain string, robots_txt string",
+    )
+    rows = crawl_delays(
+        parse_robots(frame), agent=agent, default_delay_s=1.0, max_delay_s=cap
+    ).collect()
+    allowed = {1.0} | {
+        v if cap is None else min(v, cap) for v in _VALID_POOL
+    }
+    for r in rows:
+        assert math.isfinite(r.delay_s) and r.delay_s >= 0
+        if cap is not None:
+            assert r.delay_s <= cap
+        assert r.delay_s in allowed, (r.domain, r.delay_s)
+
+
+@given(
+    caps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # host index
+            st.integers(min_value=0, max_value=99),  # page id
+        ),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    ),
+    n_lanes=st.sampled_from([1, 8, 64]),
+)
+@settings(**SETTINGS)
+def test_fetch_schedule_properties(spark, caps, n_lanes):
+    """For ANY capture set: row count and input columns are preserved,
+    each host's slots are exactly the permutation 1..n_h in urlkey
+    order, offsets are exactly (slot-1)*delay, and every host maps to
+    ONE lane in [0, n_lanes) — per-host serialization survives any
+    fan-out."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import fetch_schedule
+
+    frame = spark.createDataFrame(
+        [
+            (f"https://h{h}.example.com/p/{p}", f"com,example,h{h})/p/{p:02d}")
+            for h, p in caps
+        ],
+        "url string, urlkey string",
+    )
+    out = fetch_schedule(
+        frame, None, order_cols=("urlkey",), default_delay_s=2.0, n_lanes=n_lanes
+    ).collect()
+    assert len(out) == len(caps)
+    by_host: dict[str, list] = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for rows in by_host.values():
+        rows.sort(key=lambda r: r.urlkey)
+        assert [r.slot for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            r.scheduled_offset_s == (r.slot - 1) * r.delay_s for r in rows
+        )
+        lanes = {r.lane for r in rows}
+        assert len(lanes) == 1 and all(0 <= x < n_lanes for x in lanes)
