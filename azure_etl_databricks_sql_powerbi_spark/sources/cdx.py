@@ -194,3 +194,68 @@ def duckdb_parse_cdxj_sql(line_expr: str = "value") -> str:
             ex = f"TRY_CAST({ex} AS {casts[f_]})"
         parts.append(f'{ex} AS "{f_}"')
     return ",\n       ".join(parts)
+
+
+# ------------------------------------------------------- incremental crawls
+
+
+def latest_captures(cdx: DataFrame) -> DataFrame:
+    """One row per ``urlkey``: the LATEST capture (``ts`` desc;
+    deterministic ``filename``/``offset`` asc tiebreak for re-crawls in
+    the same second). Rows with a NULL ``urlkey`` are dropped — an
+    unkeyed capture cannot be compared across crawls (malformed index
+    lines land here; inspect them on the parsed frame, the
+    ``select_captures`` rule). ONE shuffle on urlkey."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("filename").asc_nulls_last(),
+        F.col("offset").asc_nulls_last(),
+    )
+    return (
+        cdx.filter(F.col("urlkey").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def crawl_delta(old_cdx: DataFrame, new_cdx: DataFrame) -> DataFrame:
+    """URL-level diff between two crawl snapshots: ``(urlkey, change)``
+    with change in {'added', 'removed', 'changed'} — the crawl-ops
+    question ("what moved between crawls?") answered from the INDEX
+    alone, no payload byte read. Each side reduces to its latest
+    capture per urlkey, then ``operators/diff.table_diff`` compares the
+    index's content digest — so at 100 TB the join shuffle carries
+    (urlkey, 32-byte digest), never a row payload. Two captures both
+    missing a digest compare equal (the diff's NULL sentinel):
+    digest-less URLs only surface on presence changes, which is the
+    most an index can honestly say about them."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.diff import (
+        table_diff,
+    )
+
+    o = latest_captures(old_cdx).select("urlkey", "digest")
+    n = latest_captures(new_cdx).select("urlkey", "digest")
+    return table_diff(o, n, keys=["urlkey"])
+
+
+def novel_digests(old_cdx: DataFrame, new_cdx: DataFrame) -> DataFrame:
+    """The incremental-ingestion feed: the new crawl's latest captures
+    whose content digest appears NOWHERE in the old index — "process
+    only the bytes this crawl actually added", the cross-crawl
+    extension of ``select_captures``' within-crawl digest dedup. A URL
+    whose content merely moved (same digest, new urlkey) is correctly
+    absent; a new capture WITHOUT a digest is kept (a NULL anti-join
+    key never matches — unknown content must fail open into
+    processing, the reader's dedup still guards downstream). Shuffle
+    anti-join on digest: both sides are crawl-scale, so neither
+    broadcasts; composes with ``cdx_fetch_plan`` for the ranged fetch
+    of exactly these captures."""
+    old_digests = (
+        old_cdx.select("digest").filter(F.col("digest").isNotNull()).distinct()
+    )
+    return latest_captures(new_cdx).join(
+        old_digests, on="digest", how="left_anti"
+    )

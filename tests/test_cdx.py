@@ -436,3 +436,146 @@ def test_warc_cdx_ranged_corpus_plan_shape(spark):
     # plan string) is shuffle-free: project/filter/Arrow-eval only
     tail = phys.split("MapInPandas")[0]
     assert "Exchange" not in tail, tail
+
+
+# ------------------------------------------------------- incremental crawls
+
+def _cdxj(urlkey, ts, digest=None, filename="w.warc.gz", offset=0):
+    dig = f'"digest": "{digest}", ' if digest else ""
+    return (
+        f'{urlkey} {ts} {{"url": "https://x/{urlkey}", "mime": "text/html", '
+        f'"status": "200", {dig}"length": "100", '
+        f'"offset": "{offset}", "filename": "{filename}"}}'
+    )
+
+
+# old crawl: stable content, content-to-change, content-to-vanish, a
+# mover (digest M under /old), a digest-less URL, a within-crawl
+# re-crawl whose LATEST is R2, and a malformed line (NULL urlkey)
+OLD_LINES = [
+    _cdxj("com,stable)/", "20240101000000", "sha1:S"),
+    _cdxj("com,changed)/", "20240101000000", "sha1:C1"),
+    _cdxj("com,gone)/", "20240101000000", "sha1:G"),
+    _cdxj("com,mover)/old", "20240101000000", "sha1:M"),
+    _cdxj("com,nodigest)/", "20240101000000"),
+    _cdxj("com,recrawl)/", "20240101000000", "sha1:R1"),
+    _cdxj("com,recrawl)/", "20240102000000", "sha1:R2"),
+    "junk",
+]
+
+# new crawl one week on: stable unchanged, changed now C2, gone absent,
+# the mover's content M re-appears under /new, digest-less unchanged,
+# recrawl still at R2 (old's LATEST, not R1), a brand-new URL, and a
+# within-crawl re-crawl whose stale capture reuses OLD digest G but
+# whose LATEST digest X2 is novel — novelty must be judged on the
+# reduced latest capture, not every capture
+NEW_LINES = [
+    _cdxj("com,stable)/", "20240108000000", "sha1:S"),
+    _cdxj("com,changed)/", "20240108000000", "sha1:C2"),
+    _cdxj("com,mover)/new", "20240108000000", "sha1:M"),
+    _cdxj("com,nodigest)/", "20240108000000"),
+    _cdxj("com,recrawl)/", "20240108000000", "sha1:R2"),
+    _cdxj("com,new)/", "20240108000000", "sha1:N"),
+    _cdxj("com,new2)/", "20240108000000", "sha1:G", offset=10),
+    _cdxj("com,new2)/", "20240109000000", "sha1:X2", offset=20),
+]
+
+
+@pytest.fixture(scope="module")
+def two_crawls(spark):
+    old = parse_cdxj(
+        spark.createDataFrame([(ln,) for ln in OLD_LINES], "value string")
+    )
+    new = parse_cdxj(
+        spark.createDataFrame([(ln,) for ln in NEW_LINES], "value string")
+    )
+    return old, new
+
+
+def test_latest_captures_reduction(two_crawls):
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import latest_captures
+
+    old, _ = two_crawls
+    rows = {r.urlkey: r.digest for r in latest_captures(old).collect()}
+    assert rows["com,recrawl)/"] == "sha1:R2"  # ts-desc winner
+    assert None not in rows  # malformed (NULL-urlkey) line dropped
+    assert len(rows) == 6
+
+
+def test_crawl_delta_expectations(two_crawls):
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
+
+    old, new = two_crawls
+    got = {r.urlkey: r.change for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "com,changed)/": "changed",
+        "com,gone)/": "removed",
+        "com,mover)/old": "removed",
+        "com,mover)/new": "added",
+        "com,new)/": "added",
+        "com,new2)/": "added",
+        # stable, nodigest (sentinel==sentinel), recrawl (R2==R2): absent
+    }
+
+
+def test_novel_digests_expectations(two_crawls):
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import novel_digests
+
+    old, new = two_crawls
+    got = {r.urlkey: r.digest for r in novel_digests(old, new).collect()}
+    assert got == {
+        "com,changed)/": "sha1:C2",
+        "com,new)/": "sha1:N",
+        "com,new2)/": "sha1:X2",  # judged on the LATEST capture, not G
+        "com,nodigest)/": None,  # unknown content fails open
+        # mover M, stable S, recrawl R2: content already in the old crawl
+    }
+
+
+def test_crawl_delta_duckdb_twin(spark, two_crawls):
+    """INDEPENDENT SQL replay of the documented delta semantics (window
+    reduction + full outer join + direct digest comparison — a
+    different algorithm than the engine's table_diff md5-digest path),
+    composed with the module's own parse builder, cell-for-cell."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
+
+    old, new = two_crawls
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("old_lines", pd.DataFrame({"value": OLD_LINES}))
+    con.register("new_lines", pd.DataFrame({"value": NEW_LINES}))
+    latest = (
+        "SELECT urlkey, digest FROM ("
+        "SELECT urlkey, digest, row_number() OVER ("
+        "PARTITION BY urlkey ORDER BY ts DESC NULLS LAST, "
+        'filename ASC NULLS LAST, "offset" ASC NULLS LAST) AS rk '
+        "FROM {src} WHERE urlkey IS NOT NULL) WHERE rk = 1"
+    )
+    sql = f"""
+        WITH old_cdx AS (
+            SELECT {duckdb_parse_cdxj_sql("value")} FROM old_lines
+        ),
+        new_cdx AS (
+            SELECT {duckdb_parse_cdxj_sql("value")} FROM new_lines
+        ),
+        o AS ({latest.format(src="old_cdx")}),
+        n AS ({latest.format(src="new_cdx")}),
+        j AS (
+            SELECT coalesce(o.urlkey, n.urlkey) AS urlkey,
+                   CASE WHEN o.urlkey IS NULL THEN 'added'
+                        WHEN n.urlkey IS NULL THEN 'removed'
+                        WHEN coalesce(o.digest, chr(1)) <>
+                             coalesce(n.digest, chr(1)) THEN 'changed'
+                   END AS change
+            FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
+        )
+        SELECT urlkey, change FROM j WHERE change IS NOT NULL
+    """
+    oracle = con.execute(sql).fetchdf()
+    errs = compare(crawl_delta(old, new), oracle)
+    assert not errs, errs
