@@ -579,3 +579,143 @@ def test_crawl_delta_duckdb_twin(spark, two_crawls):
     oracle = con.execute(sql).fetchdf()
     errs = compare(crawl_delta(old, new), oracle)
     assert not errs, errs
+
+
+# ------------------------------------------------------------------
+# Pre-staged declared-query shape for crawl_delta (ROTATION_POLICY §4):
+# two crawl snapshots planted in parsed-index shape over the documents
+# table, one class per doc_id % 8 — stable, changed, gone, added,
+# mover (same digest, new urlkey), digest-less-both, a re-crawl whose
+# old LATEST matches new (the reduction pin), and a new-side stale
+# capture reusing the old digest under a novel latest. {off} formats
+# the offset alias per dialect (DuckDB must quote the keyword; Spark
+# would read a double-quoted token as a string literal).
+# ------------------------------------------------------------------
+
+_DELTA_BASE_SQL = (
+    "SELECT doc_id, CAST(doc_id % 8 AS INT) AS cls, "
+    "CAST(doc_id % 40 AS INT) AS dom FROM {src}"
+)
+
+_DELTA_OLD_PLANT_SQL = """
+    SELECT CASE WHEN cls = 4
+                THEN 'com,site' || CAST(dom AS STRING) || ')/old/'
+                     || CAST(doc_id AS STRING)
+                ELSE 'com,site' || CAST(dom AS STRING) || ')/p/'
+                     || CAST(doc_id AS STRING) END AS urlkey,
+           try_cast('2024-01-01 00:00:00' AS timestamp) AS ts,
+           CASE WHEN cls = 5 THEN CAST(NULL AS STRING)
+                WHEN cls = 6 THEN 'sha1:R1-' || CAST(doc_id AS STRING)
+                ELSE 'sha1:V' || CAST(doc_id AS STRING) END AS digest,
+           'o' || CAST(doc_id % 4 AS STRING) || '.warc.gz' AS filename,
+           doc_id * 10 AS {off}
+    FROM ({base}) WHERE cls <> 3
+    UNION ALL
+    SELECT 'com,site' || CAST(dom AS STRING) || ')/p/'
+               || CAST(doc_id AS STRING),
+           try_cast('2024-01-02 00:00:00' AS timestamp),
+           'sha1:R2-' || CAST(doc_id AS STRING),
+           'o9.warc.gz', doc_id * 10 + 1
+    FROM ({base}) WHERE cls = 6
+"""
+
+_DELTA_NEW_PLANT_SQL = """
+    SELECT CASE WHEN cls = 4
+                THEN 'com,site' || CAST(dom AS STRING) || ')/new/'
+                     || CAST(doc_id AS STRING)
+                ELSE 'com,site' || CAST(dom AS STRING) || ')/p/'
+                     || CAST(doc_id AS STRING) END AS urlkey,
+           try_cast('2024-01-08 00:00:00' AS timestamp) AS ts,
+           CASE WHEN cls = 5 THEN CAST(NULL AS STRING)
+                WHEN cls = 1 THEN 'sha1:C2-' || CAST(doc_id AS STRING)
+                WHEN cls = 6 THEN 'sha1:R2-' || CAST(doc_id AS STRING)
+                WHEN cls = 7 THEN 'sha1:X2-' || CAST(doc_id AS STRING)
+                ELSE 'sha1:V' || CAST(doc_id AS STRING) END AS digest,
+           'n' || CAST(doc_id % 4 AS STRING) || '.warc.gz' AS filename,
+           doc_id * 10 AS {off}
+    FROM ({base}) WHERE cls <> 2
+    UNION ALL
+    SELECT 'com,site' || CAST(dom AS STRING) || ')/p/'
+               || CAST(doc_id AS STRING),
+           try_cast('2024-01-07 00:00:00' AS timestamp),
+           'sha1:V' || CAST(doc_id AS STRING),
+           'n9.warc.gz', doc_id * 10 + 1
+    FROM ({base}) WHERE cls = 7
+"""
+
+
+def test_crawl_delta_staged_declared_shape(spark, sf_dir):
+    """STAGED declare-ready: the FULL declared crawl_delta query at
+    documents-table scale, hash-exact class — per-class hand
+    expectations plus the independent DuckDB replay cell-for-cell.
+    The r16 declare lifts plants + oracle verbatim into the entry."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents_v"
+    )
+    base_sp = _DELTA_BASE_SQL.format(src="documents_v")
+    old = spark.sql(_DELTA_OLD_PLANT_SQL.format(base=base_sp, off="offset"))
+    new = spark.sql(_DELTA_NEW_PLANT_SQL.format(base=base_sp, off="offset"))
+    got = crawl_delta(old, new)
+
+    # per-class hand expectations over the fixture arithmetic
+    rows = got.collect()
+    by_change: dict[str, set] = {}
+    for r in rows:
+        by_change.setdefault(r.change, set()).add(r.urlkey)
+    n_docs = spark.table("documents_v").count()
+
+    def n_cls(k: int) -> int:
+        return sum(1 for d in range(n_docs) if d % 8 == k)
+    assert len(by_change.get("changed", ())) == n_cls(1) + n_cls(7)
+    assert len(by_change.get("removed", ())) == n_cls(2) + n_cls(4)
+    assert len(by_change.get("added", ())) == n_cls(3) + n_cls(4)
+    # stable/digest-less/re-crawl classes contribute NOTHING
+    assert len(rows) == sum(len(v) for v in by_change.values())
+    assert len(rows) == (
+        n_cls(1) + n_cls(7) + n_cls(2) + 2 * n_cls(4) + n_cls(3)
+    )
+
+    import pandas as pd  # noqa: F401  (oracle_harness dependency)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    base_dk = _DELTA_BASE_SQL.format(src="documents")
+    latest = (
+        "SELECT urlkey, digest FROM ("
+        "SELECT urlkey, digest, row_number() OVER ("
+        "PARTITION BY urlkey ORDER BY ts DESC NULLS LAST, "
+        'filename ASC NULLS LAST, "offset" ASC NULLS LAST) AS rk '
+        "FROM {src} WHERE urlkey IS NOT NULL) WHERE rk = 1"
+    )
+    sql = f"""
+        WITH old_cdx AS (
+            {_DELTA_OLD_PLANT_SQL.format(base=base_dk, off='"offset"')}
+        ),
+        new_cdx AS (
+            {_DELTA_NEW_PLANT_SQL.format(base=base_dk, off='"offset"')}
+        ),
+        o AS ({latest.format(src="old_cdx")}),
+        n AS ({latest.format(src="new_cdx")}),
+        j AS (
+            SELECT coalesce(o.urlkey, n.urlkey) AS urlkey,
+                   CASE WHEN o.urlkey IS NULL THEN 'added'
+                        WHEN n.urlkey IS NULL THEN 'removed'
+                        WHEN coalesce(o.digest, chr(1)) <>
+                             coalesce(n.digest, chr(1)) THEN 'changed'
+                   END AS change
+            FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
+        )
+        SELECT urlkey, change FROM j WHERE change IS NOT NULL
+    """
+    oracle = con.execute(sql).fetchdf()
+    errs = compare(got, oracle)
+    assert not errs, errs
