@@ -719,3 +719,26 @@ def test_crawl_delta_staged_declared_shape(spark, sf_dir):
     oracle = con.execute(sql).fetchdf()
     errs = compare(got, oracle)
     assert not errs, errs
+
+
+def test_incremental_crawl_plan_shapes(two_crawls):
+    """100 TB posture pinned: every shuffle in the delta and the novel
+    feed keys on urlkey or digest — (key, 32-byte digest) index
+    metadata, never a capture payload — the novel feed plans a real
+    LeftAnti, and both plans are all-JVM."""
+    import re
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import (
+        crawl_delta,
+        novel_digests,
+    )
+
+    old, new = two_crawls
+    for df, anti in ((crawl_delta(old, new), False), (novel_digests(old, new), True)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+        assert keys <= {"urlkey", "digest"}, keys
+        if anti:
+            assert "LeftAnti" in plan
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan
