@@ -532,39 +532,22 @@ def test_novel_digests_expectations(two_crawls):
     }
 
 
-def test_crawl_delta_duckdb_twin(spark, two_crawls):
-    """INDEPENDENT SQL replay of the documented delta semantics (window
-    reduction + full outer join + direct digest comparison — a
-    different algorithm than the engine's table_diff md5-digest path),
-    composed with the module's own parse builder, cell-for-cell."""
-    import sys
+# ONE definition of the independent delta replay (window reduction +
+# full outer join + direct digest comparison), shared by the unit twin
+# and the staged declared shape below — two copies could silently
+# desync on a semantics fix (review finding)
+_DELTA_LATEST_SQL = (
+    "SELECT urlkey, digest FROM ("
+    "SELECT urlkey, digest, row_number() OVER ("
+    "PARTITION BY urlkey ORDER BY ts DESC NULLS LAST, "
+    'filename ASC NULLS LAST, "offset" ASC NULLS LAST) AS rk '
+    "FROM {src} WHERE urlkey IS NOT NULL) WHERE rk = 1"
+)
 
-    sys.path.insert(0, "/root/repo/tests")
-    from oracle_harness import compare
-    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
-
-    old, new = two_crawls
-    con = duckdb.connect()
-    import pandas as pd
-
-    con.register("old_lines", pd.DataFrame({"value": OLD_LINES}))
-    con.register("new_lines", pd.DataFrame({"value": NEW_LINES}))
-    latest = (
-        "SELECT urlkey, digest FROM ("
-        "SELECT urlkey, digest, row_number() OVER ("
-        "PARTITION BY urlkey ORDER BY ts DESC NULLS LAST, "
-        'filename ASC NULLS LAST, "offset" ASC NULLS LAST) AS rk '
-        "FROM {src} WHERE urlkey IS NOT NULL) WHERE rk = 1"
-    )
-    sql = f"""
-        WITH old_cdx AS (
-            SELECT {duckdb_parse_cdxj_sql("value")} FROM old_lines
-        ),
-        new_cdx AS (
-            SELECT {duckdb_parse_cdxj_sql("value")} FROM new_lines
-        ),
-        o AS ({latest.format(src="old_cdx")}),
-        n AS ({latest.format(src="new_cdx")}),
+# expects CTE names for the two reduced sides; closes the WITH chain
+_DELTA_REPLAY_TAIL_SQL = """
+        o AS ({o}),
+        n AS ({n}),
         j AS (
             SELECT coalesce(o.urlkey, n.urlkey) AS urlkey,
                    CASE WHEN o.urlkey IS NULL THEN 'added'
@@ -575,6 +558,38 @@ def test_crawl_delta_duckdb_twin(spark, two_crawls):
             FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
         )
         SELECT urlkey, change FROM j WHERE change IS NOT NULL
+"""
+
+
+def _delta_replay_sql(old_cte: str, new_cte: str) -> str:
+    return _DELTA_REPLAY_TAIL_SQL.format(
+        o=_DELTA_LATEST_SQL.format(src=old_cte),
+        n=_DELTA_LATEST_SQL.format(src=new_cte),
+    )
+
+
+def test_crawl_delta_duckdb_twin(spark, two_crawls):
+    """INDEPENDENT SQL replay of the documented delta semantics (window
+    reduction + full outer join + direct digest comparison — a
+    different algorithm than the engine's table_diff md5-digest path),
+    composed with the module's own parse builder, cell-for-cell."""
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
+
+    old, new = two_crawls
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("old_lines", pd.DataFrame({"value": OLD_LINES}))
+    con.register("new_lines", pd.DataFrame({"value": NEW_LINES}))
+    sql = f"""
+        WITH old_cdx AS (
+            SELECT {duckdb_parse_cdxj_sql("value")} FROM old_lines
+        ),
+        new_cdx AS (
+            SELECT {duckdb_parse_cdxj_sql("value")} FROM new_lines
+        ),
+        {_delta_replay_sql("old_cdx", "new_cdx")}
     """
     oracle = con.execute(sql).fetchdf()
     errs = compare(crawl_delta(old, new), oracle)
@@ -649,9 +664,6 @@ def test_crawl_delta_staged_declared_shape(spark, sf_dir):
     documents-table scale, hash-exact class — per-class hand
     expectations plus the independent DuckDB replay cell-for-cell.
     The r16 declare lifts plants + oracle verbatim into the entry."""
-    import sys
-
-    sys.path.insert(0, "/root/repo/tests")
     from oracle_harness import compare
     from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
 
@@ -689,13 +701,6 @@ def test_crawl_delta_staged_declared_shape(spark, sf_dir):
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     base_dk = _DELTA_BASE_SQL.format(src="documents")
-    latest = (
-        "SELECT urlkey, digest FROM ("
-        "SELECT urlkey, digest, row_number() OVER ("
-        "PARTITION BY urlkey ORDER BY ts DESC NULLS LAST, "
-        'filename ASC NULLS LAST, "offset" ASC NULLS LAST) AS rk '
-        "FROM {src} WHERE urlkey IS NOT NULL) WHERE rk = 1"
-    )
     sql = f"""
         WITH old_cdx AS (
             {_DELTA_OLD_PLANT_SQL.format(base=base_dk, off='"offset"')}
@@ -703,18 +708,7 @@ def test_crawl_delta_staged_declared_shape(spark, sf_dir):
         new_cdx AS (
             {_DELTA_NEW_PLANT_SQL.format(base=base_dk, off='"offset"')}
         ),
-        o AS ({latest.format(src="old_cdx")}),
-        n AS ({latest.format(src="new_cdx")}),
-        j AS (
-            SELECT coalesce(o.urlkey, n.urlkey) AS urlkey,
-                   CASE WHEN o.urlkey IS NULL THEN 'added'
-                        WHEN n.urlkey IS NULL THEN 'removed'
-                        WHEN coalesce(o.digest, chr(1)) <>
-                             coalesce(n.digest, chr(1)) THEN 'changed'
-                   END AS change
-            FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
-        )
-        SELECT urlkey, change FROM j WHERE change IS NOT NULL
+        {_delta_replay_sql("old_cdx", "new_cdx")}
     """
     oracle = con.execute(sql).fetchdf()
     errs = compare(got, oracle)

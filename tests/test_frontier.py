@@ -199,11 +199,13 @@ def test_fetch_schedule_plan_shape(spark, captures, rules):
 # Pre-staged declared-query shape (the 6fdd190 CDX precedent): the
 # dual-dialect plants + composed twin the r16 declare lifts verbatim
 # into __spark_entry__. Domain index doc_id % 12 over 8 robots
-# branches (12 and 8 share factor 4, so dom_idx 8..11 re-arm branches
-# 0..3 — every branch fires at every table size); dom_idx 10/11 carry
-# NO robots.txt, arming the robots-less default path; the www. prefix
-# selector doc_id % 3 is coprime with neither 12 nor 8 but varies
-# WITHIN each domain, arming registered-domain folding per host.
+# branches: dom_idx 0..9 carry robots.txt (branch = dom_idx % 8, so
+# 8/9 re-arm branches 0/1 on a second domain and branches 2..7 each
+# fire from exactly one domain — every branch fires on ANY table with
+# >= 12 docs); dom_idx 10/11 carry NO robots.txt, arming the
+# robots-less default path; the www. prefix selector doc_id % 3
+# varies WITHIN each domain, arming registered-domain folding per
+# host.
 # ------------------------------------------------------------------
 
 # one robots document per delay-selection branch, keyed by dom_idx
@@ -217,7 +219,8 @@ _FRONTIER_ROBOTS_PLANT_SQL = """CASE dom_idx % 8
        || 'User-agent: *' || chr(10) || 'Crawl-delay: 5'
   WHEN 3 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
        || chr(10) || 'Crawl-delay: nan' || chr(10)
-       || 'Crawl-delay: 1e999' || chr(10) || 'Crawl-delay: 3'
+       || 'Crawl-delay: 1e999' || chr(10) || 'Crawl-delay: inf'
+       || chr(10) || 'Crawl-delay: 3'
   WHEN 4 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: -3'
   WHEN 5 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
        || chr(10) || 'Crawl-delay: 7'

@@ -864,9 +864,12 @@ def test_fetch_schedule_properties(spark, caps, n_lanes):
     fan-out."""
     from azure_etl_databricks_sql_powerbi_spark.sources.frontier import fetch_schedule
 
+    # DISTINCT registered domains per host index — subdomains of one
+    # domain would all fold to it and collapse the host dimension
+    # (review finding: h{h}.example.com left by_host with one key)
     frame = spark.createDataFrame(
         [
-            (f"https://h{h}.example.com/p/{p}", f"com,example,h{h})/p/{p:02d}")
+            (f"https://host{h}.com/p/{p}", f"com,host{h})/p/{p:02d}")
             for h, p in caps
         ],
         "url string, urlkey string",
