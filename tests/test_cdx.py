@@ -736,3 +736,26 @@ def test_incremental_crawl_plan_shapes(two_crawls):
             assert "LeftAnti" in plan
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+def test_staged_delta_compiles_codegen_only(spark, sf_dir):
+    """The r14 lesson applied BEFORE declaring: the staged delta's
+    stages must whole-stage-compile loudly (fallback=false), never
+    silently drop to interpreted evaluation."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.cdx import crawl_delta
+
+    fallback = spark.conf.get("spark.sql.codegen.fallback")
+    factory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).createOrReplaceTempView("documents_v")
+        base_sp = _DELTA_BASE_SQL.format(src="documents_v")
+        old = spark.sql(_DELTA_OLD_PLANT_SQL.format(base=base_sp, off="offset"))
+        new = spark.sql(_DELTA_NEW_PLANT_SQL.format(base=base_sp, off="offset"))
+        assert crawl_delta(old, new).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", fallback)
+        spark.conf.set("spark.sql.codegen.factoryMode", factory)

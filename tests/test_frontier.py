@@ -429,3 +429,43 @@ def test_fetch_schedule_staged_duckdb_twin(spark, captures, rules):
     oracle = con.execute(sql).fetchdf()
     errs = compare(got, oracle, float_tol=0.0)
     assert not errs, errs
+
+
+def test_staged_shape_compiles_codegen_only(spark, sf_dir):
+    """The r14 lesson applied BEFORE declaring: the staged schedule's
+    stages must whole-stage-compile — a Janino failure would silently
+    run interpreted and only surface in executor stderr. fallback=false
+    turns any compile failure into a loud error."""
+    fallback = spark.conf.get("spark.sql.codegen.fallback")
+    factory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        caps = docs.selectExpr(
+            "doc_id",
+            *[f"{ex} AS {n}" for n, ex in _FRONTIER_CAPTURE_EXPRS.items()],
+        )
+        robots_docs = (
+            docs.selectExpr("CAST(doc_id % 12 AS INT) AS dom_idx")
+            .filter("dom_idx < 10")
+            .distinct()
+            .selectExpr(
+                "'site' || CAST(dom_idx AS STRING) || '.com' AS domain",
+                f"{_FRONTIER_ROBOTS_PLANT_SQL} AS robots_txt",
+            )
+        )
+        n = fetch_schedule(
+            caps,
+            parse_robots(robots_docs),
+            url_col="url",
+            order_cols=("urlkey", "filename", "offset"),
+            agent=_STAGED_AGENT,
+            default_delay_s=_STAGED_DEFAULT,
+            max_delay_s=_STAGED_CAP,
+            n_lanes=_STAGED_LANES,
+        ).count()
+        assert n == docs.count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", fallback)
+        spark.conf.set("spark.sql.codegen.factoryMode", factory)
