@@ -2680,9 +2680,15 @@ def _q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2 end-to-end under Structured Streaming (rows-only: streaming
-    side effects have no SQL oracle; batch≡stream equivalence is proven in
-    tests/test_streaming.py::test_stream_upsert_replay_equals_batch):
+    """ST2 end-to-end under Structured Streaming, HASH-EXACT since r15
+    (promoted from rows-only — the §4 tail rule executed in place, no slot
+    needed): the final MERGE target is deterministic because the doubled
+    copies are byte-identical, the 30-day dedup delay exceeds the data
+    span, and the upsert is pass-through per unique event_id — so the
+    drained state ≡ ``SELECT event_id, user_id, value FROM events`` and
+    the driver now checks the streaming side effect cell-for-cell.
+    Batch≡stream equivalence is additionally proven in
+    tests/test_streaming.py::test_stream_upsert_replay_equals_batch:
     events re-landed as arrival files, streamed with a DOUBLED source
     (re-extract duplicates), deduped with bounded state
     (dropDuplicatesWithinWatermark), and MERGEd into a parquet target via
@@ -5049,6 +5055,17 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY user_id
+    """,
+    # The drained MERGE target is fully deterministic: the doubled source's
+    # copies are byte-identical rows, dedup-within-watermark (30-day delay
+    # > the data span) collapses them regardless of batch assignment, and
+    # the keyed MERGE then lands exactly one pass-through row per unique
+    # event_id (no arithmetic — value is IEEE-exact from the same parquet).
+    # So the final state ≡ the distinct source relation (r15 promotion:
+    # rows-only → hash-exact; the interval_join_stream precedent that a
+    # streaming drain can carry a full SQL oracle).
+    "stream_upsert_replay": """
+        SELECT event_id, user_id, value FROM events
     """,
     "decimal_star_rollup": """
         SELECT n_name, l_returnflag,

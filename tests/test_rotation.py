@@ -80,8 +80,12 @@ def test_every_query_has_oracle_or_documented_exemption():
     import __spark_entry__ as entry
 
     ROWS_ONLY = {
-        # streaming side effects / drained state (batch≡stream unit-tested)
-        "stream_upsert_replay",
+        # streaming drained state whose emitted set depends on arrival
+        # order (cross-batch straggler folds + final-watermark closure),
+        # so no SQL oracle can exist; batch≡stream unit-tested.
+        # stream_upsert_replay graduated r15: its drained MERGE target is
+        # arrival-order-INdependent (identical doubled rows, pass-through
+        # upsert), so it carries a full oracle now.
         "sessionize_stream",
         # approximate ops: ±bound/recall unit-tested, no SQL equivalent
         "approx_percentiles_by_status",
