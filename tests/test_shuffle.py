@@ -1,0 +1,152 @@
+"""Training-order materialization (operators/shuffle.py): permutation
+properties, the dual-dialect manifest twin, the sharded writer roundtrip,
+and the plan/codegen pins. The manifest twin at documents-table scale IS
+the future declared query's oracle (ROTATION_POLICY §4 declare-ready)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+from azure_etl_databricks_sql_powerbi_spark.operators.shuffle import (
+    duckdb_shard_manifest_sql,
+    epoch_shuffle,
+    shard_manifest,
+    write_training_shards,
+)
+
+SEED, N_SHARDS = 42, 16
+
+
+def _docs(spark, sf=SF_SMOKE):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _canon(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    docs = _docs(spark)
+    sh = epoch_shuffle(docs, seed=SEED, n_shards=N_SHARDS).select(
+        "doc_id", "shard_id", "pos"
+    )
+    rows = sh.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)  # every doc exactly once
+    # pos is dense 0..n-1 within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # uniformity (loose): 500 docs over 16 shards — no shard empty or >3x mean
+    sizes = [len(p) for p in by_shard.values()]
+    assert len(by_shard) == N_SHARDS and max(sizes) <= 3 * (500 // N_SHARDS)
+
+
+def test_epoch_shuffle_stable_under_repartition_and_moves_with_seed(spark):
+    docs = _docs(spark)
+    base = epoch_shuffle(docs, seed=SEED, n_shards=N_SHARDS)
+    again = epoch_shuffle(docs.repartition(7), seed=SEED, n_shards=N_SHARDS)
+    key = lambda df: sorted(
+        (r.doc_id, r.shard_id, r.pos)
+        for r in df.select("doc_id", "shard_id", "pos").collect()
+    )
+    assert key(base) == key(again)  # content-addressed: partitioning-invariant
+    other = epoch_shuffle(docs, seed=SEED + 1, n_shards=N_SHARDS)
+    moved = sum(
+        1
+        for a, b in zip(key(base), key(other))
+        if (a[1], a[2]) != (b[1], b[2])
+    )
+    assert moved > 400  # a different seed reshuffles essentially everything
+
+
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
+def test_shard_manifest_matches_duckdb_twin(spark, sf):
+    """STAGED declare-ready (ROTATION_POLICY §4): the manifest query at
+    documents-table scale, cell-for-cell against the module-owned DuckDB
+    replay (all columns integral — no float tolerance involved)."""
+    from oracle_harness import duckdb_conn
+
+    got = shard_manifest(
+        epoch_shuffle(_docs(spark, sf), seed=SEED, n_shards=N_SHARDS),
+        text_col="text",
+    ).toPandas()
+    want = (
+        duckdb_conn(sf)
+        .execute(
+            duckdb_shard_manifest_sql("documents", "doc_id", SEED, N_SHARDS, "text")
+        )
+        .df()
+    )
+    assert _canon(got).equals(_canon(want))
+
+
+def test_write_training_shards_roundtrip(spark):
+    docs = _docs(spark)
+    pre = shard_manifest(
+        epoch_shuffle(docs, seed=SEED, n_shards=N_SHARDS), text_col="text"
+    ).toPandas()
+    with tempfile.TemporaryDirectory(prefix="shards_") as tmp:
+        path = f"{tmp}/epoch0"
+        written = write_training_shards(
+            docs, path, seed=SEED, n_shards=N_SHARDS, text_col="text"
+        ).toPandas()
+        # the written receipt equals the planned manifest
+        assert _canon(written).equals(_canon(pre))
+        # one parquet file per shard, rows stored in shard order
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        dirs = sorted(glob.glob(f"{path}/shard_id=*"))
+        assert len(dirs) == N_SHARDS
+        for d in dirs[:3]:  # spot-check 3 shards' in-file order
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1
+            tbl = pq.read_table(f"{d}/{files[0]}", columns=["pos"])
+            ps = tbl.column("pos").to_pylist()
+            assert ps == sorted(ps) and ps[0] == 0
+
+
+def test_shuffle_manifest_plan_one_exchange_no_python(spark):
+    """The scale pin: the window already hash-partitions by shard_id, so
+    the manifest's aggregation must REUSE that partitioning — exactly one
+    Exchange in the whole shuffle+manifest plan, and no Python nodes."""
+    m = shard_manifest(
+        epoch_shuffle(_docs(spark), seed=SEED, n_shards=N_SHARDS), text_col="text"
+    )
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    # (the final orderBy over n_shards manifest rows may add one range
+    # Exchange — that's a 16-row sort, not a data shuffle; not pinned)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert bad not in plan
+
+
+def test_shuffle_manifest_whole_stage_compiles(spark):
+    """The r14 lesson applied BEFORE declaring: every stage of the staged
+    query must whole-stage-compile loudly (fallback=false + CODEGEN_ONLY
+    turn a Janino failure into an error instead of silent interpretation)."""
+    fallback = spark.conf.get("spark.sql.codegen.fallback")
+    factory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        n = shard_manifest(
+            epoch_shuffle(_docs(spark), seed=SEED, n_shards=N_SHARDS),
+            text_col="text",
+        ).count()
+        assert n == N_SHARDS
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", fallback)
+        spark.conf.set("spark.sql.codegen.factoryMode", factory)
