@@ -30,8 +30,10 @@ from azure_etl_databricks_sql_powerbi_spark.functions.text import tokens
 def hash_bucket(col, dim: int):
     """Column expr: token -> stable bucket in [0, dim). 32 hex-bit md5
     prefix parsed to int — identical arithmetic in DuckDB."""
+    from ..util import hex_prefix_long
+
     c = F.col(col) if isinstance(col, str) else col
-    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    return (hex_prefix_long(F.md5(c), 1, 8) % dim).cast("int")
 
 
 def hashed_text_features(

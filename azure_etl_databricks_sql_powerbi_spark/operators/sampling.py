@@ -28,11 +28,11 @@ def hash_bucket(col: Column | str, buckets: int = 10_000, salt: str = "") -> Col
     — including the DuckDB oracle — reproduces it bit-for-bit. The first 8
     hex chars give 32 uniform bits, plenty for split ratios.
     """
+    from ..util import hex_prefix_long
+
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias(
-        "bucket"
-    )
+    return (hex_prefix_long(h, 1, 8) % buckets).alias("bucket")
 
 
 def deterministic_split(
@@ -169,9 +169,12 @@ def weighted_sample(
       sort at 100 TB.
 
     Rows with non-positive weight are excluded (zero mass)."""
+    from ..util import hex_prefix_long
+
     w = F.col(weight) if isinstance(weight, str) else weight
-    hex8 = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
-    u32 = F.conv(hex8, 16, 10).cast("long")
+    u32 = hex_prefix_long(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
     # u in (0, 1]: (int + 1) / 2^32 — one IEEE division of exact integers
     u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
     key_m = F.floor(((-F.ln(u)) / w.cast("double")) * F.lit(1e6)).cast("long")

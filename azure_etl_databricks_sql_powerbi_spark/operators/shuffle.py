@@ -28,9 +28,13 @@ reproducible pseudo-random order. The contract here:
   the whole shuffle+manifest plan carries exactly one Exchange
   (pinned in tests/test_shuffle.py).
 
-Fingerprint bits (chars 9..22 of the md5 hex = 56 bits) are disjoint
-from the shard-assignment bits (chars 1..8), so the fingerprint stays
-uniform WITHIN a shard rather than constant-modulo-n_shards.
+The fingerprint is DELIBERATELY computed from the unseeded content
+digest ``md5(id)`` (chars 9..22 = 56 bits), not from the seeded epoch
+key that drives shard assignment: shard membership changes with the
+seed, but each doc's fingerprint contribution does not — so the xor of
+ALL shards' fingerprints is a corpus invariant across epochs/seeds (the
+cheapest possible cross-epoch "same corpus?" receipt; pinned in
+tests/test_shuffle.py::test_fingerprint_xor_is_seed_invariant).
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
+from ..util import hex_prefix_long
 
 __all__ = [
     "epoch_key",
@@ -71,12 +76,16 @@ def epoch_shuffle(
     order total even under (astronomically unlikely) md5-prefix ties.
     One Exchange on ``shard_id``; nothing global.
     """
+    clash = {"__ekey", shard_col, pos_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_shuffle would overwrite existing column(s) {sorted(clash)}; "
+            "rename them or pass different shard_col/pos_col"
+        )
     key = epoch_key(on, seed)
     out = df.withColumn("__ekey", key).withColumn(
         shard_col,
-        (F.conv(F.substring("__ekey", 1, 8), 16, 10).cast("long") % n_shards).cast(
-            "int"
-        ),
+        (hex_prefix_long("__ekey", 1, 8) % n_shards).cast("int"),
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("__ekey"), F.col(on))
     return (
@@ -97,14 +106,14 @@ def shard_manifest(
     Columns: ``shard_id, n_docs, first_doc, last_doc, fingerprint`` and,
     when ``text_col`` is given, ``n_tokens`` (whitespace tokens — the
     corpus-wide token-accounting convention of ``functions.text``).
-    ``fingerprint`` xors each doc's 56-bit md5 slice — commutative, so
-    it needs no order and never overflows a BIGINT; ``first/last_doc``
-    are the shard's positional boundary docs (``min_by/max_by`` on
-    ``pos``), the spot-check anchors for a resume.
+    ``fingerprint`` xors each doc's 56-bit slice of the UNSEEDED content
+    digest ``md5(id)`` — commutative (needs no order, can't overflow a
+    BIGINT) and seed-independent, so the xor across all shards is a
+    cross-epoch corpus invariant (see module docstring);
+    ``first/last_doc`` are the shard's positional boundary docs
+    (``min_by/max_by`` on ``pos``), the spot-check anchors for a resume.
     """
-    fp_bits = F.conv(
-        F.substring(F.md5(F.col(on).cast("string")), 9, 14), 16, 10
-    ).cast("long")
+    fp_bits = hex_prefix_long(F.md5(F.col(on).cast("string")), 9, 14)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.min_by(F.col(on), F.col(pos_col)).alias("first_doc"),

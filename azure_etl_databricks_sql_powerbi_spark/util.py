@@ -93,6 +93,25 @@ def double_hash_positions(hashes, width: int, depth: int):
     return (h1[:, None] + i[None, :] * h2[:, None]) % width
 
 
+def hex_prefix_long(c: Column | str, start: int = 1, length: int = 8) -> Column:
+    """Slice ``length`` hex chars of a hex-string column (md5 etc.) from
+    1-based ``start`` and parse them as a non-negative BIGINT.
+
+    THE portable hash arithmetic of the engine: any engine with md5 and
+    hex parsing — including the DuckDB oracle via
+    ``CAST(concat('0x', substr(h, start, length)) AS UBIGINT)`` —
+    reproduces it bit-for-bit. Keep every md5-prefix bucket/fingerprint
+    derivation on this ONE definition (``sampling.hash_bucket``,
+    ``features.hash_bucket``, ``operators/shuffle``) so a portability
+    fix can never miss a copy. ``length`` ≤ 15 keeps the value inside
+    a signed 64-bit long (60 bits).
+    """
+    if length > 15:
+        raise ValueError(f"hex_prefix_long: length {length} overflows BIGINT")
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(c, start, length), 16, 10).cast("long")
+
+
 def money_sum(c: Column | str) -> Column:
     """Exact money sum: DECIMAL(18,2)-accumulate, then ONE double cast.
 

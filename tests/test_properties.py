@@ -889,3 +889,50 @@ def test_fetch_schedule_properties(spark, caps, n_lanes):
         )
         lanes = {r.lane for r in rows}
         assert len(lanes) == 1 and all(0 <= x < n_lanes for x in lanes)
+
+
+shuffle_ids = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=40, unique=True
+)
+
+
+@given(ids=shuffle_ids, seed=st.integers(0, 5), n_shards=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_epoch_shuffle_properties(spark, ids, seed, n_shards):
+    """Training-order materialization invariants on arbitrary corpora:
+    (a) the shuffle is a permutation (every id once, pos dense per
+    shard); (b) the manifest's fingerprints xor to a hashlib-md5
+    reference value — an INDEPENDENT Python replay of the Column
+    arithmetic, so a substring-offset or signedness bug in the engine
+    expression cannot self-confirm."""
+    import hashlib
+    from functools import reduce
+
+    from azure_etl_databricks_sql_powerbi_spark.operators.shuffle import (
+        epoch_shuffle,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sh = epoch_shuffle(df, seed=seed, n_shards=n_shards).collect()
+    assert sorted(r.doc_id for r in sh) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in sh:
+        assert 0 <= r.shard_id < n_shards
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+    rows = shard_manifest(
+        epoch_shuffle(df, seed=seed, n_shards=n_shards)
+    ).collect()
+    assert sum(r.n_docs for r in rows) == len(ids)
+    got = reduce(lambda a, b: a ^ b, (r.fingerprint for r in rows))
+    want = reduce(
+        lambda a, b: a ^ b,
+        (
+            int(hashlib.md5(str(i).encode()).hexdigest()[8:22], 16)
+            for i in ids
+        ),
+    )
+    assert got == want

@@ -8,6 +8,7 @@ from __future__ import annotations
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
@@ -45,9 +46,9 @@ def test_epoch_shuffle_is_a_permutation(spark):
     assert set(by_shard) <= set(range(N_SHARDS))
     for ps in by_shard.values():
         assert sorted(ps) == list(range(len(ps)))
-    # uniformity (loose): 500 docs over 16 shards — no shard empty or >3x mean
+    # uniformity (loose): no shard empty or >3x the mean shard size
     sizes = [len(p) for p in by_shard.values()]
-    assert len(by_shard) == N_SHARDS and max(sizes) <= 3 * (500 // N_SHARDS)
+    assert len(by_shard) == N_SHARDS and max(sizes) <= 3 * (len(rows) // N_SHARDS)
 
 
 def test_epoch_shuffle_stable_under_repartition_and_moves_with_seed(spark):
@@ -66,6 +67,34 @@ def test_epoch_shuffle_stable_under_repartition_and_moves_with_seed(spark):
         if (a[1], a[2]) != (b[1], b[2])
     )
     assert moved > 400  # a different seed reshuffles essentially everything
+
+
+def test_epoch_shuffle_rejects_column_clash(spark):
+    docs = _docs(spark).withColumn("pos", F.lit(0))
+    with pytest.raises(ValueError, match="pos"):
+        epoch_shuffle(docs, seed=SEED, n_shards=N_SHARDS)
+
+
+def test_fingerprint_xor_is_seed_invariant(spark):
+    """The fingerprint is the UNSEEDED content digest by design: shard
+    membership moves with the seed, but the xor of ALL shards'
+    fingerprints depends only on corpus membership — the cross-epoch
+    'same corpus?' receipt (module docstring contract)."""
+    from functools import reduce
+
+    docs = _docs(spark)
+
+    def total_fp(seed):
+        rows = shard_manifest(
+            epoch_shuffle(docs, seed=seed, n_shards=N_SHARDS)
+        ).collect()
+        per_shard = [r.fingerprint for r in rows]
+        return reduce(lambda a, b: a ^ b, per_shard), per_shard
+
+    t1, fp1 = total_fp(SEED)
+    t2, fp2 = total_fp(SEED + 1)
+    assert t1 == t2  # corpus invariant
+    assert fp1 != fp2  # but per-shard membership DID move with the seed
 
 
 @pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
