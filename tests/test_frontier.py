@@ -469,3 +469,96 @@ def test_staged_shape_compiles_codegen_only(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.codegen.fallback", fallback)
         spark.conf.set("spark.sql.codegen.factoryMode", factory)
+
+
+def test_crawl_quota_filters_and_flags(spark, captures, rules):
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import crawl_quota
+
+    sched = fetch_schedule(captures, rules, agent="trainbot", n_lanes=16)
+    kept = crawl_quota(sched, 2).collect()
+    # every host bounded; a.com (3 captures) lost exactly its slot-3 row
+    per_host: dict = {}
+    for r in kept:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert max(per_host.values()) <= 2
+    assert per_host["a.com"] == 2
+    # the flagged variant keeps everything and marks the exact complement
+    flagged = crawl_quota(sched, 2, flag_col="deferred").collect()
+    assert len(flagged) == len(CAPTURES)
+    deferred = {r.urlkey for r in flagged if r.deferred}
+    kept_keys = {r.urlkey for r in kept}
+    assert deferred == {r.urlkey for r in sched.collect() if r.slot > 2}
+    assert kept_keys | deferred == {r.urlkey for r in flagged}
+    assert not (kept_keys & deferred)
+    with pytest.raises(ValueError, match="max_per_host"):
+        crawl_quota(sched, 0)
+    with pytest.raises(ValueError, match="slot"):
+        crawl_quota(captures, 2)
+
+
+def test_prioritize_frontier_per_lane_ranks(spark, captures, rules):
+    """The links→frontier bridge: each lane's queue orders by domain
+    score desc (unscored hosts at the tail), host blocks contiguous,
+    slot order preserved within a host — and NO global sort: ranks are
+    dense 1..n PER LANE."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+        crawl_quota,
+        prioritize_frontier,
+    )
+
+    sched = fetch_schedule(captures, rules, agent="trainbot", n_lanes=1)
+    scores = spark.createDataFrame(
+        [("a.com", 0.9), ("b.com", 2.5), ("ghost.com", 7.0)],
+        "domain string, score double",
+    )
+    out = prioritize_frontier(sched, scores)
+    rows = sorted(out.collect(), key=lambda r: (r.lane, r.priority_rank))
+    by_lane: dict = {}
+    for r in rows:
+        by_lane.setdefault(r.lane, []).append(r)
+    for lane_rows in by_lane.values():
+        # dense 1..n within the lane
+        assert [r.priority_rank for r in lane_rows] == list(
+            range(1, len(lane_rows) + 1)
+        )
+        # scores non-increasing (None = -inf at the tail)
+        seq = [(-1e18 if r.score is None else r.score) for r in lane_rows]
+        assert seq == sorted(seq, reverse=True)
+        # within a host: contiguous block, slot order preserved
+        seen = set()
+        prev_host, prev_slot = object(), 0
+        for r in lane_rows:
+            if r.host != prev_host:
+                assert r.host not in seen  # contiguity: no host reappears
+                seen.add(r.host)
+                prev_host, prev_slot = r.host, r.slot
+            else:
+                assert r.slot > prev_slot
+                prev_slot = r.slot
+    # with one lane, b.com (2.5) outranks a.com (0.9); unscored hosts last
+    single = by_lane[next(iter(by_lane))]
+    hosts_in_order = [r.host for r in single]
+    assert hosts_in_order.index("b.com") < hosts_in_order.index("a.com")
+    scored = {"a.com", "b.com"}
+    tail = [h for h in hosts_in_order if h not in scored]
+    assert hosts_in_order[-len(tail):] == tail if tail else True
+    # composes with the quota filter without recomputing any window
+    q = prioritize_frontier(crawl_quota(sched, 1), scores).collect()
+    assert max(r.slot for r in q) == 1
+
+
+def test_prioritize_frontier_guard_and_fallback(spark, captures, rules):
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+        prioritize_frontier,
+    )
+
+    sched = fetch_schedule(captures, rules, agent="trainbot", n_lanes=4)
+    scores = spark.createDataFrame(
+        [("a.com", 0.9), ("b.com", 2.5)], "domain string, score double"
+    )
+    with pytest.raises(ValueError, match="max_broadcast_domains"):
+        prioritize_frontier(sched, scores, max_broadcast_domains=1)
+    bc = prioritize_frontier(sched, scores).collect()
+    sh = prioritize_frontier(sched, scores, broadcast_scores=False).collect()
+    key = lambda rows: sorted((r.urlkey, r.lane, r.priority_rank, r.score) for r in rows)
+    assert key(bc) == key(sh)
