@@ -51,6 +51,7 @@ __all__ = [
     "shard_manifest",
     "write_training_shards",
     "duckdb_shard_manifest_sql",
+    "resume_from_cursor",
 ]
 
 
@@ -200,3 +201,33 @@ def write_training_shards(
     )
     back = sh.sparkSession.read.parquet(path)
     return shard_manifest(back, on=on, text_col=text_col)
+
+
+def resume_from_cursor(
+    shuffled: DataFrame,
+    cursor: DataFrame,
+    shard_col: str = "shard_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """The mid-epoch restart the manifest exists for: drop every row a
+    crashed training job already consumed.
+
+    ``cursor`` is ``(shard_id, next_pos)`` — per shard, the first
+    position NOT yet consumed (0 = nothing consumed; a shard absent
+    from the cursor restarts from 0). One broadcast join + a map-side
+    filter: no shuffle, so resuming a 100 TB epoch costs one scan of
+    the unconsumed remainder. Determinism of the remainder is exactly
+    the epoch_shuffle guarantee — same seed, same corpus, same order.
+    """
+    cur = cursor.select(
+        F.col(shard_col).alias("__cur_shard"), F.col("next_pos").alias("__cur_pos")
+    )
+    return (
+        shuffled.join(
+            F.broadcast(cur),
+            shuffled[shard_col] == F.col("__cur_shard"),
+            "left",
+        )
+        .filter(F.col(pos_col) >= F.coalesce(F.col("__cur_pos"), F.lit(0)))
+        .drop("__cur_shard", "__cur_pos")
+    )

@@ -179,3 +179,31 @@ def test_shuffle_manifest_whole_stage_compiles(spark):
     finally:
         spark.conf.set("spark.sql.codegen.fallback", fallback)
         spark.conf.set("spark.sql.codegen.factoryMode", factory)
+
+
+def test_resume_from_cursor(spark):
+    """Resume = the exact unconsumed remainder: per-shard suffixes from
+    next_pos, shards absent from the cursor restart whole, and the
+    consumed∪remainder partition is exact (no row lost or duplicated)."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.shuffle import (
+        resume_from_cursor,
+    )
+
+    docs = _docs(spark)
+    sh = epoch_shuffle(docs, seed=SEED, n_shards=4)
+    cursor = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, 10**6)], "shard_id int, next_pos long"
+    )  # shard 3 absent -> restarts from 0; shard 2 fully consumed
+    rest = resume_from_cursor(sh, cursor).collect()
+    full = sh.collect()
+    want = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in full
+        if r.pos >= {0: 5, 1: 0, 2: 10**6}.get(r.shard_id, 0)
+    }
+    assert {(r.doc_id, r.shard_id, r.pos) for r in rest} == want
+    assert not any(r.shard_id == 2 for r in rest)
+    # plan: broadcast join only — no Exchange beyond the window's own
+    plan = resume_from_cursor(sh, cursor)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the shuffle's own
