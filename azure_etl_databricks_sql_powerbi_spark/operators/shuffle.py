@@ -208,19 +208,34 @@ def resume_from_cursor(
     cursor: DataFrame,
     shard_col: str = "shard_id",
     pos_col: str = "pos",
+    next_pos_col: str = "next_pos",
 ) -> DataFrame:
     """The mid-epoch restart the manifest exists for: drop every row a
     crashed training job already consumed.
 
-    ``cursor`` is ``(shard_id, next_pos)`` — per shard, the first
-    position NOT yet consumed (0 = nothing consumed; a shard absent
-    from the cursor restarts from 0). One broadcast join + a map-side
-    filter: no shuffle, so resuming a 100 TB epoch costs one scan of
-    the unconsumed remainder. Determinism of the remainder is exactly
-    the epoch_shuffle guarantee — same seed, same corpus, same order.
+    ``cursor`` is ``(<shard_col>, <next_pos_col>)`` — per shard, the
+    first position NOT yet consumed (0 = nothing consumed; a shard
+    absent from the cursor restarts from 0). Append-style checkpoint
+    logs are welcome: multiple rows per shard reduce to the FURTHEST
+    position (max) before the join, so a stale duplicate can never
+    re-emit consumed rows. One broadcast join + a map-side filter: no
+    shuffle, so resuming a 100 TB epoch costs one scan of the
+    unconsumed remainder. Determinism of the remainder is exactly the
+    epoch_shuffle guarantee — same seed, same corpus, same order.
     """
-    cur = cursor.select(
-        F.col(shard_col).alias("__cur_shard"), F.col("next_pos").alias("__cur_pos")
+    clash = {"__cur_shard", "__cur_pos"} & set(shuffled.columns)
+    if clash:
+        raise ValueError(
+            f"resume_from_cursor's internal column(s) {sorted(clash)} already "
+            "exist on the shuffled frame; rename them first"
+        )
+    cur = (
+        cursor.select(
+            F.col(shard_col).alias("__cur_shard"),
+            F.col(next_pos_col).alias("__cur_pos"),
+        )
+        .groupBy("__cur_shard")
+        .agg(F.max("__cur_pos").alias("__cur_pos"))
     )
     return (
         shuffled.join(

@@ -274,6 +274,110 @@ def fetch_schedule(
     )
 
 
+def crawl_quota(
+    schedule: DataFrame,
+    max_per_host: int,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Per-host crawl budget over a :func:`fetch_schedule` output.
+
+    Real crawls bound each host's share of the cycle (politeness says
+    WHEN, quota says HOW MANY — an archive host with 10M captures must
+    not consume a worker's whole cycle). ``slot`` is already the
+    1-based per-host fetch position, so enforcement is a FILTER riding
+    the window fetch_schedule already paid for — zero additional
+    shuffles at any scale.
+
+    With ``flag_col=None`` (default) rows past the budget are dropped;
+    the deferred remainder — the NEXT cycle's natural frontier — is the
+    exact complement (``slot > max_per_host``), re-derivable from the
+    same schedule. With ``flag_col`` given, ALL rows are kept and the
+    overflow is marked instead, for sinks that persist both verdicts.
+    """
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    if "slot" not in schedule.columns:
+        raise ValueError("crawl_quota expects a fetch_schedule output (no 'slot')")
+    if flag_col is not None and flag_col in schedule.columns:
+        raise ValueError(
+            f"crawl_quota would overwrite existing column {flag_col!r}; "
+            "pass a different flag_col"
+        )
+    over = F.col("slot") > max_per_host
+    if flag_col is not None:
+        return schedule.withColumn(flag_col, over)
+    return schedule.filter(~over)
+
+
+def prioritize_frontier(
+    schedule: DataFrame,
+    domain_scores: DataFrame,
+    domain_col: str = "domain",
+    score_col: str = "score",
+    rank_col: str = "priority_rank",
+    broadcast_scores: bool = True,
+    max_broadcast_domains: int = 2_000_000,
+) -> DataFrame:
+    """Order each worker's queue by harvested domain value: the
+    links→frontier bridge.
+
+    ``domain_scores`` is ``(<domain_col>, <score_col>)`` — typically
+    ``graph.pagerank`` or an indegree rollup over
+    ``functions/links.domain_edges`` from the PREVIOUS crawl (pagerank
+    emits ``(node, ..., rank)``: pass ``domain_col="node",
+    score_col="rank"``).
+    Each lane (= worker, from fetch_schedule's md5 routing) gets a
+    dense 1-based ``rank_col`` ordering its own queue by
+    ``(score DESC NULLS LAST, host, slot)``: high-value domains first,
+    unscored (newly discovered) domains at the tail, and within a host
+    the politeness slot order is PRESERVED because ``(score, host)``
+    is constant across the host's rows.
+
+    Deliberately NO global sort: a total frontier order at archive
+    scale would range-shuffle the world for nothing — workers consume
+    per-lane queues, so per-lane ranks are the real contract. The one
+    new Exchange is the per-lane window; the score join broadcasts
+    under ``require_broadcastable`` with the shuffle equi-join
+    fallback (the delay-table discipline; the guard is EAGER — see
+    ``fetch_schedule``'s NOTE, which applies verbatim).
+    """
+    from azure_etl_databricks_sql_powerbi_spark.util import require_broadcastable
+
+    for c in ("host", "slot", "lane"):
+        if c not in schedule.columns:
+            raise ValueError(
+                f"prioritize_frontier expects a fetch_schedule output (no {c!r})"
+            )
+    clash = {rank_col, score_col, "__ds_dom", "__ds_score"} & set(schedule.columns)
+    if clash:
+        raise ValueError(
+            f"prioritize_frontier would produce duplicate column(s) "
+            f"{sorted(clash)}; rename them or pass different "
+            "rank_col/score_col"
+        )
+    scores = domain_scores.select(
+        F.col(domain_col).alias("__ds_dom"), F.col(score_col).alias("__ds_score")
+    )
+    if broadcast_scores:
+        require_broadcastable(
+            scores,
+            max_broadcast_domains,
+            "max_broadcast_domains",
+            "the per-domain score table",
+            "pass broadcast_scores=False for the shuffle equi-join-on-host path",
+        )
+        scores = F.broadcast(scores)
+    joined = (
+        schedule.join(scores, schedule["host"] == scores["__ds_dom"], "left")
+        .drop("__ds_dom")
+        .withColumnRenamed("__ds_score", score_col)
+    )
+    w = Window.partitionBy("lane").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col("host").asc_nulls_last(), F.col("slot").asc()
+    )
+    return joined.withColumn(rank_col, F.row_number().over(w))
+
+
 # ---------------------------------------------------------------- oracle
 
 
@@ -331,93 +435,3 @@ def duckdb_lane_sql(host_expr: str, n_lanes: int = 64) -> str:
         f"% {int(n_lanes)} AS INTEGER)"
     )
 
-
-def crawl_quota(
-    schedule: DataFrame,
-    max_per_host: int,
-    flag_col: str | None = None,
-) -> DataFrame:
-    """Per-host crawl budget over a :func:`fetch_schedule` output.
-
-    Real crawls bound each host's share of the cycle (politeness says
-    WHEN, quota says HOW MANY — an archive host with 10M captures must
-    not consume a worker's whole cycle). ``slot`` is already the
-    1-based per-host fetch position, so enforcement is a FILTER riding
-    the window fetch_schedule already paid for — zero additional
-    shuffles at any scale.
-
-    With ``flag_col=None`` (default) rows past the budget are dropped;
-    the deferred remainder — the NEXT cycle's natural frontier — is the
-    exact complement (``slot > max_per_host``), re-derivable from the
-    same schedule. With ``flag_col`` given, ALL rows are kept and the
-    overflow is marked instead, for sinks that persist both verdicts.
-    """
-    if max_per_host < 1:
-        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
-    if "slot" not in schedule.columns:
-        raise ValueError("crawl_quota expects a fetch_schedule output (no 'slot')")
-    over = F.col("slot") > max_per_host
-    if flag_col is not None:
-        return schedule.withColumn(flag_col, over)
-    return schedule.filter(~over)
-
-
-def prioritize_frontier(
-    schedule: DataFrame,
-    domain_scores: DataFrame,
-    score_col: str = "score",
-    rank_col: str = "priority_rank",
-    broadcast_scores: bool = True,
-    max_broadcast_domains: int = 2_000_000,
-) -> DataFrame:
-    """Order each worker's queue by harvested domain value: the
-    links→frontier bridge.
-
-    ``domain_scores`` is ``(domain, <score_col>)`` — typically
-    ``graph.pagerank`` or an indegree rollup over
-    ``functions/links.domain_edges`` from the PREVIOUS crawl.
-    Each lane (= worker, from fetch_schedule's md5 routing) gets a
-    dense 1-based ``rank_col`` ordering its own queue by
-    ``(score DESC NULLS LAST, host, slot)``: high-value domains first,
-    unscored (newly discovered) domains at the tail, and within a host
-    the politeness slot order is PRESERVED because ``(score, host)``
-    is constant across the host's rows.
-
-    Deliberately NO global sort: a total frontier order at archive
-    scale would range-shuffle the world for nothing — workers consume
-    per-lane queues, so per-lane ranks are the real contract. The one
-    new Exchange is the per-lane window; the score join broadcasts
-    under ``require_broadcastable`` with the shuffle equi-join
-    fallback (the delay-table discipline; the guard is EAGER — see
-    ``fetch_schedule``'s NOTE, which applies verbatim).
-    """
-    from azure_etl_databricks_sql_powerbi_spark.util import require_broadcastable
-
-    for c in ("host", "slot", "lane"):
-        if c not in schedule.columns:
-            raise ValueError(
-                f"prioritize_frontier expects a fetch_schedule output (no {c!r})"
-            )
-    if rank_col in schedule.columns or "__ds_dom" in schedule.columns:
-        raise ValueError(f"column {rank_col!r}/__ds_dom already present; rename first")
-    scores = domain_scores.select(
-        F.col("domain").alias("__ds_dom"), F.col(score_col).alias("__ds_score")
-    )
-    if broadcast_scores:
-        require_broadcastable(
-            scores,
-            max_broadcast_domains,
-            "max_broadcast_domains",
-            "the per-domain score table",
-            "pass broadcast_scores=False for the shuffle equi-join-on-host path",
-        )
-        scores = F.broadcast(scores)
-    joined = (
-        schedule.join(scores, schedule["host"] == scores["__ds_dom"], "left")
-        .drop("__ds_dom")
-        .withColumnRenamed("__ds_score", score_col)
-    )
-    w = Window.partitionBy("lane").orderBy(
-        F.col(score_col).desc_nulls_last(), F.col("host").asc_nulls_last(), F.col("slot").asc()
-    )
-    return joined.withColumn(rank_col, F.row_number().over(w))

@@ -562,3 +562,24 @@ def test_prioritize_frontier_guard_and_fallback(spark, captures, rules):
     sh = prioritize_frontier(sched, scores, broadcast_scores=False).collect()
     key = lambda rows: sorted((r.urlkey, r.lane, r.priority_rank, r.score) for r in rows)
     assert key(bc) == key(sh)
+
+
+def test_quota_and_priority_clash_guards(spark, captures, rules):
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+        crawl_quota,
+        prioritize_frontier,
+    )
+
+    sched = fetch_schedule(captures, rules, agent="trainbot", n_lanes=4)
+    with pytest.raises(ValueError, match="flag_col"):
+        crawl_quota(sched, 2, flag_col="slot")
+    scores = spark.createDataFrame([("a.com", 1.0)], "domain string, score double")
+    with pytest.raises(ValueError, match="duplicate column"):
+        prioritize_frontier(sched.withColumn("score", F.lit(0.0)), scores)
+    # pagerank-shaped score tables work via domain_col/score_col
+    pr_shaped = spark.createDataFrame(
+        [("a.com", 123, 2.5)], "node string, rank_m long, rank double"
+    )
+    out = prioritize_frontier(sched, pr_shaped, domain_col="node", score_col="rank")
+    a = [r for r in out.collect() if r.host == "a.com"]
+    assert a and all(r.rank == 2.5 for r in a)

@@ -206,4 +206,31 @@ def test_resume_from_cursor(spark):
     # plan: broadcast join only — no Exchange beyond the window's own
     plan = resume_from_cursor(sh, cursor)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") == 1  # the shuffle's own
+    # two hash Exchanges: the shuffle's own (data side) + the KB-sized
+    # cursor's max-reduction before its broadcast — never the data again
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_resume_cursor_append_log_reduces_to_furthest(spark):
+    """An append-style checkpoint log (several rows per shard) must
+    reduce to max(next_pos) — a stale duplicate can never re-emit
+    consumed rows, and never duplicates remainder rows."""
+    from azure_etl_databricks_sql_powerbi_spark.operators.shuffle import (
+        resume_from_cursor,
+    )
+
+    sh = epoch_shuffle(_docs(spark), seed=SEED, n_shards=4)
+    log = spark.createDataFrame(
+        [(0, 2), (0, 7), (1, 3), (1, 1)], "shard_id int, next_pos long"
+    )
+    rest = resume_from_cursor(sh, log).collect()
+    want = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in sh.collect()
+        if r.pos >= {0: 7, 1: 3}.get(r.shard_id, 0)
+    }
+    got = [(r.doc_id, r.shard_id, r.pos) for r in rest]
+    assert len(got) == len(set(got))  # no duplicated rows
+    assert set(got) == want
+    with pytest.raises(ValueError, match="__cur_pos"):
+        resume_from_cursor(sh.withColumn("__cur_pos", F.lit(0)), log)
