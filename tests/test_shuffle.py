@@ -234,3 +234,43 @@ def test_resume_cursor_append_log_reduces_to_furthest(spark):
     assert set(got) == want
     with pytest.raises(ValueError, match="__cur_pos"):
         resume_from_cursor(sh.withColumn("__cur_pos", F.lit(0)), log)
+
+
+def test_dataloader_chain_end_to_end(spark):
+    """The full materialization seam, composed exactly as the module
+    docstrings advise: deterministic_split → epoch_shuffle →
+    pack_sequences WITHIN each shard (group_by=shard, order_by=pos —
+    the pack docstring's at-scale shape) → per-shard token conservation
+    against a pandas replay. Pins the interfaces between the three
+    operators so a column rename in one can't silently break the chain."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.text import token_count
+    from azure_etl_databricks_sql_powerbi_spark.operators.sampling import (
+        deterministic_split,
+        pack_sequences,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    train = deterministic_split(docs, on="text", weights={"train": 0.9, "val": 0.1})
+    train = train.filter(F.col("split") == "train").drop("split")
+    sh = epoch_shuffle(train, seed=7, n_shards=4).withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    packed = pack_sequences(
+        sh, "n_tokens", ctx_len=256, order_by=["pos"], group_by=["shard_id"]
+    ).select("doc_id", "shard_id", "pos", "n_tokens", "start_offset", "bin_id")
+    rows = packed.collect()
+    assert len(rows) == train.count()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.pos)
+        # pandas-free replay: offsets are the exclusive prefix sums of
+        # n_tokens in pos order, bins are offset // ctx_len
+        acc = 0
+        for r in shard_rows:
+            assert r.start_offset == acc
+            assert r.bin_id == acc // 256
+            acc += r.n_tokens
+        # token conservation: the stream's length is the shard's total
+        assert acc == sum(r.n_tokens for r in shard_rows)
