@@ -274,3 +274,32 @@ def test_dataloader_chain_end_to_end(spark):
             acc += r.n_tokens
         # token conservation: the stream's length is the shard's total
         assert acc == sum(r.n_tokens for r in shard_rows)
+
+
+def test_writer_edge_cases_empty_shards_and_single_doc(spark):
+    """n_shards >> corpus: empty shards produce neither a directory nor
+    a manifest row, and the written receipt still equals the planned
+    manifest (both enumerate only occupied shards). A single-doc corpus
+    degenerates cleanly to one shard, one file, pos 0."""
+    import glob
+
+    docs = _docs(spark).limit(40)
+    with tempfile.TemporaryDirectory(prefix="shards_edge_") as tmp:
+        wide = write_training_shards(
+            docs, f"{tmp}/wide", seed=SEED, n_shards=256
+        ).toPandas()
+        plan = shard_manifest(
+            epoch_shuffle(docs, seed=SEED, n_shards=256)
+        ).toPandas()
+        assert _canon(wide).equals(_canon(plan))
+        dirs = glob.glob(f"{tmp}/wide/shard_id=*")
+        assert len(dirs) == len(wide) <= 40  # occupied shards only
+        assert int(wide["n_docs"].sum()) == 40
+
+        one = docs.limit(1)
+        written = write_training_shards(
+            one, f"{tmp}/one", seed=SEED, n_shards=8
+        ).toPandas()
+        assert len(written) == 1
+        assert written["n_docs"].iloc[0] == 1
+        assert written["first_doc"].iloc[0] == written["last_doc"].iloc[0]
