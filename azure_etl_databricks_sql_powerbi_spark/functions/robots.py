@@ -122,8 +122,14 @@ def parse_robots(
             F.sum(F.col("is_blank").cast("int")).over(w),
         )
     )
+    # g_domain (not a bare "domain") so the rules↔agents join below is
+    # an UNAMBIGUOUS equi-join: both sides share the `scoped` lineage,
+    # and same-named column references in a self-join make Spark emit
+    # its "trivially true equals predicate" warning while it
+    # disambiguates via plan-id metadata — explicit aliases keep the
+    # join meaning in the query text instead of the resolver
     agents = scoped.filter(F.col("is_agent")).select(
-        "domain",
+        F.col("domain").alias("g_domain"),
         F.col("run_id").alias("g_run"),
         F.lower("value").alias("agent"),
         F.col("blanks_before").alias("g_blanks"),
@@ -151,11 +157,11 @@ def parse_robots(
         # agents is |user-agent lines| rows — broadcast keeps the whole
         # rule build shuffle-free (robots documents are KB-scale)
         F.broadcast(agents),
-        (rules["domain"] == agents["domain"])
-        & (rules["r_run"] == agents["g_run"])
-        & (rules["r_blanks"] == agents["g_blanks"]),
+        (F.col("domain") == F.col("g_domain"))
+        & (F.col("r_run") == F.col("g_run"))
+        & (F.col("r_blanks") == F.col("g_blanks")),
     ).select(
-        rules["domain"],
+        "domain",
         "agent",
         "directive",
         "pattern",
@@ -192,7 +198,7 @@ def parse_robots(
     # where RFC 9309 gives it an own (empty = allow-all) group (r13
     # review #1 — the crawl-delay fix one step further)
     marker_rows = agents.select(
-        F.col("domain"),
+        F.col("g_domain").alias("domain"),
         "agent",
         F.lit("user-agent").alias("directive"),
         F.col("agent").alias("pattern"),

@@ -583,3 +583,159 @@ def test_quota_and_priority_clash_guards(spark, captures, rules):
     out = prioritize_frontier(sched, pr_shaped, domain_col="node", score_col="rank")
     a = [r for r in out.collect() if r.host == "a.com"]
     assert a and all(r.rank == 2.5 for r in a)
+
+
+_PRIORITY_SCORE_SQL = (
+    "CAST((dom_idx % 5) AS DOUBLE) + 2.0"  # deliberate cross-domain ties
+)
+_STAGED_QUOTA = 25
+
+
+def test_prioritized_schedule_staged_declared_shape(spark, sf_dir):
+    """STAGED declare-ready (ROTATION_POLICY §4, r17 candidate
+    `prioritized_crawl_schedule`): the COMPOSED frontier chain at
+    documents-table scale — fetch_schedule → crawl_quota →
+    prioritize_frontier — against a DuckDB replay that extends the
+    fetch_schedule twin with the quota predicate and the per-lane
+    priority window. Scores are planted per domain with deliberate
+    cross-domain TIES (broken by host asc) and dom_idx % 3 == 2
+    domains left UNSCORED (they must sink to each lane's tail);
+    robots-less domains 10/11 ride the default delay through the
+    whole chain. A declare lifts plant + oracle verbatim."""
+    import duckdb
+
+    from oracle_harness import compare
+    from azure_etl_databricks_sql_powerbi_spark.functions.urls import (
+        duckdb_host_sql,
+        duckdb_registered_domain_sql,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+        crawl_quota,
+        prioritize_frontier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caps = docs.selectExpr(
+        "doc_id",
+        *[f"{ex} AS {name}" for name, ex in _FRONTIER_CAPTURE_EXPRS.items()],
+    )
+    robots_docs = (
+        docs.selectExpr("CAST(doc_id % 12 AS INT) AS dom_idx")
+        .filter("dom_idx < 10")
+        .distinct()
+        .selectExpr(
+            "'site' || CAST(dom_idx AS STRING) || '.com' AS domain",
+            f"{_FRONTIER_ROBOTS_PLANT_SQL} AS robots_txt",
+        )
+    )
+    scores = (
+        docs.selectExpr("CAST(doc_id % 12 AS INT) AS dom_idx")
+        .filter("dom_idx % 3 != 2")
+        .distinct()
+        .selectExpr(
+            "'site' || CAST(dom_idx AS STRING) || '.com' AS domain",
+            f"{_PRIORITY_SCORE_SQL} AS score",
+        )
+    )
+    got = prioritize_frontier(
+        crawl_quota(
+            fetch_schedule(
+                caps,
+                parse_robots(robots_docs),
+                url_col="url",
+                order_cols=("urlkey", "filename", "offset"),
+                agent=_STAGED_AGENT,
+                default_delay_s=_STAGED_DEFAULT,
+                max_delay_s=_STAGED_CAP,
+                n_lanes=_STAGED_LANES,
+            ),
+            _STAGED_QUOTA,
+        ),
+        scores,
+    ).select("urlkey", "host", "slot", "lane", "score", "priority_rank")
+
+    rows = got.collect()
+    # hand anchors independent of the twin: quota bites, ranks are dense
+    # per lane, scores non-increasing by rank, unscored hosts at the tail
+    assert max(r.slot for r in rows) <= _STAGED_QUOTA
+    by_lane: dict = {}
+    for r in rows:
+        by_lane.setdefault(r.lane, []).append(r)
+    for lane_rows in by_lane.values():
+        lane_rows.sort(key=lambda r: r.priority_rank)
+        assert [r.priority_rank for r in lane_rows] == list(
+            range(1, len(lane_rows) + 1)
+        )
+        seq = [(-1.0 if r.score is None else r.score) for r in lane_rows]
+        assert seq == sorted(seq, reverse=True)
+    unscored = {r.host for r in rows if r.score is None}
+    assert any(h in unscored for h in ("site2.com", "site5.com", "site8.com"))
+    assert "site10.com" in unscored or "site11.com" in unscored
+
+    host = duckdb_registered_domain_sql(duckdb_host_sql("c.url"))
+    order = 'urlkey ASC NULLS LAST, filename ASC NULLS LAST, "offset" ASC NULLS LAST'
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+        WITH captures AS (
+            SELECT doc_id,
+                   {_FRONTIER_CAPTURE_EXPRS['url']} AS url,
+                   {_FRONTIER_CAPTURE_EXPRS['urlkey']} AS urlkey,
+                   {_FRONTIER_CAPTURE_EXPRS['filename']} AS filename,
+                   {_FRONTIER_CAPTURE_EXPRS['offset']} AS "offset"
+            FROM documents
+        ),
+        robots_docs AS (
+            SELECT 'site' || CAST(dom_idx AS STRING) || '.com' AS domain,
+                   {_FRONTIER_ROBOTS_PLANT_SQL} AS robots_txt
+            FROM (SELECT DISTINCT CAST(doc_id % 12 AS INT) AS dom_idx
+                  FROM documents WHERE doc_id % 12 < 10)
+        ),
+        rules AS MATERIALIZED (
+            {duckdb_parse_robots_sql("robots_docs")}
+        ),
+        delays AS MATERIALIZED (
+            {duckdb_crawl_delays_sql(
+                "rules", _STAGED_AGENT, _STAGED_DEFAULT, _STAGED_CAP)}
+        ),
+        scores AS MATERIALIZED (
+            SELECT 'site' || CAST(dom_idx AS STRING) || '.com' AS domain,
+                   {_PRIORITY_SCORE_SQL} AS score
+            FROM (SELECT DISTINCT CAST(doc_id % 12 AS INT) AS dom_idx
+                  FROM documents WHERE dom_idx % 3 != 2)
+        ),
+        hosted AS (
+            SELECT c.urlkey, c.filename, c."offset", {host} AS host
+            FROM captures c
+        ),
+        joined AS (
+            SELECT h.*,
+                   coalesce(d.delay_s,
+                            CAST({min(_STAGED_DEFAULT, _STAGED_CAP)!r}
+                                 AS DOUBLE)) AS delay_s
+            FROM hosted h LEFT JOIN delays d ON h.host = d.domain
+        ),
+        slotted AS (
+            SELECT urlkey, host,
+                   CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY {order}) AS INTEGER) AS slot,
+                   {duckdb_lane_sql("host", _STAGED_LANES)} AS lane
+            FROM joined
+        ),
+        quota AS (
+            SELECT * FROM slotted WHERE slot <= {_STAGED_QUOTA}
+        )
+        SELECT q.urlkey, q.host, q.slot, q.lane, s.score,
+               CAST(row_number() OVER (
+                   PARTITION BY q.lane
+                   ORDER BY s.score DESC NULLS LAST,
+                            q.host ASC NULLS LAST,
+                            q.slot ASC) AS INTEGER) AS priority_rank
+        FROM quota q LEFT JOIN scores s ON q.host = s.domain
+    """
+    oracle = con.execute(sql).fetchdf()
+    errs = compare(got, oracle, float_tol=0.0)
+    assert not errs, errs
