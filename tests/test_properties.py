@@ -936,3 +936,68 @@ def test_epoch_shuffle_properties(spark, ids, seed, n_shards):
         ),
     )
     assert got == want
+
+
+frontier_caps = st.lists(
+    st.tuples(
+        st.sampled_from(["a.com", "b.com", "c.org", "long-tail.net"]),  # host
+        st.integers(min_value=0, max_value=99),  # order key
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(caps=frontier_caps, quota=st.integers(1, 5), n_lanes=st.sampled_from([1, 4]))
+@settings(**SETTINGS)
+def test_frontier_chain_properties(spark, caps, quota, n_lanes):
+    """Quota/priority invariants on arbitrary capture sets: per-host
+    keep-count is min(host count, quota); kept rows are exactly the
+    slot-prefix of each host; per-lane priority ranks are a bijection
+    1..n with per-host slot order preserved inside the rank."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.frontier import (
+        crawl_quota,
+        fetch_schedule,
+        prioritize_frontier,
+    )
+
+    rows = [
+        (f"http://{h}/p{k}-{i}", f"{h})/p{k}-{i}", k)
+        for i, (h, k) in enumerate(caps)
+    ]
+    df = spark.createDataFrame(rows, "url string, urlkey string, k int")
+    sched = fetch_schedule(
+        df, None, url_col="url", order_cols=("k", "urlkey"), n_lanes=n_lanes
+    )
+    kept = crawl_quota(sched, quota).collect()
+    full = sched.collect()
+    per_host_full: dict[str, list] = {}
+    for r in full:
+        per_host_full.setdefault(r.host, []).append(r)
+    per_host_kept: dict[str, list] = {}
+    for r in kept:
+        per_host_kept.setdefault(r.host, []).append(r)
+    for h, frows in per_host_full.items():
+        krows = per_host_kept.get(h, [])
+        assert len(krows) == min(len(frows), quota)
+        # kept = exactly the slot-prefix
+        assert {r.urlkey for r in krows} == {
+            r.urlkey for r in frows if r.slot <= quota
+        }
+    scores = spark.createDataFrame(
+        [("a.com", 5.0), ("c.org", 1.0)], "domain string, score double"
+    )
+    ranked = prioritize_frontier(crawl_quota(sched, quota), scores).collect()
+    by_lane: dict[int, list] = {}
+    for r in ranked:
+        by_lane.setdefault(r.lane, []).append(r)
+    for lane_rows in by_lane.values():
+        lane_rows.sort(key=lambda r: r.priority_rank)
+        assert [r.priority_rank for r in lane_rows] == list(
+            range(1, len(lane_rows) + 1)
+        )
+        prev: dict[str, int] = {}
+        for r in lane_rows:
+            if r.host in prev:
+                assert r.slot > prev[r.host]  # slot order inside the rank
+            prev[r.host] = r.slot
