@@ -32,37 +32,62 @@ _WS = re.compile(r"\s+")
 
 
 def _ws_tokens(text: str | None) -> list[str]:
-    """Python twin of functions.text.tokens (split \\s+ of trim)."""
+    """Python twin of functions.text.tokens (split \\s+ of trim).
+    Kept as the module-level reference implementation for unit tests;
+    the UDTF classes below inline the same four lines so their pickled
+    bodies stay self-contained (see _make_udtfs)."""
     if text is None:
         return []
     t = text.strip()
     return _WS.split(t) if t else []
 
 
-@udtf(returnType="pos int, ngram string")
-class NgramUDTF:
-    """Emit one row per word n-gram of the input text: (pos, ngram),
-    pos 0-based, tokens joined by a single space. Blank/short text
-    yields no rows (same contract as explode of an empty array)."""
+def _make_udtfs():
+    """Build the UDTF classes in FUNCTION scope so cloudpickle serializes
+    them BY VALUE (a module-top-level class pickles by reference, and the
+    executor Python worker then has to import this engine package — which
+    fails whenever the driver runs from a foreign cwd without the repo on
+    PYTHONPATH: the r15 driver-simulation regression). Bodies are fully
+    self-contained (stdlib ``re`` imported inside ``eval``, tokenizer
+    inlined — the multimodal/ops.py closure contract), so the pickled
+    value needs nothing from this module at unpickle time. Tokenization
+    must stay EXACTLY ``functions.text.tokens`` (split \\s+ of trim,
+    blank -> no rows) — pinned against the built-in plan in
+    tests/test_udtfs.py."""
 
-    def eval(self, text: str, n: int):  # noqa: D102 — Spark UDTF protocol
-        toks = _ws_tokens(text)
-        for i in range(len(toks) - n + 1):
-            yield i, " ".join(toks[i : i + n])
+    @udtf(returnType="pos int, ngram string")
+    class NgramUDTF:
+        """Emit one row per word n-gram of the input text: (pos, ngram),
+        pos 0-based, tokens joined by a single space. Blank/short text
+        yields no rows (same contract as explode of an empty array)."""
+
+        def eval(self, text: str, n: int):  # noqa: D102 — Spark UDTF protocol
+            import re as _re
+
+            if text is None:
+                return
+            t = text.strip()
+            toks = _re.split(r"\s+", t) if t else []
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    @udtf(returnType="start int, length int, piece string")
+    class FixedWidthChunkUDTF:
+        """Emit fixed-width character chunks of the input (start, length,
+        piece) — the imperative twin of operators/chunking.py's
+        explode(sequence)+substr plan (which remains the scale path)."""
+
+        def eval(self, text: str, width: int):  # noqa: D102
+            if text is None or width <= 0:
+                return
+            for s in range(0, len(text), width):
+                piece = text[s : s + width]
+                yield s, len(piece), piece
+
+    return NgramUDTF, FixedWidthChunkUDTF
 
 
-@udtf(returnType="start int, length int, piece string")
-class FixedWidthChunkUDTF:
-    """Emit fixed-width character chunks of the input (start, length,
-    piece) — the imperative twin of operators/chunking.py's
-    explode(sequence)+substr plan (which remains the scale path)."""
-
-    def eval(self, text: str, width: int):  # noqa: D102
-        if text is None or width <= 0:
-            return
-        for s in range(0, len(text), width):
-            piece = text[s : s + width]
-            yield s, len(piece), piece
+NgramUDTF, FixedWidthChunkUDTF = _make_udtfs()
 
 
 def register_udtfs(spark) -> None:
