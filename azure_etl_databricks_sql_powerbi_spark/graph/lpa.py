@@ -47,7 +47,16 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # undirected adjacency, both directions, deduped
+    # undirected adjacency, both directions, deduped. NOT pre-partitioned
+    # on the superstep join key: the r15 optimization pass measured that
+    # variant (repartition("nbr") + sortWithinPartitions before persist)
+    # and the final AQE plan showed each steady-state superstep already
+    # runs a BroadcastHashJoin with the NODE-sized label frame as build
+    # side — the adjacency never moves, so the extra edge-wide exchange
+    # at cache build bought nothing (5.50s -> 5.86s at sf0.1). In the
+    # beyond-broadcast regime (labels >> broadcast cap) the right layout
+    # is the bucketed edge table (the pagerank_bucketed pattern), not a
+    # per-run repartition.
     adj = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))

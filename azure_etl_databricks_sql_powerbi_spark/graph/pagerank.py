@@ -36,29 +36,49 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def superstep_contribs(
-    ranks: DataFrame, e: DataFrame, outdeg: DataFrame, damping: float
-) -> DataFrame:
-    """One superstep's incoming-mass aggregate: (node, in_m). Factored
-    out so the bucketed-edge plan shape is directly testable — with ``e``
-    and ``outdeg`` read off a table bucketed by ``src``, this join plans
-    with NO Exchange on the edge side (only the node-sized ranks frame
-    shuffles into the bucket partitioning).
+def out_degrees(e: DataFrame) -> DataFrame:
+    """(src, outdeg) — or (src, out_w) when ``e`` carries an integer
+    ``w`` weight column — aggregated once per pagerank run."""
+    if "w" in e.columns:
+        return e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
-    Weighted mode engages when ``e`` carries an integer ``w`` column
-    (and ``outdeg`` the matching ``out_w`` sum): each neighbor receives
+
+def prepare_edges(e: DataFrame, outdeg: DataFrame | None = None) -> DataFrame:
+    """Edge relation with its out-degree column attached — built ONCE per
+    run and persisted by the caller. Before r15 every superstep re-ran
+    the out-degree aggregate AND an edge-sized sort-merge join against it
+    (guide §2.4: K iterations paid K redundant edge shuffles); folding it
+    into the iterated relation makes each superstep exactly one
+    rank-side join + one groupBy(dst). On a ``src``-bucketed table both
+    the aggregate and this join ride the bucket partitioning with no
+    Exchange (tests/test_pagerank.py::test_pagerank_bucketed_no_edge_exchange)."""
+    return e.join(out_degrees(e) if outdeg is None else outdeg, on="src")
+
+
+def superstep_contribs(
+    ranks: DataFrame, eout: DataFrame, damping: float
+) -> DataFrame:
+    """One superstep's incoming-mass aggregate: (node, in_m) from the
+    prepared edge relation (``prepare_edges``: (src, dst, outdeg) or
+    (src, dst, w, out_w)). Factored out so the bucketed-edge plan shape
+    is directly testable — with ``eout`` built off a table bucketed by
+    ``src``, this join plans with NO Exchange on the edge side (only the
+    node-sized rank frame shuffles into the bucket partitioning).
+
+    Weighted mode engages when ``eout`` carries an integer ``w`` column
+    (and the matching ``out_w`` sum): each neighbor receives
     ``floor(((rank_m * d) * w) / out_w)`` — mass proportional to edge
     weight, parenthesization pinned so the SQL twin runs the identical
     IEEE chain."""
-    if "w" in e.columns:
+    if "w" in eout.columns:
         contrib = F.floor(
             ((F.col("rank_m") * F.lit(damping)) * F.col("w")) / F.col("out_w")
         )
     else:
         contrib = F.floor((F.col("rank_m") * F.lit(damping)) / F.col("outdeg"))
     return (
-        ranks.join(e, ranks["node"] == e["src"])
-        .join(outdeg, on="src")
+        ranks.join(eout, ranks["node"] == eout["src"])
         .select(
             F.col("dst").alias("node"),
             contrib.cast("long").alias("contrib_m"),
@@ -88,10 +108,13 @@ def _run_pagerank(
     # personalization n_base = len(seeds) and the full node count is
     # never read — skip the whole-graph count job (r7 review finding)
     n = nodes.count() if not seeds else 0
-    if "w" in e.columns:
-        outdeg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    else:
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = out_degrees(e)
+    # outdeg folded into the iterated edge relation ONCE (guide §2.4) and
+    # persisted: before r15 each superstep re-ran the aggregate plus an
+    # edge-sized sort-merge join against it — 2 redundant edge-wide
+    # exchanges per iteration; now supersteps touch exactly one edge
+    # relation and only node-sized frames (ranks in, contribs out) move.
+    eout = prepare_edges(e, outdeg).persist()
 
     n_base = len(seeds) if seeds else n
     if n_base == 0:
@@ -110,7 +133,7 @@ def _run_pagerank(
     )
 
     for _ in range(iterations):
-        contribs = superstep_contribs(ranks, e, outdeg, damping)
+        contribs = superstep_contribs(ranks, eout, damping)
         base_expr = F.when(is_seed, F.lit(base_m)).otherwise(F.lit(0))
         new_rank = base_expr + F.coalesce("in_m", F.lit(0))
         nxt = nodes.join(contribs, on="node", how="left")
@@ -152,7 +175,9 @@ def _run_pagerank(
     # distinct edge shuffle at collect time, and leaving them cached
     # accumulates executor memory across a long bench session (ADVICE r6).
     # The checkpoint blocks are the result itself, GC'd with the frame.
-    return out.localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
+    eout.unpersist()
+    return out
 
 
 def pagerank(

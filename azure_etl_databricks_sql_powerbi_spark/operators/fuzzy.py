@@ -124,9 +124,20 @@ def _global_sorted_rank(
     from pyspark.sql import Window
 
     w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in sort_cols])
-    return d.withColumn(
-        out_col, (offset_expr + F.row_number().over(w) - 1).cast("long")
-    ).drop("__pid")
+    return (
+        d.withColumn(
+            out_col, (offset_expr + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__pid")
+        # materialize the RANKED rows too (r15, guide §2.4): every caller
+        # consumes the rank from >=2 subplans (SNM joins the ranked frame
+        # to itself; the ensemble chains ranks then fans out), and the
+        # pre-window checkpoint loses partitioning info, so each consumer
+        # re-paid Exchange(__pid) + Sort + Window. Measured at sf0.1:
+        # fuzzy_customer_pairs ran FOUR rank windows for two passes.
+        # One node-row-sized materialization replaces all of them.
+        .localCheckpoint(eager=True)
+    )
 
 
 def snm_candidate_pairs(

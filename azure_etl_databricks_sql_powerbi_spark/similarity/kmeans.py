@@ -133,7 +133,15 @@ def kmeans_fit(
     # caching the projected vector column trades memory for iters-1 scans
     # (the standard iterative-ML shape; MEMORY_AND_DISK so a 100 TB corpus
     # degrades to spill, not OOM). Unpersisted before return.
-    frozen = spread(df.select(vec_col)).persist()
+    #
+    # NOT spread(): the partials pass is batch-vectorized (one numpy
+    # matmul per Arrow batch), not per-row-heavy, so the scan's own
+    # size-based partitioning is the right parallelism at every scale —
+    # force-repartitioning a model-sized input to cluster width just
+    # multiplies per-iteration task/worker dispatch by iters (guide §4.2:
+    # keep batches large enough for vectorization to pay off; measured
+    # r15 at sf0.1: 32 one-batch Python tasks per iteration -> 1).
+    frozen = df.select(vec_col).persist()
     history: list[float] = []
     prev = None
     for _ in range(iters):

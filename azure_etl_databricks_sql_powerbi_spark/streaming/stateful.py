@@ -118,9 +118,6 @@ def sessionize(
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def _epoch_us(t: pd.Timestamp) -> int:
-        return int(t.value // 1_000)
-
     def _update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -132,10 +129,15 @@ def sessionize(
             closed.append((start, last, n))
             state.remove()
         else:
-            ts_list: list[int] = []
-            for pdf in pdfs:
-                ts_list.extend(_epoch_us(t) for t in pd.to_datetime(pdf[ts_col]))
-            ts_list.sort()
+            # vectorized epoch-µs conversion (guide §4.2): the datetime64
+            # column converts in one astype instead of materializing a
+            # python Timestamp object per event (identical integer µs —
+            # both paths truncate the same ns value by 1000)
+            ts_arrays = [
+                pd.to_datetime(pdf[ts_col]).to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+                for pdf in pdfs
+            ]
+            ts_list = np.sort(np.concatenate(ts_arrays)).tolist() if ts_arrays else []
             if state.exists:
                 start, last, n = state.get
             else:

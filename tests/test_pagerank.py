@@ -131,6 +131,7 @@ def test_pagerank_bucketed_no_edge_exchange(spark):
 
     from azure_etl_databricks_sql_powerbi_spark.graph.pagerank import (
         pagerank_bucketed,
+        prepare_edges,
         superstep_contribs,
     )
     from azure_etl_databricks_sql_powerbi_spark.sources.bucketing import (
@@ -157,7 +158,6 @@ def test_pagerank_bucketed_no_edge_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             e = spark.table(table)
-            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
             nodes = (
                 e.select(F.col("src").alias("node"))
                 .union(e.select(F.col("dst").alias("node")))
@@ -165,7 +165,7 @@ def test_pagerank_bucketed_no_edge_exchange(spark):
             )
             ranks = nodes.select("node", F.lit(100).cast("long").alias("rank_m"))
             plan = (
-                superstep_contribs(ranks, e, outdeg, 0.85)
+                superstep_contribs(ranks, prepare_edges(e), 0.85)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
