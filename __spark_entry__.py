@@ -996,7 +996,13 @@ def _q_robots_policy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ROBOTS_DOMAIN_PLANT_SQL).alias("domain"),
         F.expr(_ROBOTS_TXT_PLANT_SQL).alias("robots_txt"),
     )
-    rules = parse_robots(robots)
+    # materialize the (domain-count-sized) rule table ONCE (r15, guide
+    # §2.4 + the filter_robots_allowed eager-probe note): without the
+    # checkpoint its window-heavy parse lineage is evaluated FOUR times —
+    # the broadcastability probe and the verdict join, for each of the
+    # two agent branches (before: 8 document scans / 15 Window nodes in
+    # the plan; after: the parse runs once)
+    rules = parse_robots(robots).localCheckpoint(eager=True)
     urls = docs.select("doc_id", F.expr(_ROBOTS_URL_PLANT_SQL).alias("url"))
     parts = [
         filter_robots_allowed(
@@ -1098,7 +1104,10 @@ def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ROBOTS_DOMAIN_PLANT_SQL).alias("domain"),
         F.expr(_ROBOTS_TXT_PLANT_SQL).alias("robots_txt"),
     )
-    rules = parse_robots(robots)
+    # one materialization shares the rule parse between the broadcast
+    # probe and the frontier's verdict join (the robots_policy_docs
+    # rationale; rules are domain-count-sized)
+    rules = parse_robots(robots).localCheckpoint(eager=True)
     return sitemap_frontier(sitemaps, rules=rules)
 
 

@@ -138,6 +138,16 @@ def full_curation_pipeline(
         deduped, bench, n=contam_n, threshold=contam_threshold,
         id_col=id_col, text_col=text_col,
     )
+    # materialize the decontaminated corpus ONCE (r15, guide §2.4): the
+    # span-dedup stage consumes it from TWO subplans (the keeper
+    # aggregate over span hashes AND the doc-side rejoin), and without
+    # the cut each side re-ran the full upstream chain — scan → language/
+    # quality gates → fingerprint window → decontamination anti-join
+    # (measured: 6 document scans in the one plan). The checkpoint is the
+    # CURATED corpus — strictly smaller than the input — written once;
+    # at 100 TB that is the standard inter-stage materialization point a
+    # curation pipeline persists anyway.
+    clean = clean.localCheckpoint(eager=True)
     rebuilt = dedup_corpus_spans(
         clean, text_col=text_col, id_col=id_col, chunk_tokens=chunk_tokens
     )
@@ -191,6 +201,12 @@ def pretraining_prep(
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col, text_col)
+        # NOT checkpointed (r15 pass measured it): the edge builder's
+        # evaluation already materializes inside connected_components'
+        # eager rounds, so the live plan re-runs the gate+window once —
+        # a blocking text-row materialization here cost more than that
+        # single recompute (7.5s vs 6.5s at sf0.1; contrast
+        # full_curation_pipeline's `clean`, which IS consumed twice live)
     )
     edges = shingle_edges(deduped, text_col=text_col, id_col=id_col)
     split = leakage_safe_split(deduped, edges, weights, id_col=id_col)

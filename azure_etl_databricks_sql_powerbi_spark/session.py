@@ -32,6 +32,13 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Keep parquet scans splittable around executor memory at target SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Join strategy stays at the sort-merge-preferring default: the r15
+    # optimization pass A/B'd preferSortMergeJoin=false (+ AQE
+    # maxShuffledHashJoinLocalMapThreshold=128m) interleaved in one
+    # session over the shuffle-join-heavy tier and the effect was mixed
+    # (triangles -11%, near_dup_clusters +16%, rest ±5%) — no defensible
+    # win to buy the shuffled-hash build-side OOM exposure with
+    # (OPTIMIZATION_r15.md).
     # Runtime semi-join (bloom) filters: a selective dim-side predicate
     # injects a bloom filter into the fact scan of shuffle joins, cutting
     # shuffle input before the exchange — at 100 TB this is the difference
