@@ -1485,7 +1485,12 @@ def _q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mean_logprob"
     )
     n = scored.count()  # bounded: one scalar
-    ranked = _global_sorted_rank(scored, ["mean_logprob", "doc_id"])
+    # single-pass consumer: the decile aggregate reads the rank once, so
+    # the output-side checkpoint would be a pure blocking materialization
+    # (materialize=False — VERDICT r15 item 4)
+    ranked = _global_sorted_rank(
+        scored, ["mean_logprob", "doc_id"], materialize=False
+    )
     return (
         ranked.withColumn(
             "decile", F.floor(F.col("__rank") * 10 / F.lit(n)).cast("int")
@@ -1906,7 +1911,16 @@ def _co_order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-order graph: an edge (src, dst) per pair of parts shipped
     in the same order (src < dst keeps it canonical) — the shared input
     of the triangle / clustering / label-propagation queries. The SQL
-    twin is ``_CO_ORDER_EDGES_SQL``."""
+    twin is ``_CO_ORDER_EDGES_SQL``.
+
+    Kept as the literal self-join: the r16 pass A/B'd the §2.3
+    "aggregate before you shuffle" alternative (collect_set per order +
+    map-side sorted-pair expansion — one lineitem exchange instead of
+    two) INTERLEAVED in one session feeding triangle_counts, and the
+    join won (min-of-3 3.80 s vs 4.85 s; 2 of 3 rounds pairwise): at
+    this row width the nested transform/flatten/explode costs more CPU
+    than the extra hash-join exchange saves. Re-measure on a cluster
+    where shuffle crosses a real network before revisiting."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     l2 = li.select("l_orderkey", F.col("l_partkey").alias("dst"))

@@ -106,6 +106,15 @@ def ensemble_rank_scores(
     out = df
     for c in score_cols:
         out = (
+            # every rank in the chain KEEPS the output materialization
+            # (materialize=True): the r16 pass tried dropping it for the
+            # intermediate signals ("consumed once by the next rank") and
+            # measured mixture_curation_budget consistently ~10% slower —
+            # the next call's repartitionByRange evaluates its child
+            # TWICE (range-boundary sampling pass + shuffle pass), so an
+            # unmaterialized intermediate recomputes its whole rank
+            # window for the sampler. Single-pass means single
+            # EVALUATION, which only a plain downstream consumer gives.
             _global_sorted_rank(out, [c, id_col], partitions, out_col="__r")
             .withColumn(f"{c}_pr", F.col("__r") / F.lit(denom))
             .drop("__r")

@@ -24,22 +24,7 @@ Design notes:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql.functions import udtf
-
-_WS = re.compile(r"\s+")
-
-
-def _ws_tokens(text: str | None) -> list[str]:
-    """Python twin of functions.text.tokens (split \\s+ of trim).
-    Kept as the module-level reference implementation for unit tests;
-    the UDTF classes below inline the same four lines so their pickled
-    bodies stay self-contained (see _make_udtfs)."""
-    if text is None:
-        return []
-    t = text.strip()
-    return _WS.split(t) if t else []
 
 
 def _make_udtfs():

@@ -27,8 +27,13 @@ convergence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Broadcast the node-sized label frame under this row count (a few
+# hundred MB hashed — the guide §3.1 comfort zone); beyond it label
+# state is multi-GB and the superstep falls back to a shuffle join.
+_BROADCAST_LABEL_CAP = 10_000_000
 
 
 def label_propagation(
@@ -42,53 +47,80 @@ def label_propagation(
     supersteps; isolated nodes keep their own id (none exist when the
     node set derives from edges). Deterministic: majority label, ties to
     the smallest label id."""
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    # undirected adjacency, both directions, deduped. NOT pre-partitioned
-    # on the superstep join key: the r15 optimization pass measured that
-    # variant (repartition("nbr") + sortWithinPartitions before persist)
-    # and the final AQE plan showed each steady-state superstep already
-    # runs a BroadcastHashJoin with the NODE-sized label frame as build
-    # side — the adjacency never moves, so the extra edge-wide exchange
-    # at cache build bought nothing (5.50s -> 5.86s at sf0.1). In the
-    # beyond-broadcast regime (labels >> broadcast cap) the right layout
-    # is the bucketed edge table (the pagerank_bucketed pattern), not a
-    # per-run repartition.
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # Undirected adjacency, both directions, deduped — persisted
+    # HASH-PARTITIONED BY ``node`` (the AGGREGATION key), not the
+    # superstep join key (r16, guide §2.4). The r15 pass measured
+    # nbr-partitioning and correctly rejected it: the join side never
+    # moves (labels broadcast). What DID move every superstep was the
+    # downstream (node, label) count aggregate and the per-node argmax —
+    # two edge-width exchanges × K iterations. HashPartitioning(node)
+    # satisfies the clustering of BOTH (subset rule), so with the label
+    # frame broadcast the whole superstep runs exchange-free on top of
+    # the cached adjacency (plan pinned in tests/test_pagerank.py). The
+    # dropDuplicates rides the same single build exchange (one edge-wide
+    # shuffle total — the input-side distinct the build previously paid
+    # is subsumed by this dedup, identical result set).
     adj = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-        .distinct()
+        .repartition("node")
+        .dropDuplicates(["node", "nbr"])
         .persist()
     )
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
+    # Bounded driver scalar (also forces the adjacency build once):
+    # decides whether the node-sized label frame fits a broadcast. Under
+    # the cap the hint pins the BroadcastHashJoin at PLAN time — without
+    # it the checkpointed label frame has no size estimate, the initial
+    # plan inserts an edge-wide Exchange(nbr) under a sort-merge join,
+    # and AQE's late broadcast conversion still pays the adjacency's
+    # map-side shuffle write every superstep. Past the cap (multi-GB
+    # label state) the plain join is kept: one edge exchange per
+    # superstep, the regime the bucketed edge layout exists for.
+    n_nodes = labels.count()
     for _ in range(iterations):
-        nbr_labels = adj.join(
-            labels.select(
-                F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
-            ),
-            on="nbr",
-        )
-        counts = nbr_labels.groupBy("node", "nbr_label").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        w = Window.partitionBy("node").orderBy(
-            F.col("n").desc(), F.col("nbr_label").asc()
-        )
-        labels = (
-            counts.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("node", F.col("nbr_label").alias("label"))
+        labels = lpa_superstep(
+            adj, labels, broadcast_labels=n_nodes <= _BROADCAST_LABEL_CAP
             # cut lineage each superstep (the pagerank/CC discipline)
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
     out = labels.localCheckpoint(eager=True)  # release adj afterwards
     adj.unpersist()
     return out
+
+
+def lpa_superstep(
+    adj: DataFrame, labels: DataFrame, broadcast_labels: bool = True
+) -> DataFrame:
+    """One synchronous LPA superstep over the prepared adjacency:
+    every node adopts the majority label among its neighbors' PREVIOUS
+    labels, ties to the smallest label. Factored out so the exchange-free
+    plan shape over a node-partitioned adjacency is directly testable
+    (tests/test_pagerank.py::test_lpa_superstep_no_exchange)."""
+    lbl = labels.select(
+        F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+    )
+    if broadcast_labels:
+        lbl = F.broadcast(lbl)
+    counts = adj.join(lbl, on="nbr").groupBy("node", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # per-node argmin as ONE aggregate (min_by over the (-n, label)
+    # order) instead of Sort + row_number window: minimizing -n is
+    # the majority rule, the label tie-breaks ascending in its own
+    # type (struct comparison is lexicographic, so string node ids
+    # keep working), no per-superstep sort, and it pipelines into
+    # the same partition-local agg chain.
+    return counts.groupBy("node").agg(
+        F.min_by(
+            F.col("nbr_label"),
+            F.struct((-F.col("n")).alias("__negn"), F.col("nbr_label")),
+        ).alias("label")
+    )
 
 
 def lpa_sql_unrolled(edges_cte: str, iterations: int = 3) -> str:

@@ -108,14 +108,6 @@ def _run_pagerank(
     # personalization n_base = len(seeds) and the full node count is
     # never read — skip the whole-graph count job (r7 review finding)
     n = nodes.count() if not seeds else 0
-    outdeg = out_degrees(e)
-    # outdeg folded into the iterated edge relation ONCE (guide §2.4) and
-    # persisted: before r15 each superstep re-ran the aggregate plus an
-    # edge-sized sort-merge join against it — 2 redundant edge-wide
-    # exchanges per iteration; now supersteps touch exactly one edge
-    # relation and only node-sized frames (ranks in, contribs out) move.
-    eout = prepare_edges(e, outdeg).persist()
-
     n_base = len(seeds) if seeds else n
     if n_base == 0:
         # mirror the kmeans_fit empty-input guard: an empty edge list
@@ -124,6 +116,15 @@ def _run_pagerank(
         raise ValueError(
             "pagerank: edge list is empty — no nodes to rank"
         )
+    outdeg = out_degrees(e)
+    # outdeg folded into the iterated edge relation ONCE (guide §2.4) and
+    # persisted: before r15 each superstep re-ran the aggregate plus an
+    # edge-sized sort-merge join against it — 2 redundant edge-wide
+    # exchanges per iteration; now supersteps touch exactly one edge
+    # relation and only node-sized frames (ranks in, contribs out) move.
+    # Persisted AFTER the empty-input guard and released in the finally
+    # below, so no code path leaves cached blocks behind (ADVICE r15).
+    eout = prepare_edges(e, outdeg).persist()
     base_m = int((1.0 - damping) * MICRO // n_base)  # floor of exact double div
     init_m = MICRO // n_base
     is_seed = F.col("node").isin(list(seeds)) if seeds else F.lit(True)
@@ -132,51 +133,58 @@ def _run_pagerank(
         F.when(is_seed, F.lit(init_m)).otherwise(F.lit(0)).cast("long").alias("rank_m"),
     )
 
-    for _ in range(iterations):
-        contribs = superstep_contribs(ranks, eout, damping)
-        base_expr = F.when(is_seed, F.lit(base_m)).otherwise(F.lit(0))
-        new_rank = base_expr + F.coalesce("in_m", F.lit(0))
-        nxt = nodes.join(contribs, on="node", how="left")
-        if dangling:
-            # redistribute the dangling mass: nodes with no out-edges give
-            # floor(damping * sum(their rank_m) / n_base) to every BASE
-            # node (all nodes, or the seed set under personalization) —
-            # kept integer-exact (one 1-row aggregate cross-joined
-            # in-plan, no per-iteration driver action; the same
-            # arithmetic unrolls in the SQL twin)
-            dang = (
-                ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-                .agg(
-                    F.coalesce(F.sum("rank_m"), F.lit(0))
-                    .cast("long")
-                    .alias("dang_m")
+    try:
+        for _ in range(iterations):
+            contribs = superstep_contribs(ranks, eout, damping)
+            base_expr = F.when(is_seed, F.lit(base_m)).otherwise(F.lit(0))
+            new_rank = base_expr + F.coalesce("in_m", F.lit(0))
+            nxt = nodes.join(contribs, on="node", how="left")
+            if dangling:
+                # redistribute the dangling mass: nodes with no out-edges
+                # give floor(damping * sum(their rank_m) / n_base) to every
+                # BASE node (all nodes, or the seed set under
+                # personalization) — kept integer-exact (one 1-row
+                # aggregate cross-joined in-plan, no per-iteration driver
+                # action; the same arithmetic unrolls in the SQL twin).
+                # The anti-join probes the PERSISTED eout (same src set as
+                # outdeg) — before r16 it referenced the unpersisted
+                # outdeg frame, re-running the edge-wide degree aggregate
+                # every iteration (ADVICE r15).
+                dang = (
+                    ranks.join(eout, ranks["node"] == eout["src"], "left_anti")
+                    .agg(
+                        F.coalesce(F.sum("rank_m"), F.lit(0))
+                        .cast("long")
+                        .alias("dang_m")
+                    )
                 )
+                share = F.when(
+                    is_seed,
+                    F.floor(
+                        (F.col("dang_m") * F.lit(damping)) / F.lit(n_base)
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+                nxt = nxt.crossJoin(F.broadcast(dang))
+                new_rank = new_rank + share
+            ranks = (
+                nxt.select("node", new_rank.cast("long").alias("rank_m"))
+                # cut lineage: K iterations of join+agg otherwise stack into
+                # one enormous plan (CC operator precedent)
+                .localCheckpoint(eager=False)
             )
-            share = F.when(
-                is_seed,
-                F.floor((F.col("dang_m") * F.lit(damping)) / F.lit(n_base)).cast(
-                    "long"
-                ),
-            ).otherwise(F.lit(0))
-            nxt = nxt.crossJoin(F.broadcast(dang))
-            new_rank = new_rank + share
-        ranks = (
-            nxt.select("node", new_rank.cast("long").alias("rank_m"))
-            # cut lineage: K iterations of join+agg otherwise stack into one
-            # enormous plan (CC operator precedent)
-            .localCheckpoint(eager=False)
+        out = ranks.select(
+            "node", "rank_m", (F.col("rank_m") / F.lit(float(MICRO))).alias("rank")
         )
-    out = ranks.select(
-        "node", "rank_m", (F.col("rank_m") / F.lit(float(MICRO))).alias("rank")
-    )
-    # Materialize the result (node-sized) so callers' cached edge/node
-    # relations can be released NOW: without the eager checkpoint,
-    # unpersisting would force every superstep's join to recompute the
-    # distinct edge shuffle at collect time, and leaving them cached
-    # accumulates executor memory across a long bench session (ADVICE r6).
-    # The checkpoint blocks are the result itself, GC'd with the frame.
-    out = out.localCheckpoint(eager=True)
-    eout.unpersist()
+        # Materialize the result (node-sized) so callers' cached edge/node
+        # relations can be released NOW: without the eager checkpoint,
+        # unpersisting would force every superstep's join to recompute the
+        # distinct edge shuffle at collect time, and leaving them cached
+        # accumulates executor memory across a long bench session (ADVICE
+        # r6). The checkpoint blocks are the result itself, GC'd with the
+        # frame.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        eout.unpersist()
     return out
 
 

@@ -93,10 +93,24 @@ def _triangles_from_oriented(o: DataFrame) -> DataFrame:
     sf0.1, identical credits). Out-neighbor arrays are bounded by the
     orientation at ~√|E| elements, so no row outgrows a task.
 
-    ``o`` is still expanded three times (adjacency build + both join
-    legs); callers hand in a checkpointed/persisted frame."""
+    Since r16 ``o`` is consumed exactly ONCE — by the adjacency
+    aggregate. The edge⋈adjacency join the first leg used to pay is
+    gone: exploding the adjacency list regenerates the identical
+    (lo, hi, out(lo)) rows with NO join and NO exchange, because the
+    aggregate's output partitioning (lo) flows through the explode.
+    The second leg re-keys the adjacency to ``hi`` via an alias —
+    partitioning rewrites through the projection, so the only exchange
+    in the whole intersection is the unavoidable wedge-mass shuffle of
+    the probe rows into the adjacency's partitioning (the Σ outdeg²
+    floor documented in r15; one Exchange, down from three). The two
+    adjacency references share one canonicalized shuffle subtree
+    (ReusedExchange, pinned in tests), so the edge build and the
+    orientation run once with no persist/checkpoint needed — only the
+    post-shuffle list merge is evaluated per leg."""
     adj = o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
-    eu = o.join(adj.withColumnRenamed("nbrs", "__nu"), "lo")
+    eu = adj.select(
+        "lo", F.explode("nbrs").alias("hi"), F.col("nbrs").alias("__nu")
+    )
     # inner joins: an edge whose hi has no out-edges closes nothing
     ev = eu.join(
         adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("__nv")), "hi"
@@ -133,17 +147,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     out-neighbor of both (``_triangles_from_oriented``) — then credits
     its three corners via one explode.
 
-    The oriented edge list is MATERIALIZED once (eager localCheckpoint,
-    the lpa/pagerank lineage-cut discipline) before fan-out: the plan
-    expands it three times (adjacency build + both join legs), and
-    without the cut each reference re-expands the whole upstream — edge
-    build, distinct, degree aggregate, two degree joins (measured r10:
-    80 source scans, zero exchange reuse, ~2x wall). At scale that is 16
-    bytes/edge in the block manager (spilling to disk), versus
-    recomputing a potentially quadratic edge-construction join each
-    time."""
-    o = oriented_edges(edges, src, dst).localCheckpoint(eager=True)
-    return _triangles_from_oriented(o)
+    The oriented edge list needs NO materialization since r16: the
+    intersection consumes it exactly once (the adjacency aggregate,
+    whose shuffle subtree both legs reuse — see
+    ``_triangles_from_oriented``), so the r10-era eager checkpoint
+    guarding against triple re-expansion became a pure extra
+    write+rescan of the edge list and was dropped."""
+    return _triangles_from_oriented(oriented_edges(edges, src, dst))
 
 
 def _triangle_ctes(edges_cte: str) -> str:
@@ -213,8 +223,9 @@ def clustering_coefficients(
     edge-construction join again."""
     e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = _degrees(e)
-    o = _orient(e, deg).localCheckpoint(eager=True)
-    tri = _triangles_from_oriented(o)
+    # no orientation checkpoint since r16: the intersection consumes the
+    # oriented list exactly once (see _triangles_from_oriented)
+    tri = _triangles_from_oriented(_orient(e, deg))
     return deg.join(tri, on="node", how="left").select(
         "node",
         F.col("deg").cast("long").alias("deg"),

@@ -95,11 +95,24 @@ def _global_sorted_rank(
     sort_cols: Sequence[str],
     partitions: int = 32,
     out_col: str = "__rank",
+    materialize: bool = True,
 ) -> DataFrame:
     """Dense global rank under a total order WITHOUT a single-partition
     window: range-partition on the sort key, rank locally, then add each
     partition's offset (the scalable zipWithIndex shape — the offsets
-    collect is bounded by the partition count, never the data)."""
+    collect is bounded by the partition count, never the data).
+
+    ``materialize`` controls the SECOND (output) checkpoint only — the
+    input checkpoint that freezes range boundaries is unconditional
+    (correctness). Keep the default for callers that consume the rank
+    from two or more subplans (SNM's self-join, ensembles fanning out);
+    pass ``False`` from single-pass consumers, which would otherwise pay
+    a blocking materialization to save zero recomputes (VERDICT r15).
+    Note the trade both checkpoints share: localCheckpoint storage is
+    executor-local and non-recoverable — at cluster scale an executor
+    loss under a truncated lineage fails the job instead of recomputing
+    (acceptable for these node-row-sized rank frames; a 100 TB corpus
+    materialization would use reliable checkpoint/storage instead)."""
     d = df.repartitionByRange(partitions, *[F.col(c) for c in sort_cols])
     # eager localCheckpoint (not persist) BEFORE the counts action: the
     # offsets below and the final plan must see the SAME partition
@@ -124,20 +137,19 @@ def _global_sorted_rank(
     from pyspark.sql import Window
 
     w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in sort_cols])
-    return (
-        d.withColumn(
-            out_col, (offset_expr + F.row_number().over(w) - 1).cast("long")
-        )
-        .drop("__pid")
-        # materialize the RANKED rows too (r15, guide §2.4): every caller
-        # consumes the rank from >=2 subplans (SNM joins the ranked frame
-        # to itself; the ensemble chains ranks then fans out), and the
-        # pre-window checkpoint loses partitioning info, so each consumer
-        # re-paid Exchange(__pid) + Sort + Window. Measured at sf0.1:
-        # fuzzy_customer_pairs ran FOUR rank windows for two passes.
-        # One node-row-sized materialization replaces all of them.
-        .localCheckpoint(eager=True)
-    )
+    ranked = d.withColumn(
+        out_col, (offset_expr + F.row_number().over(w) - 1).cast("long")
+    ).drop("__pid")
+    if not materialize:
+        return ranked
+    # materialize the RANKED rows too (r15, guide §2.4): multi-consumer
+    # callers (SNM joins the ranked frame to itself; the ensemble chains
+    # ranks then fans out) would otherwise re-pay Exchange(__pid) + Sort
+    # + Window per consumer, because the pre-window checkpoint loses
+    # partitioning info. Measured at sf0.1: fuzzy_customer_pairs ran
+    # FOUR rank windows for two passes. One node-row-sized
+    # materialization replaces all of them.
+    return ranked.localCheckpoint(eager=True)
 
 
 def snm_candidate_pairs(

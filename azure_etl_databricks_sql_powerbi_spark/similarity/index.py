@@ -45,12 +45,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
-    assign_cells,
     train_centroids,
 )
-from azure_etl_databricks_sql_powerbi_spark.similarity.ivfpq import _ivfpq_probe
+from azure_etl_databricks_sql_powerbi_spark.similarity.ivfpq import (
+    _ivfpq_probe,
+    assign_and_encode_pq,
+)
 from azure_etl_databricks_sql_powerbi_spark.similarity.pq import (
-    encode_pq,
+    _sample_matrix,
     train_pq_codebooks,
 )
 
@@ -97,23 +99,24 @@ def save_index(
 
         cents = train_centroids_distributed(corpus, vec_col, nlist=nlist, seed=seed)
     elif trainer == "sample":
+        # one bounded sample job shared with the codebook trainer below
+        # (r16; identical collected rows, bit-identical models)
+        sample_x = _sample_matrix(corpus, vec_col, sample_size, 0.25, seed)
         cents = train_centroids(
-            corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+            corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size,
+            seed=seed, sample_x=sample_x,
         )
     else:
         raise ValueError(f"trainer must be 'sample' or 'full', got {trainer!r}")
     books = train_pq_codebooks(
-        corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size, seed=seed
+        corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size, seed=seed,
+        sample_x=sample_x if trainer == "sample" else None,
     )
-    coded = encode_pq(
-        assign_cells(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-            ),
-            cents,
-            "vec",
-            nprobe=1,
+    coded = assign_and_encode_pq(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
         ),
+        cents,
         books,
         "vec",
     ).select("neighbor_id", "pq_code", "vec", "cell")
@@ -162,16 +165,12 @@ def append_to_index(
     Returns the re-loaded index (fresh FileIndex picks up the new files).
     """
     spark = batch.sparkSession
-    coded = encode_pq(
-        assign_cells(
-            batch.select(
-                F.col(index.id_col).alias("neighbor_id"),
-                F.col(index.vec_col).alias("vec"),
-            ),
-            index.centroids,
-            "vec",
-            nprobe=1,
+    coded = assign_and_encode_pq(
+        batch.select(
+            F.col(index.id_col).alias("neighbor_id"),
+            F.col(index.vec_col).alias("vec"),
         ),
+        index.centroids,
         index.codebooks,
         "vec",
     ).select("neighbor_id", "pq_code", "vec", "cell")

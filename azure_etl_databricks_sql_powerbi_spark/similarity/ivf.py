@@ -41,6 +41,7 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
     sample_fraction: float = 0.25,
+    sample_x: np.ndarray | None = None,
 ) -> np.ndarray:
     """Driver-side k-means (L2-normalized -> spherical) on a bounded
     sample; returns (nlist, dim) float64 centroids.
@@ -51,16 +52,21 @@ def train_centroids(
     bounded prefix of the corpus, never a full scan or sort (the previous
     orderBy(hash).limit(n) planned as TakeOrderedAndProject = O(corpus)).
     If the sampled prefix comes up short the corpus is small (≲ n/fraction
-    rows) and a plain limit(n) re-read is cheap."""
-    base = df.select(id_col, vec_col)
-    sample = (
-        base.sample(fraction=sample_fraction, seed=seed)
-        .limit(sample_size)
-        .toPandas()
-    )
-    if len(sample) < sample_size:
-        sample = base.limit(sample_size).toPandas()
-    x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    rows) and a plain limit(n) re-read is cheap. ``sample_x`` supplies an
+    already-collected raw (n, d) matrix (``pq._sample_matrix`` contract)
+    so composed trainers (IVF-PQ) sample once for both models."""
+    if sample_x is not None:
+        x = np.array(sample_x, dtype=np.float64, copy=True)
+    else:
+        base = df.select(id_col, vec_col)
+        sample = (
+            base.sample(fraction=sample_fraction, seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+        if len(sample) < sample_size:
+            sample = base.limit(sample_size).toPandas()
+        x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]

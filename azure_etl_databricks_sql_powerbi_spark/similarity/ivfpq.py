@@ -49,16 +49,63 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql.functions import pandas_udf
+
 from azure_etl_databricks_sql_powerbi_spark.functions.vectors import cosine
 from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
-    assign_cells,
     train_centroids,
 )
 from azure_etl_databricks_sql_powerbi_spark.similarity.pq import (
+    _sample_matrix,
     bounded_query_pandas,
-    encode_pq,
     train_pq_codebooks,
 )
+from azure_etl_databricks_sql_powerbi_spark.util import spread
+
+
+def assign_and_encode_pq(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append the nearest-cell id AND the m-byte PQ code in ONE
+    Arrow-batched pass — the IVF-PQ indexing projection (guide §4.2):
+    the composed ``encode_pq(assign_cells(...))`` ran two ArrowEvalPython
+    stages, shipping the full vector column across the Python boundary
+    twice and L2-normalizing every batch twice. Cell choice replays
+    ``assign_cells``' exact argsort expression and the codes replay
+    ``encode_pq``'s subspace argmins on the same normalized batch, so
+    the output is bit-identical to the two-stage composition (pinned in
+    tests/test_ext.py)."""
+    cents, books = centroids, codebooks
+    m, _, sub = books.shape
+
+    @pandas_udf(f"struct<{cell_col}:int, {code_col}:array<smallint>>")
+    def cell_and_code(v: pd.Series) -> pd.DataFrame:
+        x = np.array([np.asarray(e, dtype=np.float64) for e in v])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :1]  # assign_cells(nprobe=1) exact
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                cell_col: top[:, 0].astype("int32"),
+                code_col: [row.tolist() for row in codes],
+            }
+        )
+
+    out = spread(df).withColumn("__cc", cell_and_code(F.col(vec_col)))
+    return out.select(
+        "*", F.col(f"__cc.{cell_col}").alias(cell_col),
+        F.col(f"__cc.{code_col}").alias(code_col),
+    ).drop("__cc")
 
 
 def ivfpq_cosine_topk(
@@ -86,22 +133,25 @@ def ivfpq_cosine_topk(
     materialize the same model + coded table at rest so day-N probes skip
     training and prune partitions (VERDICT r6 directive 2)."""
     spark = corpus.sparkSession
+    # ONE bounded sample job feeds both trainers (before r16 centroids
+    # and codebooks each ran an identical CollectLimit over the corpus;
+    # the collected rows are the same, so both models are unchanged)
+    x = _sample_matrix(corpus, vec_col, sample_size, 0.25, seed)
     cents = train_centroids(
-        corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size, seed=seed
+        corpus, vec_col, id_col, nlist=nlist, sample_size=sample_size,
+        seed=seed, sample_x=x,
     )
     books = train_pq_codebooks(
-        corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size, seed=seed
+        corpus, vec_col, m=m, k=n_centroids, sample_size=sample_size,
+        seed=seed, sample_x=x,
     )
-    # one indexing pass: cell + m-byte code per corpus vector
-    coded = encode_pq(
-        assign_cells(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-            ),
-            cents,
-            "c_vec",
-            nprobe=1,
+    # one indexing pass AND one Python-boundary crossing: cell + m-byte
+    # code per corpus vector (fused — see assign_and_encode_pq)
+    coded = assign_and_encode_pq(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
+        cents,
         books,
         "c_vec",
     ).select("neighbor_id", "cell", "pq_code")

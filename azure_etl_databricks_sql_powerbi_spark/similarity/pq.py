@@ -83,13 +83,21 @@ def train_pq_codebooks(
     iters: int = 10,
     seed: int = 42,
     sample_fraction: float = 0.25,
+    sample_x: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fit per-subspace codebooks; returns (m, k, d/m) float64.
 
     Vectors are L2-normalized first (cosine regime: ADC inner products on
     normalized vectors rank like cosine). d must be divisible by m.
+    ``sample_x`` supplies an already-collected raw (n, d) training matrix
+    (the ``_sample_matrix`` contract) so composed trainers (IVF-PQ) run
+    ONE bounded sample job instead of two identical ones (guide §1.2).
     """
-    x = _sample_matrix(df, vec_col, sample_size, sample_fraction, seed)
+    x = (
+        np.array(sample_x, dtype=np.float64, copy=True)
+        if sample_x is not None
+        else _sample_matrix(df, vec_col, sample_size, sample_fraction, seed)
+    )
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d = x.shape[1]
     if d % m:

@@ -330,6 +330,70 @@ def _py_ppr(edges, seeds, d=0.85, iters=3, dangling=False):
     return r
 
 
+def test_lpa_superstep_no_exchange(spark):
+    """The r16 LPA layout contract (guide §2.4): with the adjacency
+    persisted hash-partitioned by ``node`` — the AGGREGATION key — and
+    the label frame broadcast, one superstep plans with ZERO exchanges
+    above the cached adjacency scan: the broadcast join preserves the
+    streamed side's partitioning, HashPartitioning(node) satisfies the
+    (node, label) count's clustering (subset rule), and the per-node
+    min_by argmin rides the same partitioning. A regression (adjacency
+    partitioned on the join key, or the argmin going back through a
+    sort+window needing its own exchange) re-shuffles edge-width data
+    every superstep."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import lpa_superstep
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23],
+        "a long, b long",
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("node")
+        .dropDuplicates(["node", "nbr"])
+        .persist()
+    )
+    try:
+        labels = adj.select("node").distinct().select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=True)
+        step = lpa_superstep(adj, labels, broadcast_labels=True)
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # the section ABOVE the cached adjacency scan is the per-superstep
+        # work; the InMemoryRelation tail records the one-time build
+        # lineage (which legitimately contains the single build exchange)
+        live = plan.split("InMemoryRelation")[0]
+        assert "BroadcastHashJoin" in live
+        assert "Exchange hashpartitioning" not in live
+        assert "Window" not in live  # argmin is an aggregate, not a window
+    finally:
+        adj.unpersist()
+
+
+def test_triangle_adjacency_exchange_reused(spark):
+    """The r16 intersection shape: both adjacency references (the
+    exploded probe side and the hi-keyed build side) must share one
+    canonicalized shuffle subtree — ReusedExchange — so the edge build
+    and orientation run once with no checkpoint, and the only other
+    hash exchanges are the wedge-probe re-key and the final credit
+    aggregate. A regression to per-leg recompute doubles the
+    edge-construction work at any scale."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 37) for i in range(400)], "src long, dst long"
+    )
+    df = triangle_counts(edges)
+    df.collect()  # AQE materializes stage reuse in the FINAL plan only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_personalized_pagerank_exact_and_seed_locality(spark):
     """Personalized PageRank: teleport mass lands only on the seed set,
     so rank concentrates near the seeds (node 5's component dominates

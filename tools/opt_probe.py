@@ -1,6 +1,6 @@
 """Optimization-round probe: time specific declared queries (same
 methodology as bench.py — noop sink, min of 3) and dump their
-``explain("formatted")`` to ``plans/r15/<q>_<tag>.txt``.
+``explain("formatted")`` to ``plans/r16/<q>_<tag>.txt``.
 
 Usage::
 
@@ -45,7 +45,7 @@ def main() -> None:
         int(spark.sparkContext.defaultParallelism)
     ).select(_noop(F.col("id"))).write.format("noop").mode("overwrite").save()
 
-    plandir = os.path.join(REPO, "plans", "r15")
+    plandir = os.path.join(REPO, "plans", "r16")
     os.makedirs(plandir, exist_ok=True)
     timings: dict[str, float] = {}
     for name in names:
@@ -54,6 +54,15 @@ def main() -> None:
         with open(os.path.join(plandir, f"{name}_{tag}.txt"), "w") as fh:
             fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"))
+        # the FINAL adaptive plan too: exchange/stage REUSE only
+        # materializes there — the pre-execution dump prints a shared
+        # subtree once per reference, overstating exchanges (r16).
+        # collect(), not a noop write: the write command runs a SEPARATE
+        # QueryExecution, leaving df's own plan unfinalized (probe
+        # queries return bounded outputs, so the collect is safe).
+        df.collect()
+        with open(os.path.join(plandir, f"{name}_{tag}_final.txt"), "w") as fh:
+            fh.write(df._jdf.queryExecution().executedPlan().toString())
         spark.catalog.clearCache()
         best = float("inf")
         for _ in range(runs):
