@@ -90,22 +90,29 @@ def shingle_edges(
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """One large-star round: every node links its LARGER neighbors to the
-    minimum of its neighborhood (incl. itself)."""
+    minimum of its neighborhood (incl. itself).
+
+    ``dedup=False`` skips the output distinct when the caller feeds the
+    result straight into ``_small_star`` (the fixpoint loop): small-star's
+    min aggregate is multiplicity-insensitive and its own final distinct
+    restores set semantics, so the intermediate exchange+aggregate buys
+    nothing — one fewer shuffle per round (r16, guide §2.4). Row count
+    stays bounded by 2|E| either way."""
     b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = (
         b.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", "u").alias("m"))
     )
-    return (
+    out = (
         b.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -124,18 +131,30 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame) -> tuple:
-    """Orientation- and order-insensitive edge-set fingerprint: (count, sum
-    of undirected row hashes). The sum runs in decimal so it cannot
-    overflow long; hashing (least, greatest) makes (a,b) == (b,a), since
-    rounds alternate edge orientation."""
-    row = e.agg(
+def _checksum_metrics() -> list:
+    """The orientation- and order-insensitive edge-set fingerprint as
+    ``observe`` metrics: (count, sum of undirected row hashes). The sum
+    runs in decimal so it cannot overflow long; hashing (least, greatest)
+    makes (a,b) == (b,a), since rounds alternate edge orientation. As an
+    observation the fingerprint rides the SAME action that materializes
+    the round's checkpoint — before r16 every round paid a second
+    (re-scan) job just for the convergence check."""
+    return [
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.xxhash64(F.least("u", "v"), F.greatest("u", "v")).cast("decimal(38,0)")
         ).alias("h"),
-    ).first()
-    return (row["n"], row["h"])
+    ]
+
+
+def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, tuple]:
+    """Eagerly localCheckpoint ``e`` with the convergence checksum
+    observed on the materializing action; returns (checkpointed frame,
+    (n, h))."""
+    obs = Observation()
+    ck = e.observe(obs, *_checksum_metrics()).localCheckpoint(eager=True)
+    got = obs.get
+    return ck, (got["n"], got["h"])
 
 
 def connected_components(
@@ -159,17 +178,19 @@ def connected_components(
     # plan stringifier long before the data does. localCheckpoint persists
     # the round's partitions on executors and truncates lineage; on a
     # cluster where executor loss matters, swap for reliable checkpoint().
-    e0 = (
+    e0, cs = _observed_checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e, cs = e0, _checksum(e0)
+    e = e0
     for _ in range(max_iter):
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cs_new = _checksum(e_new)
+        # dedup=False: small-star's min aggregate and final distinct make
+        # the intermediate large-star distinct redundant (see _large_star)
+        e_new, cs_new = _observed_checkpoint(
+            _small_star(_large_star(e, dedup=False))
+        )
         if cs_new == cs:
             break
         e, cs = e_new, cs_new

@@ -101,13 +101,19 @@ def lpa_superstep(
     labels, ties to the smallest label. Factored out so the exchange-free
     plan shape over a node-partitioned adjacency is directly testable
     (tests/test_pagerank.py::test_lpa_superstep_no_exchange)."""
+    # label-side join key keeps its own name (__lnode) so a plan reader
+    # — and the bucketed-layout test — can tell the label frame's
+    # exchange apart from an (illegitimate) adjacency re-shuffle, which
+    # would print as hashpartitioning(nbr
     lbl = labels.select(
-        F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        F.col("node").alias("__lnode"), F.col("label").alias("nbr_label")
     )
     if broadcast_labels:
         lbl = F.broadcast(lbl)
-    counts = adj.join(lbl, on="nbr").groupBy("node", "nbr_label").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        adj.join(lbl, adj["nbr"] == lbl["__lnode"])
+        .groupBy("node", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     # per-node argmin as ONE aggregate (min_by over the (-n, label)
     # order) instead of Sort + row_number window: minimizing -n is
@@ -121,6 +127,63 @@ def lpa_superstep(
             F.struct((-F.col("n")).alias("__negn"), F.col("nbr_label")),
         ).alias("label")
     )
+
+
+def label_propagation_bucketed(
+    spark,
+    edges: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    overwrite: bool = False,
+) -> DataFrame:
+    """LPA over a BUCKETED adjacency table — the beyond-broadcast 100 TB
+    layout (the ``pagerank_bucketed`` pattern, VERDICT r15 item 1): when
+    label state no longer fits a broadcast, each superstep joins
+    adjacency⋈labels on ``nbr`` as a shuffle join, and a per-run
+    adjacency would re-exchange the (corpus-sized) edge relation every
+    superstep. Writing the adjacency ONCE bucketed+sorted by ``nbr``
+    makes every superstep's join co-locate on the adjacency side — NO
+    Exchange keyed on the adjacency ever appears; only the node-sized
+    label frame shuffles into the bucket partitioning (plan-asserted in
+    tests/test_pagerank.py::test_lpa_bucketed_no_adjacency_exchange).
+    The table persists for reuse across runs — community detection
+    re-runs on the same edge inventory, so the one-time bucketed write
+    amortizes exactly like the warehouse fact layout.
+
+    ``n_buckets`` should equal the session's shuffle-partition count
+    (mismatch makes the planner abandon the bucket layout — the
+    pagerank_bucketed finding). ``table`` is REQUIRED and never
+    silently overwritten (ADVICE r7 discipline)."""
+    from azure_etl_databricks_sql_powerbi_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    if spark.catalog.tableExists(table) and not overwrite:
+        raise ValueError(
+            f"label_propagation_bucketed: table {table!r} already exists; "
+            "pass overwrite=True to rewrite it, or choose a per-graph name"
+        )
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .dropDuplicates(["node", "nbr"])
+    )
+    write_bucketed(adj, table, ["nbr"], n_buckets=n_buckets)
+    adjb = spark.table(table)
+    labels = adjb.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        labels = lpa_superstep(
+            adjb, labels, broadcast_labels=False
+        ).localCheckpoint(eager=False)
+    return labels.localCheckpoint(eager=True)
 
 
 def lpa_sql_unrolled(edges_cte: str, iterations: int = 3) -> str:

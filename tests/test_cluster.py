@@ -129,3 +129,24 @@ def test_near_dup_clusters_on_testdata(spark):
     assert keepers == len(clusters)
     # the synthetic corpus has planted near-dups: some multi-doc cluster
     assert any(len(m) > 1 for m in clusters.values())
+
+
+def test_large_star_nodedup_composes_identically(spark):
+    """The r16 fixpoint-loop shape: feeding _small_star from
+    _large_star(dedup=False) must produce the same edge SET as the
+    deduped composition — small-star's min aggregate is
+    multiplicity-insensitive and its final distinct restores set
+    semantics, which is what lets the loop drop one exchange+aggregate
+    per round."""
+    from azure_etl_databricks_sql_powerbi_spark.dedup.cluster import (
+        _large_star,
+        _small_star,
+    )
+
+    edges = [(i, (i * 13 + 3) % 41) for i in range(80)] + [(1, 2), (2, 3)]
+    e = spark.createDataFrame(
+        [(u, v) for u, v in edges if u != v], "u long, v long"
+    )
+    deduped = {(r.u, r.v) for r in _small_star(_large_star(e, dedup=True)).collect()}
+    fused = {(r.u, r.v) for r in _small_star(_large_star(e, dedup=False)).collect()}
+    assert fused == deduped

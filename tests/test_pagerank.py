@@ -394,6 +394,92 @@ def test_triangle_adjacency_exchange_reused(spark):
     assert "ReusedExchange" in plan
 
 
+def test_lpa_bucketed_no_adjacency_exchange(spark):
+    """VERDICT r15 item 1, LPA leg: with the adjacency written bucketed
+    by ``nbr`` (the superstep JOIN key — the beyond-broadcast regime's
+    layout), a shuffle-join superstep plans with NO Exchange keyed on
+    the adjacency: only the node-sized label frame (its own __lnode
+    key) shuffles into the bucket partitioning, plus the node-sized
+    aggregates. And the bucketed run's labels equal the plain run's
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_databricks_sql_powerbi_spark.graph.lpa import (
+        label_propagation,
+        label_propagation_bucketed,
+        lpa_superstep,
+    )
+
+    edges = [(i, (i * 7) % 53) for i in range(300) if i != (i * 7) % 53]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    table = "lpa_adj_bucket_test"
+    try:
+        plain = {
+            (r.node, r.label)
+            for r in label_propagation(df, iterations=3).collect()
+        }
+        bucketed = {
+            (r.node, r.label)
+            for r in label_propagation_bucketed(
+                spark, df, table=table, n_buckets=32, iterations=3
+            ).collect()
+        }
+        assert bucketed == plain
+
+        # one shuffle-join superstep over the bucketed table, broadcast
+        # disabled so the join shape is what multi-GB label state gets
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            adjb = spark.table(table)
+            labels = adjb.select("node").distinct().select(
+                "node", F.col("node").alias("label")
+            ).localCheckpoint(eager=True)
+            step = lpa_superstep(adjb, labels, broadcast_labels=False)
+            step.collect()
+            plan = step._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan, plan
+            assert "Exchange hashpartitioning(nbr" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_triangles_bucketed_no_lo_exchange(spark):
+    """VERDICT r15 item 1, triangles leg: with the oriented list written
+    bucketed by ``lo``, the adjacency aggregate and the exploded probe
+    side ride the bucket partitioning — NO Exchange keyed on ``lo``
+    anywhere in the intersection; the wedge-mass re-key to ``hi`` is
+    the only edge-shaped shuffle left (the Σ outdeg² floor). Counts
+    equal the plain run's bit-for-bit."""
+    from azure_etl_databricks_sql_powerbi_spark.graph.triangles import (
+        triangle_counts,
+        triangle_counts_bucketed,
+    )
+
+    edges = [(i, (i * 11) % 37) for i in range(400) if i != (i * 11) % 37]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    table = "tri_o_bucket_test"
+    try:
+        plain = {
+            (r.node, r.n_triangles) for r in triangle_counts(df).collect()
+        }
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = triangle_counts_bucketed(spark, df, table=table, n_buckets=32)
+            bucketed = {(r.node, r.n_triangles) for r in out.collect()}
+            assert bucketed == plain
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan, plan
+            assert "Exchange hashpartitioning(lo" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_personalized_pagerank_exact_and_seed_locality(spark):
     """Personalized PageRank: teleport mass lands only on the seed set,
     so rank concentrates near the seeds (node 5's component dominates
