@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 
+# A/B toggle (r16, temporary): True = always run the bounded node count
+# before the superstep loop; False = r7-era skip under personalization.
+_AB_ALWAYS_COUNT = True
+
 
 def out_degrees(e: DataFrame) -> DataFrame:
     """(src, outdeg) — or (src, out_w) when ``e`` carries an integer
@@ -104,10 +108,15 @@ def _run_pagerank(
     FROM the seeds. Returns the final (node, rank_m, rank) EAGERLY
     materialized (localCheckpoint) so callers can release their
     cached/persisted inputs immediately."""
-    # n drives base/init/dangling only in the UNIFORM regime; under
-    # personalization n_base = len(seeds) and the full node count is
-    # never read — skip the whole-graph count job (r7 review finding)
-    n = nodes.count() if not seeds else 0
+    # One bounded count ALWAYS runs (r16): it materializes the cached
+    # edge+node relations before the superstep lineage references them
+    # from multiple subtrees. The r7-era skip under personalization
+    # (n_base comes from the seed list) let the output checkpoint's
+    # single mega-job evaluate two uncached references to the edge
+    # relation concurrently — the personalized variant measured ~0.4 s
+    # SLOWER than the global one on the same graph for skipping a
+    # node-sized aggregate over data every superstep consumes anyway.
+    n = nodes.count() if (_AB_ALWAYS_COUNT or not seeds) else 0
     n_base = len(seeds) if seeds else n
     if n_base == 0:
         # mirror the kmeans_fit empty-input guard: an empty edge list

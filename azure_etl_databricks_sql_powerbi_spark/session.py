@@ -32,13 +32,16 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Keep parquet scans splittable around executor memory at target SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # Join strategy stays at the sort-merge-preferring default: the r15
-    # optimization pass A/B'd preferSortMergeJoin=false (+ AQE
-    # maxShuffledHashJoinLocalMapThreshold=128m) interleaved in one
-    # session over the shuffle-join-heavy tier and the effect was mixed
-    # (triangles -11%, near_dup_clusters +16%, rest ±5%) — no defensible
-    # win to buy the shuffled-hash build-side OOM exposure with
-    # (OPTIMIZATION_r15.md).
+    # Join strategy stays at the sort-merge-preferring default. r15 A/B'd
+    # preferSortMergeJoin=false (+ AQE SHJ threshold) at sf0.1: mixed
+    # (triangles -11%, near_dup +16%, rest ±5%). r16 closed the question
+    # at sf1 (VERDICT item 8): the shuffled-hash wins that appear there
+    # (near_dup -25%, triangles -16% when the run survives) come with the
+    # exact failure §3.1 warns about — the 128m AQE threshold run DIED
+    # with "Can't acquire 134217728 bytes memory to build hash relation"
+    # once 32 concurrent tasks each tried to build a threshold-sized hash
+    # relation. A per-task-memory-aware threshold is cluster sizing, not
+    # an engine default; sort-merge spills gracefully and stays.
     # Runtime semi-join (bloom) filters: a selective dim-side predicate
     # injects a bloom filter into the fact scan of shuffle joins, cutting
     # shuffle input before the exchange — at 100 TB this is the difference
