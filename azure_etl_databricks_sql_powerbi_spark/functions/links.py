@@ -404,12 +404,38 @@ def link_edges(
 ) -> DataFrame:
     """Pages → canonical (src, dst) hyperlink edges: extract →
     explode → entity-decode → resolve → canonicalize both endpoints →
-    drop NULL endpoints → (optionally) distinct."""
+    drop non-resolvable rows → (optionally) distinct.
+
+    NULL-endpoint rows are dropped by CHEAP PRECONDITION filters on the
+    raw inputs, not by ``IS NOT NULL`` over the computed endpoints: a
+    deterministic filter predicate is pushed through every projection
+    layer and Catalyst SUBSTITUTES the alias definitions into the pushed
+    predicate (PushPredicateThroughNonJoin — the same re-inlining
+    documented at functions/urls.filter_blocklisted_domains), so
+    ``isNotNull(dst)`` re-derived the ENTIRE resolve+canonicalize chain
+    inside one mega-Filter (~100 kB of a 111 kB optimized plan, the
+    resolve CASE inlined ~60×; measured 8.7 s of a 9.8 s sf1 run against
+    1.1 s for the chain itself — tools/link_edges_sf1_decomp_r16.py).
+    The preconditions below are EXACTLY the endpoints' nullness
+    conditions (proof at each filter), so the output rows are identical
+    and the chain is evaluated once, only on rows that survive
+    (tests/test_links.py::test_link_edges_prefilter_equivalence pins
+    old-shape ≡ new-shape on the adversarial fixture set)."""
+    # src IS NOT NULL ⟺ the raw page url has an ANCHORED scheme:
+    # canonicalize returns NULL exactly when __cu_scheme = '' (or the
+    # input is NULL, which also fails the anchored match) — every other
+    # step is a null-preserving regexp/concat of non-null derivations.
+    # One small regex at the scan replaces the former output-side
+    # isNotNull(src), whose pushdown re-inlined the whole src
+    # canonicalization once per PAGE row (r16).
+    abs_pages = pages.filter(
+        F.regexp_extract(F.col(url_col), SCHEME_RE, 1) != ""
+    )
     # src canonicalizes BEFORE the explode: once per page, not once per
     # extracted link (~100x less src-side regex work at the median
     # links-per-page; r13 links review #6)
     src_pages = canonicalize_urls(
-        pages.select(
+        abs_pages.select(
             F.col(url_col).alias("__lk_page"),
             F.col(html_col).alias("__lk_html"),
         ),
@@ -430,11 +456,31 @@ def link_edges(
             F.transform(extract_links("__lk_html"), decode_href_entities)
         ).alias("__lk_raw"),
     )
-    resolved = resolve_hrefs(hrefs, "__lk_page", "__lk_raw", "__lk_dst")
-    both = canonicalize_urls(resolved, "__lk_dst", "dst")
-    out = both.select("src", "dst").filter(
-        F.col("dst").isNotNull() & F.col("src").isNotNull()
+    # dst IS NOT NULL ⟺ resolve_hrefs' res0 CASE takes a non-NULL
+    # branch, because (a) resolve's final concat and the whole
+    # canonicalize chain are null-preserving regexp/concat steps over
+    # non-null inputs, and (b) a non-null res0 always starts with
+    # 'scheme://' (every branch either passes an anchored-scheme href
+    # through or concats the base's non-empty scheme), so canonicalize's
+    # __cu_scheme ≠ '' gate always passes. res0's NULL branches over the
+    # WHATWG-trimmed href: empty, pure fragment, scheme-colon without
+    # '://' (mailto:/javascript:/data:/...), or non-absolute base — and
+    # the base is absolute for EVERY surviving row by the abs_pages
+    # filter above. Four small regexes per exploded row replace the
+    # pushed mega-predicate (see docstring).
+    trimmed = F.expr(HREF_TRIM_SQL.format(href="__lk_raw"))
+    fetchable = hrefs.filter(
+        trimmed.isNotNull()
+        & (trimmed != "")
+        & ~trimmed.startswith("#")
+        & (
+            (F.regexp_extract(trimmed, SCHEME_RE, 1) != "")
+            | (F.regexp_extract(trimmed, SCHEME_COLON_RE, 0) == "")
+        )
     )
+    resolved = resolve_hrefs(fetchable, "__lk_page", "__lk_raw", "__lk_dst")
+    both = canonicalize_urls(resolved, "__lk_dst", "dst")
+    out = both.select("src", "dst")
     return out.distinct() if dedup else out
 
 

@@ -174,16 +174,25 @@ def sitemap_frontier(
     needs the shuffle equi-join-on-domain path
     (``broadcast_rules=False``) rather than a ValueError."""
     from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        SCHEME_RE,
         canonicalize_urls,
     )
 
     entries = parse_sitemap(docs, xml_col).filter(
         (F.col("kind") == "url") & F.col("loc").isNotNull()
     )
-    canon = canonicalize_urls(entries.select("loc"), "loc", "url")
-    out = (
-        canon.filter(F.col("url").isNotNull()).select("url").distinct()
+    # canonical url IS NOT NULL ⟺ loc has an ANCHORED scheme (the
+    # links.link_edges nullness proof: canonicalize returns NULL exactly
+    # when the scheme match fails or the input is null; everything else
+    # is null-preserving). Filtering the RAW loc replaces the former
+    # output-side isNotNull(url), whose pushdown re-inlined the whole
+    # canonicalize chain into the predicate per entry row (r16, the
+    # link_edges mega-filter finding).
+    absolute = entries.select("loc").filter(
+        F.regexp_extract(F.col("loc"), SCHEME_RE, 1) != ""
     )
+    canon = canonicalize_urls(absolute, "loc", "url")
+    out = canon.select("url").distinct()
     if rules is not None:
         from azure_etl_databricks_sql_powerbi_spark.functions.robots import (
             filter_robots_allowed,

@@ -37,27 +37,89 @@ TABLES = (
     "embeddings",
 )
 
+# The catalog schema CONTRACT (r16, guide §1.2/§6): at production scale
+# these tables live in a metastore that DECLARES their schemas; reading
+# them with per-call footer inference is a dev-mode convenience that
+# costs a listing + footer-read job on EVERY ``spark.read.parquet``
+# (~0.1 s/call here — ~200 load_table sites × 3 timed bench runs made
+# inference the largest single slice of the per-query fixed-cost tail).
+# Declaring the schema makes the read planning-free and is also the
+# correctness posture ``read_bronze_json`` already preaches: an
+# inference pass over 100 TB is wrong, and a DRIFTING inference result
+# breaks downstream conform logic silently. The declared DDLs are pinned
+# against fresh inference over every shipped scale factor by
+# tests/test_sources.py::test_catalog_schema_contract, so data drift fails
+# loudly instead of nulling out columns. (``events.ts`` is parquet
+# TIMESTAMP(NANOS); Spark 4.1 reads it as TIMESTAMP_NTZ with ns→us
+# truncation — DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates
+# identically.)
+CATALOG_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ),
+    "supplier": (
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    ),
+    "part": (
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE"
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+        "o_orderpriority STRING"
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"
+    ),
+    "events": (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ),
+    "documents": (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ),
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}
+
+# A/B seam: True = declared-schema reads (shipped); False = the pre-r16
+# per-call footer inference, kept so tools/ab_schema_contract_r16.py can
+# reconstruct the old behavior interleaved in one session.
+_USE_CATALOG_SCHEMAS = True
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table from ``{sf_dir}/{name}.parquet``.
+    """Read one catalog table from ``{sf_dir}/{name}.parquet`` with its
+    DECLARED schema (``CATALOG_SCHEMAS`` — see the contract note there);
+    unknown table names fall back to footer inference.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps with integer division (``div`` keeps full int64 precision —
-    a double-precision divide would lose the low bits of epoch-nanos).
-    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically.
+    ``events``: Spark 4.1's reader maps parquet TIMESTAMP(NANOS) to
+    TIMESTAMP_NTZ (microsecond truncation, matching DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast). The legacy nanos-as-long conf +
+    ``div 1000`` conversion are kept as the documented fallback for
+    runtimes that still reject NANOS in the vectorized reader — on this
+    Spark the branch is dormant (``ts`` never reads as bigint).
     """
+    schema = CATALOG_SCHEMAS.get(name) if _USE_CATALOG_SCHEMAS else None
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        reader = spark.read.schema(schema) if schema else spark.read
+        df = reader.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(

@@ -315,6 +315,99 @@ def test_link_edges_end_to_end_and_dedup(spark):
     assert link_edges(df, dedup=False).count() == 10
 
 
+def test_link_edges_prefilter_equivalence(spark):
+    """r16: link_edges drops NULL endpoints via cheap precondition
+    filters on the RAW url/href (pushdown-safe) instead of
+    ``isNotNull`` over the computed endpoints (whose pushdown
+    re-inlined the whole regex chain into one mega-Filter). This pins
+    the equivalence: the shipped shape must produce EXACTLY the rows of
+    the old filter-at-the-end shape — reconstructed inline from the
+    same building blocks — over an adversarial corpus that exercises
+    every nullness branch (null/empty/scheme-less/whitespace base;
+    empty, fragment-only, scheme-colon, protocol-relative, query-only,
+    root-relative, relative, whitespace-wrapped, entity-escaped
+    hrefs)."""
+    from azure_etl_databricks_sql_powerbi_spark.functions.links import (
+        decode_href_entities,
+    )
+
+    hrefs = [
+        "",                              # empty -> NULL
+        "#top",                          # pure fragment -> NULL
+        "https://Abs.com:443/x?utm_source=z&b=1#f",  # absolute
+        " \n https://ws-abs.com/x \t ",  # WHATWG-trim absolute
+        "mailto:a@b.c",                  # scheme-colon, no :// -> NULL
+        "javascript:void(0)",            # -> NULL
+        "data:text/plain;base64,AAA",    # -> NULL
+        "tel:+1-555",                    # -> NULL
+        "about:blank",                   # -> NULL
+        "//cdn.x.com/lib.js",            # protocol-relative
+        "?page=2",                       # query-only
+        "/root.html",                    # root-relative
+        "rel/./path/../x.html",          # relative w/ dot segments
+        "\n  /ws.html  ",                # whitespace root-relative
+        "a/../../../../deep.html",       # over-deep ../ residue
+        "/out?url=https://x.com",        # contains :// but relative
+        "x?a=1&amp;b=2",                 # entity-escaped query
+    ]
+    html = "".join(f'<a href="{h}">t</a>' for h in hrefs)
+    bases = [
+        None,                              # null base -> all NULL src
+        "",                                # empty base
+        "not-a-url/path",                  # scheme-less base
+        "HTTPS://Mixed.Case.com:443/d/i.html?q=1#frag",
+        "https://plain.com",               # no-path base
+        " https://lead-ws.com/a/b.html",   # base with lead space (no trim!)
+        "ftp://files.example.org/pub/",    # non-http scheme
+    ]
+    pages = spark.createDataFrame(
+        [(b, html) for b in bases], "url string, html string"
+    )
+
+    def old_shape(df, dedup):
+        # the pre-r16 link_edges, verbatim: canonicalize both endpoints,
+        # THEN filter isNotNull over the computed columns
+        src_pages = canonicalize_urls(
+            df.select(
+                F.col("url").alias("__lk_page"),
+                F.col("html").alias("__lk_html"),
+            ),
+            "__lk_page",
+            "src",
+        )
+        exploded = src_pages.select(
+            "src",
+            "__lk_page",
+            F.explode(
+                F.transform(extract_links("__lk_html"), decode_href_entities)
+            ).alias("__lk_raw"),
+        )
+        resolved = resolve_hrefs(exploded, "__lk_page", "__lk_raw", "__lk_dst")
+        both = canonicalize_urls(resolved, "__lk_dst", "dst")
+        out = both.select("src", "dst").filter(
+            F.col("dst").isNotNull() & F.col("src").isNotNull()
+        )
+        return out.distinct() if dedup else out
+
+    for dedup in (False, True):  # multiset equality is the stronger pin
+        got = sorted(
+            (r.src, r.dst) for r in link_edges(pages, dedup=dedup).collect()
+        )
+        want = sorted(
+            (r.src, r.dst) for r in old_shape(pages, dedup).collect()
+        )
+        assert got == want, (dedup, got[:5], want[:5])
+        assert want, "adversarial fixture must keep some edges"
+        assert all(s is not None and d is not None for s, d in got)
+    # the whole point: no resolve/canonicalize chain re-derived inside a
+    # pushed Filter. The chain itself is ~15k optimized-plan chars; the
+    # old output-side isNotNull shape measured ~111k (the mega-filter
+    # was ~100k of it). 30k headroom still fails loudly if even ONE
+    # duplicated chain copy comes back.
+    plan = link_edges(pages)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 30_000, f"pushed mega-filter is back: {len(plan)} chars"
+
+
 def test_all_jvm_and_plan_size_bound(spark):
     """Zero Python nodes in the full pipeline, and the optimized-plan
     size bound that pins the r13 expression-blowup regression: with the

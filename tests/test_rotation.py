@@ -154,10 +154,15 @@ def test_bench_history_archived_for_every_completed_round():
     forgets."""
     import re
 
-    rounds = sorted(
-        int(re.search(r"BENCH_r(\d+)\.json", p).group(1))
+    # filter, don't .group() blind (same rule as bench.py's archive
+    # hook): the r15 driver added BENCH_r15_c8.json — a low-core-count
+    # companion run, not a round — which matches the glob but not the
+    # round regex
+    matches = [
+        re.search(r"BENCH_r(\d+)\.json$", p)
         for p in glob.glob(str(REPO / "BENCH_r*.json"))
-    )
+    ]
+    rounds = sorted(int(m.group(1)) for m in matches if m)
     grandfathered = {2, 3}
     missing = [
         n

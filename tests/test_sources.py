@@ -243,6 +243,45 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 # ---------------------------------------------------------------- O1/O2
 
 
+def test_catalog_schema_contract(spark):
+    """r16: load_table reads every catalog table with its DECLARED
+    schema (CATALOG_SCHEMAS) instead of per-call footer inference. This
+    pins the contract against the data: fresh inference over every
+    shipped scale factor must match the declared DDL exactly (names,
+    types, order) — a drifting file schema must fail HERE, loudly, not
+    silently null out a column at read time."""
+    import glob
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from azure_etl_databricks_sql_powerbi_spark.sources.files import (
+        CATALOG_SCHEMAS,
+        TABLES,
+        load_table,
+    )
+
+    assert set(CATALOG_SCHEMAS) == set(TABLES)
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "driver testdata must be present"
+    for sf_dir in sf_dirs:
+        for name in TABLES:
+            path = f"{sf_dir}/{name}.parquet"
+            if not os.path.exists(path):
+                continue
+            inferred = spark.read.parquet(path).schema
+            declared = StructType.fromDDL(CATALOG_SCHEMAS[name])
+            assert [(f.name, f.dataType) for f in inferred.fields] == [
+                (f.name, f.dataType) for f in declared.fields
+            ], (sf_dir, name, inferred.simpleString())
+    # and the loaded frame exposes the declared shape (events included —
+    # its NANOS column must surface as TIMESTAMP_NTZ, the type every
+    # oracle twin CASTs against)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    assert ev.limit(5).count() == 5
+
+
 def test_appconfig_env_and_dotenv(tmp_path):
     from azure_etl_databricks_sql_powerbi_spark.config import get_config, parse_dotenv
 

@@ -210,7 +210,10 @@ def gen_customer(rng: np.random.Generator) -> None:
         {
             "c_custkey": pa.array(range(n), pa.int64()),
             "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
-            "c_nationkey": pa.array(rng.integers(0, 25, size=n), pa.int64()),
+            # int32, matching the driver testdata's customer schema — the
+            # r16 catalog schema contract pins c_nationkey INT, and a
+            # declared-schema read of an int64 file fails the scan
+            "c_nationkey": pa.array(rng.integers(0, 25, size=n), pa.int32()),
             "c_acctbal": pa.array(rng.uniform(-999, 9999, size=n).round(2)),
             "c_mktsegment": pa.array(segs[rng.integers(0, 5, size=n)]),
         }
