@@ -30,10 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Broadcast the node-sized label frame under this row count (a few
-# hundred MB hashed — the guide §3.1 comfort zone); beyond it label
-# state is multi-GB and the superstep falls back to a shuffle join.
-_BROADCAST_LABEL_CAP = 10_000_000
+# Broadcast the node-sized label frame under this ESTIMATED byte size
+# (the guide §3.1 comfort zone). Bytes, not rows: node ids can be long
+# strings (URLs), where a row-count cap would force a multi-GB
+# broadcast collect onto the driver that Spark's own size guard (which
+# the explicit hint bypasses) exists to prevent. Past the cap the
+# superstep falls back to the plain shuffle join — the regime
+# ``label_propagation_bucketed`` exists for.
+_BROADCAST_LABEL_CAP_BYTES = 256 << 20
 
 
 def label_propagation(
@@ -73,19 +77,30 @@ def label_propagation(
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    # Bounded driver scalar (also forces the adjacency build once):
-    # decides whether the node-sized label frame fits a broadcast. Under
-    # the cap the hint pins the BroadcastHashJoin at PLAN time — without
-    # it the checkpointed label frame has no size estimate, the initial
-    # plan inserts an edge-wide Exchange(nbr) under a sort-merge join,
-    # and AQE's late broadcast conversion still pays the adjacency's
-    # map-side shuffle write every superstep. Past the cap (multi-GB
-    # label state) the plain join is kept: one edge exchange per
-    # superstep, the regime the bucketed edge layout exists for.
-    n_nodes = labels.count()
+    # Bounded driver scalars from ONE job (also forces the adjacency
+    # build once): decide whether the node-sized label frame fits a
+    # broadcast, by ESTIMATED BYTES (UTF-8 payload of both columns +
+    # per-row hash-relation overhead — labels are always node ids, so
+    # the estimate from the initial frame holds for every superstep).
+    # Under the cap the hint pins the BroadcastHashJoin at PLAN time —
+    # without it the checkpointed label frame has no size estimate, the
+    # initial plan inserts an edge-wide Exchange(nbr) under a
+    # sort-merge join, and AQE's late broadcast conversion still pays
+    # the adjacency's map-side shuffle write every superstep. Past the
+    # cap (multi-GB label state) the plain join is kept: one edge
+    # exchange per superstep, the regime the bucketed edge layout
+    # exists for.
+    est = labels.select(
+        F.sum(
+            F.octet_length(F.col("node").cast("string"))
+            + F.octet_length(F.col("label").cast("string"))
+            + F.lit(32)
+        ).alias("est_bytes")
+    ).collect()[0]["est_bytes"]
+    broadcast_ok = (est or 0) <= _BROADCAST_LABEL_CAP_BYTES
     for _ in range(iterations):
         labels = lpa_superstep(
-            adj, labels, broadcast_labels=n_nodes <= _BROADCAST_LABEL_CAP
+            adj, labels, broadcast_labels=broadcast_ok
             # cut lineage each superstep (the pagerank/CC discipline)
         ).localCheckpoint(eager=False)
     out = labels.localCheckpoint(eager=True)  # release adj afterwards
@@ -103,8 +118,9 @@ def lpa_superstep(
     (tests/test_pagerank.py::test_lpa_superstep_no_exchange)."""
     # label-side join key keeps its own name (__lnode) so a plan reader
     # — and the bucketed-layout test — can tell the label frame's
-    # exchange apart from an (illegitimate) adjacency re-shuffle, which
-    # would print as hashpartitioning(nbr
+    # exchange apart from an (illegitimate) adjacency re-shuffle: the
+    # label exchange prints as hashpartitioning(__lnode...), an
+    # adjacency re-shuffle would print as hashpartitioning(nbr...).
     lbl = labels.select(
         F.col("node").alias("__lnode"), F.col("label").alias("nbr_label")
     )

@@ -79,7 +79,7 @@ def assign_and_encode_pq(
     ``assign_cells``' exact argsort expression and the codes replay
     ``encode_pq``'s subspace argmins on the same normalized batch, so
     the output is bit-identical to the two-stage composition (pinned in
-    tests/test_ext.py)."""
+    tests/test_ext.py::test_assign_and_encode_pq_matches_composition)."""
     cents, books = centroids, codebooks
     m, _, sub = books.shape
 

@@ -102,17 +102,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events``: Spark 4.1's reader maps parquet TIMESTAMP(NANOS) to
     TIMESTAMP_NTZ (microsecond truncation, matching DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast). The legacy nanos-as-long conf +
-    ``div 1000`` conversion are kept as the documented fallback for
-    runtimes that still reject NANOS in the vectorized reader — on this
-    Spark the branch is dormant (``ts`` never reads as bigint).
+    TIMESTAMP_NS -> TIMESTAMP cast), which is exactly what the declared
+    schema pins. The legacy nanos-as-long conf + ``div 1000`` conversion
+    serve only the INFERENCE path (unknown-name fallback or
+    ``_USE_CATALOG_SCHEMAS = False``): a declared TIMESTAMP_NTZ read can
+    never surface ``ts`` as bigint, so on a runtime whose vectorized
+    reader rejects NANOS the declared read fails at scan time — the
+    recovery there is the inference path, not this branch, and the conf
+    is not touched (no pointless session-conf mutation) when the schema
+    is declared.
     """
     schema = CATALOG_SCHEMAS.get(name) if _USE_CATALOG_SCHEMAS else None
     if name == "events":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        if schema is None:
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:
+                pass
         reader = spark.read.schema(schema) if schema else spark.read
         df = reader.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

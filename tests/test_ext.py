@@ -287,6 +287,40 @@ def test_ivfpq_recall_matches_ivf_flat(spark, vectors):
     assert again == rc
 
 
+def test_assign_and_encode_pq_matches_composition(spark, vectors):
+    """r16: the fused one-pass indexing kernel (assign_and_encode_pq)
+    must be BIT-IDENTICAL to the two-stage composition it replaced
+    (encode_pq over assign_cells at nprobe=1) — the kernel re-implements
+    both argmins by hand, so this is the pin that makes a drift in
+    either copy fail loudly instead of silently changing shipped ANN
+    results (ann_ivfpq_* are rows-only, no oracle hash to catch it)."""
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivf import (
+        assign_cells,
+        train_centroids,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.similarity.ivfpq import (
+        assign_and_encode_pq,
+    )
+    from azure_etl_databricks_sql_powerbi_spark.similarity.pq import (
+        encode_pq,
+        train_pq_codebooks,
+    )
+
+    cents = train_centroids(vectors, nlist=3, sample_size=15)
+    books = train_pq_codebooks(vectors, m=4, k=4, sample_size=15)
+    fused = assign_and_encode_pq(vectors, cents, books)
+    composed = encode_pq(assign_cells(vectors, cents, nprobe=1), books)
+    a = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in fused.select("vec_id", "cell", "pq_code").collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in composed.select("vec_id", "cell", "pq_code").collect()
+    )
+    assert a and a == b
+
+
 def test_ivfpq_scans_fraction_of_corpus(spark):
     """The ADC scan's input is bounded by the probed cells, not the
     corpus: with queries drawn from few clusters, rows entering the scan

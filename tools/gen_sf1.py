@@ -235,16 +235,41 @@ def main() -> None:
             shutil.copy(f"{SRC}/{dim}.parquet", path)
             print(f"{dim}: copied from sf0.1")
     rng = np.random.default_rng(42)
-    for name, fn in [
+    tables = [
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("events", gen_events),
         ("lineitem", gen_lineitem),
         ("orders", gen_orders),
         ("customer", gen_customer),
-    ]:
+    ]
+    # Schema-drift guard (r16): an output written by an OLDER generator
+    # (e.g. the pre-r16 int64 c_nationkey) would be silently kept by the
+    # exists-skip and then fail every declared-schema read far from the
+    # cause. Each existing file is checked against the driver testdata's
+    # schema for the same table (names + types); ANY drift regenerates
+    # ALL generated tables — selective regeneration would desync the
+    # shared rng stream and break the seed-42 determinism contract.
+    def _drifted(name: str) -> bool:
+        import pyarrow.parquet as pq
+
+        path, ref = f"{OUT}/{name}.parquet", f"/root/testdata/sf0.1/{name}.parquet"
+        if not (os.path.exists(path) and os.path.exists(ref)):
+            return False
+        cur = [(f.name, str(f.type)) for f in pq.read_schema(path)]
+        want = [(f.name, str(f.type)) for f in pq.read_schema(ref)]
+        if cur != want:
+            print(f"{name}: existing schema drifted from testdata "
+                  f"({cur} != {want})")
+            return True
+        return False
+
+    regen_all = any(_drifted(name) for name, _ in tables)
+    if regen_all:
+        print("schema drift detected: regenerating all generated tables")
+    for name, fn in tables:
         path = f"{OUT}/{name}.parquet"
-        if os.path.exists(path):
+        if os.path.exists(path) and not regen_all:
             print(f"{name}: exists, skipped")
             continue
         fn(rng)

@@ -56,11 +56,14 @@ def main() -> None:
                 df._jdf.queryExecution(), "formatted"))
         # the FINAL adaptive plan too: exchange/stage REUSE only
         # materializes there — the pre-execution dump prints a shared
-        # subtree once per reference, overstating exchanges (r16).
-        # collect(), not a noop write: the write command runs a SEPARATE
-        # QueryExecution, leaving df's own plan unfinalized (probe
-        # queries return bounded outputs, so the collect is safe).
-        df.collect()
+        # subtree once per reference, overstating exchanges (r16). The
+        # action must run through df's OWN QueryExecution (a noop write
+        # command plans a SEPARATE one, leaving df's plan unfinalized),
+        # but NOT via collect(): edge/pair-shaped queries return
+        # corpus-sized outputs that would pile up on the driver at sf1+.
+        # toLocalIterator holds at most one partition at a time.
+        for _ in df.toLocalIterator():
+            pass
         with open(os.path.join(plandir, f"{name}_{tag}_final.txt"), "w") as fh:
             fh.write(df._jdf.queryExecution().executedPlan().toString())
         spark.catalog.clearCache()
